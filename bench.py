@@ -1,0 +1,69 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Runs the engine's flagship queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+Each query executes end-to-end (collect of the — small — result);
+value = total wall seconds across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from traffic_forecast_etl_spark.plans.catalog import QUERIES
+from traffic_forecast_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "j1_composite_key_join",
+    "j6_asof_join",
+    "a2_minmax_normalize",
+    "w5_tumbling_window",
+    "w7_sessionize",
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "d4_ngram_jaccard",
+    "s1_cosine_topk",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t4_fingerprint",
+    "m1_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen path once with the cheapest query so the
+    # first headline number isn't paying session bring-up.
+    QUERIES["a3_profile"](spark, sf_dir).collect()
+    for name in HEADLINE:
+        t0 = time.time()
+        rows = QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Aggregation operators (SURVEY §2.4 A1-A3 + the general agg surface
+the engine exposes: distinct aggs, cube/rollup, approx sketches).
+
+Everything here is hash aggregation with automatic map-side partial
+aggregation — the single most scale-critical property: at 100 TB the
+shuffle carries one partial row per (partition × group), not the
+data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_avg(df: DataFrame, keys: Sequence[str], value: str, out: str | None = None) -> DataFrame:
+    """A1: per-group mean on a composite key (reference:
+    groupby(['Datum','Uur']).mean()[['Waarde']],
+    data/extract_from_raw_data.py:21,32)."""
+    return df.groupBy(*keys).agg(F.avg(value).alias(out or value))
+
+
+def global_minmax(df: DataFrame, col: str) -> DataFrame:
+    """A2: grand-total min/max (reference: Count.min()/Count.max(),
+    notebook cell 6 ≈L74) — a 1-row aggregate."""
+    return df.agg(F.min(col).alias("min_val"), F.max(col).alias("max_val"))
+
+
+def profile(df: DataFrame) -> DataFrame:
+    """A3: row-count + per-column non-null profiling (the declarative
+    form of pandas .info(), reference: notebook cell 8 ≈L121).
+    One pass, one 1-row result."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+    return df.agg(*aggs)
+
+
+def cube_counts(df: DataFrame, keys: Sequence[str], value: str) -> DataFrame:
+    """CUBE over keys with count+sum — the grouping-sets surface
+    (absent in the reference, required of a general engine;
+    SURVEY §2.4 'absent' row)."""
+    return df.cube(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value).alias(f"sum_{value}")
+    )
+
+
+def distinct_agg(df: DataFrame, keys: Sequence[str], distinct_col: str) -> DataFrame:
+    """Exact distinct-count per group (expand+two-phase agg under the
+    hood). For 100 TB dashboards prefer ``approx_distinct``."""
+    return df.groupBy(*keys).agg(F.countDistinct(distinct_col).alias(f"nd_{distinct_col}"))
+
+
+def approx_distinct(df: DataFrame, keys: Sequence[str], distinct_col: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ sketch distinct — constant memory per group,
+    mergeable across partitions (the scale path)."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias(f"apx_{distinct_col}")
+    )
+
+
+def percentiles(df: DataFrame, col: str, probs: Sequence[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Approximate quantiles via the GK sketch (mergeable, bounded
+    memory — the only sane quantile at 100 TB)."""
+    return df.agg(
+        *[
+            F.percentile_approx(col, p).alias(f"p{int(p * 100)}")
+            for p in probs
+        ]
+    )

@@ -1,0 +1,383 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (its only dedup is ON CONFLICT DO
+NOTHING at the sink, reference: dags/utils.py:210,271) — these are the
+operators a 100 TB training-data pipeline needs:
+
+- exact duplicate removal (hash groupBy),
+- near-dup via MinHash + LSH banding (shingle → signature → band →
+  bucket join → exact-Jaccard verify),
+- near-dup via SimHash (64-bit sign-random-projection over shingle
+  hashes, Hamming-banded candidate join),
+- exact n-gram Jaccard pairs (explode-shingle join — also the DuckDB
+  oracle form).
+
+Everything is native Column expressions + hash-partitioned joins:
+no Python in the hot path, no crossJoin, no driver-side state. The
+LSH family scales as O(corpus) + O(candidate pairs), the property
+that makes near-dedup feasible at 100 TB where all-pairs O(n²) is
+not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus for the universal-hash family h_i(x) = (a_i*x + b_i) mod p
+# used by minhash (standard construction, cf. Broder '97 resemblance
+# sketches). p is the Mersenne prime 2^31-1 and a_i, b_i, x are all
+# reduced below 2^31 first, so a*x + b < 2^62 never overflows a
+# 64-bit long under ANSI arithmetic.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form shared by every dedup operator: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(c)
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-gram shingle array, built natively:
+    sequence(1, len-k+1) → transform(substring) → array_distinct.
+    Short texts (< k chars) yield a single whole-string shingle."""
+    c = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    c = normalize_text(col)
+    toks = F.split(c, r"\s+")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), cnt - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def exploded_char_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """(__id, __s) rows: one per DISTINCT character k-gram per doc.
+
+    Explode-based on purpose: the normalized text materializes once
+    per document in the projection below the Generate node, so the
+    regexp pipeline runs O(docs) times. Building the same shingles
+    with ``transform(sequence(...), i -> substring(norm, i, k))``
+    inlines the normalization into every lambda invocation — O(docs ×
+    shingles) regexp evaluations, measured 50× slower. Same trap for
+    word shingles below.
+    """
+    norm = df.select(F.col(id_col).alias("__id"), normalize_text(text_col).alias("__n"))
+    pos = norm.select(
+        "__id",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__n") - (k - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    return pos.select(
+        "__id", F.col("__n").substr(F.col("__i"), F.lit(k)).alias("__s")
+    ).distinct()
+
+
+def exploded_word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(__id, __s) rows: one per DISTINCT word n-gram per doc (same
+    explode-not-transform rationale as exploded_char_shingles)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), r"\s+").alias("__t"),
+    )
+    pos = toks.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__t") - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    return pos.select(
+        "__id", F.concat_ws(" ", F.slice("__t", F.col("__i"), n)).alias("__s")
+    ).distinct()
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: keep the minimum id per
+    duplicate group. One hash-partitioned aggregate over a 64-bit
+    fingerprint — the shuffle key is the hash, so the full text never
+    travels (at 100 TB that difference is the whole game).
+    """
+    fp = F.xxhash64(normalize_text(text_col))
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def _minhash_signature(base_hashes: Column, num_hashes: int, seed: int = 42) -> list[Column]:
+    """num_hashes minhash values over a pre-hashed shingle array
+    (``base_hashes`` = xxhash64(shingle) mod p, materialized ONCE as a
+    column by the caller — inlining it here would re-hash every
+    shingle num_hashes times). The family is (a*h+b) mod p with
+    deterministic per-index coefficients derived from ``seed`` so
+    signatures are reproducible across runs/clusters."""
+    sig = []
+    rnd = _coeffs(num_hashes, seed)
+    for a, b in rnd:
+        sig.append(
+            F.array_min(
+                F.transform(
+                    base_hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+                )
+            )
+        )
+    return sig
+
+
+def _coeffs(n: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers/offsets via splitmix64 — plain
+    Python ints evaluated at plan-build time (no runtime cost)."""
+    out = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    def nxt() -> int:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) % _MERSENNE_P
+    for _ in range(n):
+        a = nxt() | 1  # odd, nonzero
+        b = nxt()
+        out.append((a, b))
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline (each stage a narrow map except the two keyed shuffles):
+      1. shingle + 64-hash minhash signature per doc (map-only);
+      2. split the signature into ``bands`` bands, hash each band →
+         explode to (band_idx, band_hash, id) — docs agreeing on any
+         band collide (prob 1-(1-j^r)^b, r=num_hashes/bands);
+      3. self-join on (band_idx, band_hash) with id1 < id2 → candidate
+         pairs (shuffle keyed by band hash — uniform by construction);
+      4. verify candidates with exact Jaccard over shingle sets and
+         filter by threshold.
+
+    Returns (id1, id2, jaccard). Candidate verification re-joins the
+    shingle arrays by id, so memory per task is O(one doc), never
+    O(corpus).
+    """
+    r = num_hashes // bands
+    sh = exploded_char_shingles(df, text_col, id_col, shingle_k)
+    # signature via explode + num_hashes scalar min-aggregates: each
+    # shingle is hashed once, the per-hash permutations are flat
+    # scalar expressions (small codegen), and the agg is a standard
+    # map-side-partial hash aggregate keyed by doc id.
+    hashed = sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
+    coeffs = _coeffs(num_hashes, seed)
+    sig_rows = hashed.groupBy("__id").agg(
+        *[
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    with_sig = sig_rows.select(
+        "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
+    )
+
+    # bands are plan-time constants → unrolled python loop, not a
+    # lambda (shift/slice offsets stay literals for codegen)
+    band_entries = with_sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws("_", F.lit(bi), F.slice(F.col("__sig"), bi * r + 1, r))
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band_idx", "b.band_hash")
+
+    cand = (
+        band_entries.alias("l")
+        .join(
+            band_entries.alias("rr"),
+            on=[
+                F.col("l.band_idx") == F.col("rr.band_idx"),
+                F.col("l.band_hash") == F.col("rr.band_hash"),
+                F.col("l.__id") < F.col("rr.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("id1"), F.col("rr.__id").alias("id2"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification restricted to candidates, via the
+    # postings join (count shared shingles per pair) — memory per task
+    # stays O(1), no shingle arrays ever materialize.
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    common = (
+        cand.join(sh.withColumnsRenamed({"__id": "id1"}), "id1")
+        .join(sh.withColumnsRenamed({"__id": "id2"}), ["id2", "__s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"__id": "id1", "__sz": "__sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"__id": "id2", "__sz": "__sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
+    """64-bit SimHash per document (Charikar random-hyperplane sketch
+    over shingle hashes): bit i of the signature is the sign of
+    sum over shingles of (+1 if bit i of xxhash64(shingle) else -1).
+
+    Computed as one explode + one 64-column conditional-sum aggregate
+    (map-side partials) + bit reassembly — fully native, one shuffle
+    keyed by doc id.
+    """
+    hashed = exploded_char_shingles(df, text_col, id_col, shingle_k).withColumn(
+        "__h", F.xxhash64("__s")
+    )
+    bit_sums = hashed.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return bit_sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, shingle_k: int = 5
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by the pigeonhole principle: split 64 bits
+    into ``max_hamming+1`` chunks; any pair within distance must agree
+    on ≥1 whole chunk → equi-join per chunk (keyed shuffle), then
+    exact popcount verify. This is the classic scalable simhash
+    join (Manku et al., WWW'07 formulation) — no all-pairs scan.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("__id"), "simhash"
+    )
+    entries = sigs.select(
+        "__id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), ci * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "simhash", "c.chunk_idx", "c.chunk_val")
+    cand = (
+        entries.alias("l")
+        .join(
+            entries.alias("rr"),
+            on=[
+                F.col("l.chunk_idx") == F.col("rr.chunk_idx"),
+                F.col("l.chunk_val") == F.col("rr.chunk_val"),
+                F.col("l.__id") < F.col("rr.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id1"),
+            F.col("rr.__id").alias("id2"),
+            F.col("l.simhash").alias("__s1"),
+            F.col("rr.simhash").alias("__s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT word n-gram Jaccard similar pairs via the explode-shingle
+    equi-join (no LSH approximation — the ground-truth operator the
+    LSH variants approximate, and the form a SQL oracle can verify).
+
+    count(shared shingles) via self-join on shingle, then
+    |A∪B| = |A|+|B|-|A∩B|. Scales as O(sum of postings²) per shingle
+    — fine when shingles are selective (stopword-only shingles are the
+    skew risk; n≥3 word grams keep postings short).
+    """
+    sh = exploded_word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), on=[F.col("a.__s") == F.col("b.__s"), F.col("a.__id") < F.col("b.__id")])
+        .groupBy(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"__id": "id1", "__sz": "__sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"__id": "id2", "__sz": "__sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,123 @@
+"""Text analysis operators for corpus curation (engine extension; the
+reference has no text plane).
+
+All native Column expressions over the ``documents`` table: token
+counting (whitespace + BPE-ish sub-word estimate), quality scoring
+(length/punctuation/stopword/digit ratios), n-gram/stopword language
+identification, and md5 document fingerprinting. Map-only — they
+pipeline into the parquet scan with zero shuffles, which is exactly
+what you want for a 100 TB scoring pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal high-frequency stopword profiles per language — enough
+# signal for a heuristic router; a production run would broadcast a
+# richer lexicon table (same plan shape).
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "für", "auf"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "por", "para"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the raw text (empty array for blank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, characters, and a BPE-ish
+    sub-word estimate (≈ chars/4 bounded below by word count — the
+    standard quick estimate when no tokenizer model is shipped)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.greatest(n_tok, F.ceil(n_chars / F.lit(4)).cast("int")).alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality: mean word length, punctuation
+    density, digit density, uppercase density, stopword fraction →
+    a [0,1] composite. Pure arithmetic over regexp counts; the
+    weights are the usual curation-filter shape (cf. C4/Gopher-style
+    rule filters in public corpus literature)."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    n_punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    mean_wl = (n_chars - F.size(toks) + 1) / n_tok  # ≈ chars-per-token
+    punct_ratio = n_punct / n_chars
+    digit_ratio = n_digit / n_chars
+    upper_ratio = n_upper / n_chars
+    stop_ratio = n_stop / n_tok
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.3))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        - F.least(upper_ratio, F.lit(0.2))
+        + F.least(stop_ratio, F.lit(0.2))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: CJK-codepoint share routes to 'zh';
+    otherwise the max stopword-overlap vote among latin profiles,
+    'unk' when no profile scores. Deterministic and map-only.
+    """
+    c = F.col(text_col)
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    votes = []
+    for lang, words in _STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        votes.append(
+            F.struct(
+                (F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tok).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*votes))
+    pred = (
+        F.when(cjk / F.greatest(F.length(c), F.lit(1)) > 0.25, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("unk"))
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprint: md5 over the canonical normalized form
+    (lowercased, punctuation stripped, whitespace collapsed). md5 so
+    the DuckDB oracle can reproduce it bit-for-bit; xxhash64 is the
+    cheaper engine-internal alternative with the same plan shape."""
+    from .dedup import normalize_text
+
+    return df.select(
+        F.col(id_col),
+        F.md5(F.encode(normalize_text(text_col), "UTF-8")).alias("fingerprint"),
+    )

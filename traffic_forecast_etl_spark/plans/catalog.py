@@ -1,0 +1,1183 @@
+"""Query catalog — the driver-contract surface.
+
+Every operator from SURVEY.md §2 (plus the large-scale extension
+operators) is registered here as:
+  - a PySpark callable ``(spark, sf_dir) -> DataFrame`` built from the
+    engine's operator library, and
+  - where SQL-expressible, a DuckDB oracle SQL string computing the
+    same result with the SAME column names and (as close as possible)
+    the same types.
+
+Parity rules baked into every pair (learned from engine/oracle type
+systems, documented once here):
+  - doubles that pass through aggregation are ``round(x, N)`` on BOTH
+    sides — parallel summation order differs, last-ulp drift is real;
+  - Spark int casts truncate, DuckDB's round → oracles write
+    ``CAST(trunc(x) AS ...)``;
+  - DuckDB ``sum(BIGINT)`` is HUGEINT, ``len()``/``month()`` etc. are
+    BIGINT → Spark sides cast to long, oracle sides CAST AS BIGINT;
+  - weekday is Monday=0 (pandas parity, SURVEY F4): Spark
+    ``weekday()``, DuckDB ``isodow()-1``;
+  - session timezone pinned UTC on the Spark side (session.py) so
+    parquet timestamp instants agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..operators import relational as R
+from ..operators import joins as J
+from ..operators import aggregates as A
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators import multimodal as MM
+from ..functions import dates as FD
+from ..functions import units as FU
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Headline analytic queries (the flagship spine: scan → filter → join →
+# agg → sort; SURVEY §7.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: single-table scan with pushed filter, 8-agg
+    hash aggregate (map-side partials carry 8 numbers per group ×
+    partition — shuffle is O(groups), not O(rows))."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dim filter → fact join → agg →
+    top-k. customer side is small → broadcast; top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    joined = l.join(
+        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)),
+        l.l_orderkey == o.o_orderkey,
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return R.top_k(
+        agg.select("o_orderkey", "revenue", "o_orderdate"),
+        [F.col("revenue").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@query(
+    "q5_region_volume",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey   = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: snowflake join (5 dims around lineitem). All
+    dim sides broadcast — the fact table never shuffles for the joins,
+    only for the final small agg."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dim = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    fact = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == dim.c_nationkey))
+    )
+    return fact.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / rename / replace / cast (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "p_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_discount = 0.04
+    """,
+)
+def p_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3: projection + equality filter on a double literal
+    (reference: data[data['Detector']==1.2], extract_from_raw_data.py:21).
+    Both the filter and the 3-column projection reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.project(
+        R.filter_eq(li, "l_discount", 0.04), ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+
+@query(
+    "p_rename_replace_cast",
+    """
+    SELECT l_orderkey AS order_id,
+           CASE WHEN l_linenumber = 7 THEN 0 ELSE l_linenumber END AS line_no,
+           CAST(trunc(l_extendedprice) AS BIGINT) AS price_int
+    FROM lineitem
+    """,
+)
+def p_rename_replace_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P4+P7: rename, sentinel replace (reference Hour.replace(24,0)
+    pattern), truncating int cast (pandas astype(int) parity)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    li = R.rename(li, {"l_orderkey": "order_id"})
+    li = R.replace_value(li, "l_linenumber", 7, 0)
+    return li.select(
+        "order_id",
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").cast("long").alias("price_int"),
+    )
+
+
+@query(
+    "p_const_first_row",
+    """
+    SELECT o_orderkey, 'engine' AS source FROM orders
+    ORDER BY o_orderdate, o_orderkey LIMIT 1
+    """,
+)
+def p_const_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P6: literal column + deterministic first-row extraction (the
+    reference's positional row-0 made order-explicit)."""
+    o = _t(spark, sf_dir, "orders")
+    first = R.first_row(o, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()])
+    return R.with_constant(first, "source", "engine").select("o_orderkey", "source")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_composite_key_join",
+    """
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS h,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS h,
+             count(*) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT hourly.d, hourly.h, avg_value, n_events
+    FROM hourly JOIN counts ON hourly.d = counts.d AND hourly.h = counts.h
+    """,
+)
+def j1_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join on composite (date, hour) — the reference's
+    weather ⋈ traffic spine (notebook cell 6 ≈L74) re-expressed on the
+    events table. Both sides share the (d,h) partitioning, so AQE
+    plans one co-partitioned sort-merge (or broadcast at this size)."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.withColumn("d", F.col("ts").cast("date")).withColumn(
+        "h", F.hour("ts").cast("long")
+    )
+    hourly = keyed.groupBy("d", "h").agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    counts = (
+        keyed.filter(F.col("event_type") == "purchase")
+        .groupBy("d", "h")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return J.join_on_keys(hourly, counts, ["d", "h"], "inner")
+
+
+@query(
+    "j2_fk_lookup",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j2_fk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: decorrelated scalar-subquery FK lookup (reference: per-row
+    `(SELECT id FROM weather WHERE datetime=...)`, dags/utils.py:269-273)
+    → one broadcast left equi-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return J.lookup_join(o, c, "o_custkey", "c_custkey", ["c_name"]).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "j3_semi_membership",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_orderstatus IN ('F', 'P')
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def j3_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: literal-list membership (isin → constant-folded predicate)
+    + table-sized membership (LEFT SEMI join = EXISTS)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = J.semi_join_membership(o, "o_orderstatus", ["F", "P"])
+    return o.join(
+        l.select(F.col("l_orderkey").alias("o_orderkey")), on="o_orderkey", how="left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "j4_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — also the core of the idempotent
+    insert-if-absent sink (SURVEY S8)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query(
+    "j5_range_join",
+    """
+    SELECT p.p_brand, count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    GROUP BY p.p_brand
+    """,
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi key (partkey) + band predicate. Plans as a
+    hash join on the equi key with the band as a residual filter —
+    no nested loop."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    band = (F.col("l_quantity") >= F.col("p_size") - 5) & (
+        F.col("l_quantity") <= F.col("p_size") + 5
+    )
+    joined = J.range_join(l, F.broadcast(p), ["l_partkey"], band)
+    return joined.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "j6_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT l.value FROM events l
+            WHERE l.event_type = 'login' AND l.user_id = p.user_id
+              AND l.ts <= p.ts
+            ORDER BY l.ts DESC, l.event_id DESC LIMIT 1) AS login_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each purchase, the most recent prior
+    login's value for the same user. Spark lacks a native as-of join —
+    composed as tagged-union + last(ignorenulls) window: ONE shuffle
+    on user_id, no per-row lookups (SURVEY §2.3 'absent' row)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    logins = ev.filter(F.col("event_type") == "login").select(
+        "user_id", "ts", "value", F.col("event_id").alias("login_seq")
+    )
+    out = J.asof_join(
+        purchases,
+        logins,
+        on="ts",
+        by=["user_id"],
+        right_cols=["value"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", F.col("value_right").alias("login_value"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a1_group_avg",
+    """
+    SELECT l_suppkey, round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def a1_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group mean (reference: groupby(['Datum','Uur']).mean(),
+    extract_from_raw_data.py:21)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = A.group_avg(li, ["l_suppkey"], "l_quantity", "avg_qty")
+    return out.withColumn("avg_qty", F.round("avg_qty", 6))
+
+
+@query(
+    "a2_minmax_normalize",
+    """
+    SELECT o_orderkey,
+           round((o_totalprice - min(o_totalprice) OVER ())
+                 / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6) AS norm_price
+    FROM orders
+    """,
+)
+def a2_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F8: global min-max normalization (reference: Count min-max
+    scaling, notebook cell 6 ≈L74) via empty-frame window aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    out = FU.minmax_normalize_expr(o, "o_totalprice", "norm_price")
+    return out.select("o_orderkey", F.round("norm_price", 6).alias("norm_price"))
+
+
+@query(
+    "a3_profile",
+    """
+    SELECT count(*) AS n_rows,
+           count(l_orderkey) AS nn_l_orderkey,
+           count(l_quantity) AS nn_l_quantity,
+           count(l_shipdate) AS nn_l_shipdate
+    FROM lineitem
+    """,
+)
+def a3_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: count/non-null profiling (declarative .info(), notebook
+    cell 8) — one pass, 1-row result."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate")
+    return A.profile(li)
+
+
+@query(
+    "a4_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_l_quantity
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (general agg surface, SURVEY §2.4 absent
+    row): 4 grouping sets in one pass via expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = A.cube_counts(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    return out.withColumn("sum_l_quantity", F.round("sum_l_quantity", 2))
+
+
+@query(
+    "a5_distinct_agg",
+    """
+    SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_o_custkey
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a5_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + 2-phase agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return A.distinct_agg(o, ["o_orderpriority"], "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "o1_topk_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def o1_topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + top-k: multi-key sort with limit → TakeOrderedAndProject
+    (per-partition heap + k-row driver merge, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        100,
+    )
+
+
+@query(
+    "o2_temporal_split",
+    """
+    SELECT event_id FROM (
+      SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 500
+    """,
+)
+def o2_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: deterministic temporal holdout — first-N in time order
+    (reference: iloc[:7000] on the sorted frame, notebook cell 13).
+    NOT randomSplit; the reference split is temporal."""
+    ev = _t(spark, sf_dir, "events")
+    train, _test = R.temporal_split(ev, [F.col("ts").asc(), F.col("event_id").asc()], 500)
+    return train.select("event_id")
+
+
+@query(
+    "o3_union",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def o3_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: union-by-name append (reference: pandas append loop)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return R.union_all(a, b)
+
+
+@query(
+    "o4_intersect_except",
+    """
+    SELECT c_custkey, 'both' AS bucket FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    UNION ALL
+    SELECT c_custkey, 'only_95' AS bucket FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def o4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (SURVEY §2.5 absent row)."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = y95.intersect(y96).withColumn("bucket", F.lit("both"))
+    only95 = y95.exceptAll(y96).withColumn("bucket", F.lit("only_95"))
+    return both.unionByName(only95)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "f1_date_roundtrip",
+    """
+    SELECT event_id,
+           CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS yyyymmdd,
+           CAST(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d') AS DATE) AS d
+    FROM events
+    """,
+)
+def f1_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: yyyyMMdd integer ↔ date (reference slices the string form;
+    we use the typed formatter both ways)."""
+    ev = _t(spark, sf_dir, "events")
+    ymd = F.date_format("ts", "yyyyMMdd")
+    return ev.select(
+        "event_id",
+        ymd.cast("long").alias("yyyymmdd"),
+        FD.date_from_yyyymmdd(ymd.cast("long")).alias("d"),
+    )
+
+
+@query(
+    "f2_multiformat_date",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%d-%m-%Y') END AS raw
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(coalesce(try_strptime(raw, '%Y-%m-%d'),
+                         try_strptime(raw, '%d-%m-%Y')) AS DATE) AS parsed
+    FROM s
+    """,
+)
+def f2_multiformat_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: multi-format date parsing with fallback (reference
+    try/except around pd.to_datetime, extract_from_raw_data.py:36-38)
+    → try_to_date coalesce chain, no exceptions, no Python."""
+    o = _t(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+    ).otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+    return o.select(
+        "o_orderkey", FD.parse_date_multi(raw).alias("parsed")
+    )
+
+
+@query(
+    "f4_calendar",
+    """
+    SELECT event_id,
+           CAST(month(ts) AS BIGINT) AS month,
+           CAST(day(ts) AS BIGINT) AS day,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(isodow(ts) - 1 AS BIGINT) AS dayofweek
+    FROM events
+    """,
+)
+def f4_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: calendar features. weekday() is Monday=0 — pandas parity;
+    dayofweek() would silently corrupt the model's #2 feature
+    (SURVEY F4 warning)."""
+    ev = _t(spark, sf_dir, "events")
+    cal = FD.calendar_features("ts")
+    return ev.select(
+        "event_id",
+        cal["Month"].cast("long").alias("month"),
+        cal["Day"].cast("long").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        cal["DayofWeek"].cast("long").alias("dayofweek"),
+    )
+
+
+@query(
+    "f6_unit_conversion",
+    """
+    SELECT event_id,
+           CAST(trunc((value - 32) * 5 / 9) AS BIGINT) AS celsius_trunc,
+           CAST(trunc(value * 0.1) AS BIGINT) AS deci_scaled
+    FROM events
+    """,
+)
+def f6_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: Fahrenheit→Celsius and decicelsius scaling with
+    truncating int casts (reference: int((f-32)*(5/9)),
+    dags/utils.py:139-140; (T*0.1).astype(int), notebook cell 2)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        FU.fahrenheit_to_celsius(F.col("value")).cast("long").alias("celsius_trunc"),
+        FU.decicelsius_to_celsius(F.col("value")).cast("long").alias("deci_scaled"),
+    )
+
+
+@query(
+    "f10_decimal_comma",
+    """
+    SELECT event_id,
+           CAST(replace(replace(CAST(round(value, 2) AS VARCHAR), '.', ','), ',', '.') AS DOUBLE)
+             AS parsed
+    FROM events
+    """,
+)
+def f10_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: decimal-comma string → double (reference:
+    .str.replace(',', '.'), extract_from_raw_data.py:30-31). The
+    comma-form string is synthesized from `value`, then parsed back."""
+    from ..functions.strings import decimal_comma_to_double
+
+    ev = _t(spark, sf_dir, "events")
+    comma = F.regexp_replace(F.round("value", 2).cast("string"), r"\.", ",")
+    return ev.select("event_id", decimal_comma_to_double(comma).alias("parsed"))
+
+
+@query(
+    "f11_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def f11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/F11: nested-JSON field extraction (reference walks the
+    AccuWeather payload in Python; here it's a codegen'd path
+    expression over the JSON string column)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.7 — absent in the reference; first-class in
+# the engine: rolling, rank, lag, cumulative, tumbling/sliding/session)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w1_rolling_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+    FROM events
+    """,
+)
+def w1_rolling_avg(spark, sf_dir):
+    """Rolling mean over a 4-row frame per user — the hypertable
+    rolling-aggregate pattern; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg"))
+
+
+@query(
+    "w2_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, rnk FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def w2_topk_per_group(spark, sf_dir):
+    """Top-k per group via ranked window — Spark turns the rank filter
+    into a per-partition top-k (WindowGroupLimit) before the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "w3_lag_delta",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def w3_lag_delta(spark, sf_dir):
+    """lag()-based per-user delta (time-series differencing)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta")
+    )
+
+
+@query(
+    "w4_cumsum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+    FROM events
+    """,
+)
+def w4_cumsum(spark, sf_dir):
+    """Cumulative sum per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 6).alias("running_sum"))
+
+
+@query(
+    "w5_tumbling_window",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS win_start,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w5_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window — the batch form of the
+    Structured Streaming windowed aggregate (same window() operator
+    and semantics in readStream, see streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "w6_sliding_window",
+    """
+    SELECT win_start, count(*) AS n
+    FROM (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+               AS win_start, event_id
+      FROM events
+    )
+    GROUP BY win_start
+    """,
+)
+def w6_sliding_window(spark, sf_dir):
+    """Sliding window (2h length, 1h slide): each event lands in 2
+    windows; Spark's window() does the replication natively."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+@query(
+    "w7_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 6) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w7_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum
+    session ids, then per-session aggregation. The batch twin of
+    session_window() in streaming; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("session_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (engine extensions for corpus curation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d1_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm
+          FROM documents)
+    GROUP BY md5(norm)
+    """,
+)
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized text: hash-groupBy keeping min id.
+    The shuffle key is a 64-bit fingerprint, not the text."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+@query("d2_minhash_lsh")
+def d2_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→signature→band→bucket-join→
+    exact-Jaccard verify). Approximate candidate generation → no SQL
+    oracle; the exact-Jaccard twin d4 is the oracle-checked
+    ground-truth operator."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+
+
+@query("d3_simhash_pairs")
+def d3_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit sketch, pigeonhole-chunk
+    candidate join, popcount verify). Approximate → rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "d4_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                                '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           round(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.2
+    """,
+)
+def d4_ngram_jaccard(spark, sf_dir):
+    """EXACT word-3-gram Jaccard pairs via the explode-shingle
+    equi-join — the ground truth the LSH operators approximate, and
+    itself the scalable exact algorithm (postings join, no O(n²))."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+@query(
+    "d5_embedding_neardup",
+    """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.8
+    """,
+)
+def d5_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.8), exact all-pairs
+    at test scale; the LSH-bucketed variant (s2) is the 100 TB path.
+    Dot/norm via native zip_with+aggregate — no UDF."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    from ..operators.similarity import _dot, _norm
+
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (_norm(F.col("a.e")) * _norm(F.col("b.e")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (engine extensions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "s1_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q, c WHERE cid != qid
+    )
+    SELECT qid AS vec_id, cid AS neighbor_id, round(cosine, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def s1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): queries
+    broadcast, corpus streams once, per-query top-k via ranked
+    window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, "vec_id", "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("s2_lsh_ann")
+def s2_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH ANN: bucket join instead of cross
+    product — the sub-linear scale path. Approximate → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, "vec_id", "vec_id", "embedding", dim=64, k=5, n_planes=6)
+
+
+@query("s3_ivf_ann")
+def s3_ivf_ann(spark, sf_dir):
+    """IVF coarse-quantizer ANN: KMeans centroids → inverted lists →
+    probe nearest lists only. Returns per-centroid list sizes plus
+    assignments (index-build output). Rows-only (KMeans is
+    iterative/approximate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cent = S.ivf_assign(emb, "embedding", "vec_id", n_centroids=8)
+    return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("list_size"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (engine extensions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "t1_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(greatest(n_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords_est
+    FROM toks
+    """,
+)
+def t1_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + chars + BPE-ish sub-word
+    estimate. Map-only — fuses into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.token_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.col("n_chars").cast("long"),
+        F.col("n_subwords_est").cast("long"),
+    )
+
+
+@query(
+    "t2_quality_score",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks,
+             greatest(length(text), 1) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             greatest(len(toks), 1) AS n_tok,
+             n_chars,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+             len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','in','is','that','it','for','was'], lower(x)))) AS n_stop,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars
+      FROM base
+    )
+    SELECT doc_id,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+           round(coalesce(tok_chars, 0) / n_tok, 6) AS mean_word_len,
+           round(greatest(least(
+             1.0 - least(CAST(n_punct AS DOUBLE)/n_chars*2, 0.3)
+                 - least(CAST(n_digit AS DOUBLE)/n_chars*2, 0.3)
+                 - least(CAST(n_upper AS DOUBLE)/n_chars, 0.2)
+                 + least(CAST(n_stop AS DOUBLE)/n_tok, 0.2), 1.0), 0.0), 6) AS quality
+    FROM m
+    """,
+)
+def t2_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (C4/Gopher-style rule filters):
+    punctuation/digit/uppercase densities, stopword fraction, mean
+    word length → [0,1] composite."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_score(docs, "text", "doc_id")
+
+
+@query("t3_lang_id")
+def t3_lang_id(spark, sf_dir):
+    """Language ID (CJK share + stopword votes). Heuristic →
+    rows-only; accuracy vs the `lang` ground-truth column is asserted
+    in tests/test_text.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.lang_id(docs, "text", "doc_id")
+
+
+@query(
+    "t4_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark, sf_dir):
+    """Canonical-form md5 document fingerprinting (md5 so the oracle
+    reproduces it bit-for-bit; engine-internal path uses xxhash64)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.fingerprint(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (engine extensions; decode kernel stubbed — see
+# operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "m1_media_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS est_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS est_height
+    FROM documents
+    """,
+)
+def m1_media_features(spark, sf_dir):
+    """Binary media column → Arrow-batched mapInPandas feature
+    extraction (stubbed decode kernel; real schema/batching/plumbing).
+    The oracle checks the SQL-expressible features."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "text", "doc_id")
+    feats = MM.decode_stub_features(media)
+    return feats.select("doc_id", "byte_len", "est_width", "est_height")
+
+
+@query("m2_frame_sample")
+def m2_frame_sample(spark, sf_dir):
+    """Frame sampling over binary payloads (native explode — one row
+    per sampled frame offset). Rows-only: output cardinality is the
+    check."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "text", "doc_id")
+    return MM.frame_sample(media)
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry
+# ---------------------------------------------------------------------------
+
+def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke entry: the q1 pricing-summary spine at sf0.001."""
+    return q1_pricing_summary(spark, sf_dir)

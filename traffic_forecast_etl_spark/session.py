@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+The reference runs eagerly in one pandas process (SURVEY §3 E1); our
+engine is lazy/distributed, so the session is where scale policy
+lives: AQE on (runtime re-planning, partition coalescing, skew-join
+splitting), shuffle partitions sized to the cluster (cores locally,
+thousands on a real cluster), Arrow for every Python<->JVM hop, and a
+pinned UTC session timezone so timestamp semantics are deterministic
+and match the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic join-strategy switching. At 100 TB this is
+    # what turns a mis-sized static plan into a workable one.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for createDataFrame/toPandas and pandas_udf batches.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics (parquet timestamps are UTC
+    # instants; DuckDB reads them naive-UTC — keep Spark in UTC too).
+    "spark.sql.session.timeZone": "UTC",
+    # Pushdown is on by default; pinned here as load-bearing policy.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Some sources write INT64 TIMESTAMP(NANOS) parquet (pandas
+    # datetime64[ns]); Spark has no nanos timestamp — read as long and
+    # let the table loader convert to microsecond TimestampType
+    # (sources/tables.py TABLE_FIXUPS).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The reference's quirky cleanup semantics (truncating casts,
+    # lenient date parsing) need non-ANSI behavior in a few ops; we
+    # keep ANSI ON (Spark 4 default) and use try_* / explicit trunc
+    # instead, so bad data surfaces instead of silently corrupting.
+}
+
+
+def cpu_count() -> int:
+    n = os.environ.get("SPARK_GRAFT_CPUS")
+    if n:
+        return int(n)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "traffic-forecast-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — the
+    right size for local[N]; on a real cluster pass ~2-3× total cores
+    (or rely on AQE coalescing from a higher initial value).
+    """
+    cores = cpu_count()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cores}]"
+    )
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    # local mode: driver is the only JVM — give it the machine.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    conf.setdefault("spark.ui.enabled", "false")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

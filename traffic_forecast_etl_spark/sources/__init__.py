@@ -1,0 +1,14 @@
+from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .csv import read_csv_auto, probe_delimiter
+from .json_payload import forecast_schema, read_json_payload
+
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_csv_auto",
+    "probe_delimiter",
+    "forecast_schema",
+    "read_json_payload",
+]
