@@ -1175,6 +1175,36 @@ def m2_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.7) — the streaming twin runs the SAME
+# windowed aggregation as w5 through readStream + AvailableNow and must
+# produce the identical result, so it shares w5's oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "st1_streaming_tumbling",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS win_start,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_streaming_tumbling(spark, sf_dir):
+    """Tumbling-window aggregate as a Structured Streaming query over
+    the events parquet (file source, AvailableNow trigger, memory
+    sink) — proves batch/stream semantic parity on the same operator
+    (same DuckDB oracle as w5)."""
+    from ..streaming.micro_batch import (
+        read_events_stream,
+        run_available_now,
+        streaming_tumbling_agg,
+    )
+
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = streaming_tumbling_agg(events)
+    return run_available_now(agg, query_name="st1_out", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,124 @@
+"""Structured Streaming plane (SURVEY §2.7).
+
+The reference's "real-time" plane is a 12-hour polled Airflow DAG
+with ON-CONFLICT dedup (dags/DAG.py:23, dags/utils.py:210). The
+engine models it as Structured Streaming:
+
+  - ``trigger(availableNow=True)`` = run-to-completion micro-batch —
+    the scheduler-friendly form of the 12-hour poll (R2);
+  - ``withWatermark + dropDuplicates`` replaces ON CONFLICT for
+    late/duplicate events, with bounded state;
+  - ``foreachBatch`` + the idempotent sink (sinks.py) gives
+    effectively-exactly-once delivery to non-transactional stores;
+  - windowed/session aggregations are the streaming twins of catalog
+    queries w5/w7 — same operators, same semantics, batch and stream.
+
+At 100 TB-scale streams the same topology holds: source partitions
+map to Kafka partitions, watermark bounds state, and the sink's
+anti-join key set is the only per-batch lookup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos in the parquet (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory (the
+    local stand-in for a Kafka topic; swap format for production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if path_dir.endswith(".parquet"):
+        # the file-stream source wants a directory or a glob; a bare
+        # file path trips its basePath inference — turn the file into
+        # a single-match glob
+        path_dir = path_dir[: -len("parquet")] + "parq*"
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(path_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def streaming_tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of catalog w5: watermarked tumbling-window
+    count/sum per event_type (append-mode capable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of catalog w7 using the native session_window
+    operator (gap-based, state bounded by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "session_value")
+    )
+
+
+def streaming_dedup_sink(
+    events: DataFrame,
+    sink_path: str,
+    keys: list[str],
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Watermarked dropDuplicates + foreachBatch idempotent append —
+    the streaming form of the reference's ON CONFLICT DO NOTHING sink."""
+    from ..sinks import insert_if_absent
+
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        insert_if_absent(batch.sparkSession, batch, sink_path, keys)
+
+    writer = deduped.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def run_available_now(
+    df: DataFrame,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    query_name: str = "out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming frame to completion with the AvailableNow
+    trigger and return the result as a batch DataFrame (memory sink).
+    The synchronous harness for tests and the 12-hour-cadence batch
+    runner (R2): an external scheduler calls this per tick."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
