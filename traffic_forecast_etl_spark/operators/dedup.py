@@ -188,8 +188,17 @@ def minhash_lsh_pairs(
     shingle arrays by id, so memory per task is O(one doc), never
     O(corpus).
     """
+    from pyspark import StorageLevel
+
     r = num_hashes // bands
-    sh = exploded_char_shingles(df, text_col, id_col, shingle_k)
+    # the shingle table feeds three branches (signatures, verify×2);
+    # without persistence each branch replays the explode+distinct
+    # shuffle — measured 4× the whole pipeline's cost. MEMORY_AND_DISK
+    # + LRU eviction; at 100 TB this is a staged intermediate table on
+    # storage, same topology.
+    sh = exploded_char_shingles(df, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # signature via explode + num_hashes scalar min-aggregates: each
     # shingle is hashed once, the per-hash permutations are flat
     # scalar expressions (small codegen), and the agg is a standard
@@ -204,7 +213,7 @@ def minhash_lsh_pairs(
     )
     with_sig = sig_rows.select(
         "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the band self-join
 
     # bands are plan-time constants → unrolled python loop, not a
     # lambda (shift/slice offsets stay literals for codegen)
@@ -239,12 +248,31 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact-Jaccard verification restricted to candidates, via the
-    # postings join (count shared shingles per pair) — memory per task
-    # stays O(1), no shingle arrays ever materialize.
+    # two-stage verification (the textbook LSH shape):
+    #   (a) cheap signature-estimate filter — fraction of agreeing
+    #       minhash components is an unbiased Jaccard estimator with
+    #       sd ≈ sqrt(j(1-j)/H); prune candidates more than ~2.5σ
+    #       below the threshold. Corpora with a shared vocabulary
+    #       (like this one) produce 10-100× more band collisions than
+    #       true near-dups, and this filter kills them for the cost of
+    #       comparing two 64-int arrays;
+    #   (b) exact-Jaccard postings join on the survivors only.
+    sig_margin = 2.5 * (0.25 / num_hashes) ** 0.5  # j(1-j) ≤ 0.25
+    sigs = with_sig
+    est = (
+        cand.join(sigs.withColumnsRenamed({"__id": "id1", "__sig": "__sig1"}), "id1")
+        .join(sigs.withColumnsRenamed({"__id": "id2", "__sig": "__sig2"}), "id2")
+        .withColumn(
+            "__est",
+            F.size(F.filter(F.zip_with("__sig1", "__sig2", lambda x, y: x == y), lambda v: v))
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("__est") >= jaccard_threshold - sig_margin)
+        .select("id1", "id2")
+    )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     common = (
-        cand.join(sh.withColumnsRenamed({"__id": "id1"}), "id1")
+        est.join(sh.withColumnsRenamed({"__id": "id1"}), "id1")
         .join(sh.withColumnsRenamed({"__id": "id2"}), ["id2", "__s"])
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("__common"))
