@@ -43,9 +43,18 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     timings: dict[str, float] = {}
-    # warm the JVM/codegen path once with the cheapest query so the
-    # first headline number isn't paying session bring-up.
+    # warm the JVM/codegen path and the Python-UDF worker pool once so
+    # the first headline numbers aren't paying session bring-up
+    # (workers are reused afterwards: spark.python.worker.reuse).
     QUERIES["a3_profile"](spark, sf_dir).collect()
+    import pandas as _pd
+    from pyspark.sql import functions as _F, types as _T
+
+    @_F.pandas_udf(_T.LongType())
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(1000).repartition(32).select(_warm("id")).collect()
     for name in HEADLINE:
         t0 = time.time()
         rows = QUERIES[name](spark, sf_dir).collect()

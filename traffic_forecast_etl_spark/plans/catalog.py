@@ -473,6 +473,67 @@ def a5_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.distinct_agg(o, ["o_orderpriority"], "o_custkey")
 
 
+@query(
+    "a6_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide aggregation; engine agg surface). Explicit value
+    list so the plan is a single pass — no distinct-scan for values."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out
+
+
+@query(
+    "a7_unpivot",
+    """
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    """,
+)
+def a7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack() — long-form melt, one generator pass (no
+    self-union double scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, 'custkey', cast(o_custkey as double))"
+        ).alias("metric", "val"),
+    )
+
+
+@query(
+    "a8_median_stats",
+    """
+    SELECT l_returnflag, median(l_quantity) AS med_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + min/max per group (the quantile surface; the
+    approximate GK-sketch variant is operators/aggregates.percentiles
+    — mergeable, the 100 TB path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / set ops (SURVEY §2.5)
 # ---------------------------------------------------------------------------
