@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from traffic_forecast_etl_spark.plans.catalog import QUERIES
@@ -31,6 +33,8 @@ HEADLINE = [
     "d2_minhash_lsh",
     "d4_ngram_jaccard",
     "s1_cosine_topk",
+    "s2_lsh_ann",
+    "d5_embedding_neardup",
     "t1_token_stats",
     "t2_quality_score",
     "t4_fingerprint",
@@ -47,11 +51,10 @@ def main() -> None:
     # the first headline numbers aren't paying session bring-up
     # (workers are reused afterwards: spark.python.worker.reuse).
     QUERIES["a3_profile"](spark, sf_dir).collect()
-    import pandas as _pd
-    from pyspark.sql import functions as _F, types as _T
+    from pyspark.sql import functions as F, types as T
 
-    @_F.pandas_udf(_T.LongType())
-    def _warm(s: _pd.Series) -> _pd.Series:
+    @F.pandas_udf(T.LongType())
+    def _warm(s: pd.Series) -> pd.Series:
         return s
 
     spark.range(1000).repartition(32).select(_warm("id")).collect()

@@ -38,7 +38,6 @@ def test_oracle_coverage(spark):
         "s2_lsh_ann",
         "s3_ivf_ann",
         "t3_lang_id",
-        "m2_frame_sample",
     }
 
 

@@ -62,7 +62,7 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def exploded_char_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, distinct: bool = True
 ) -> DataFrame:
     """(__id, __s) rows: one per DISTINCT character k-gram per doc.
 
@@ -82,9 +82,10 @@ def exploded_char_shingles(
             F.sequence(F.lit(1), F.greatest(F.length("__n") - (k - 1), F.lit(1)))
         ).alias("__i"),
     )
-    return pos.select(
-        "__id", F.col("__n").substr(F.col("__i"), F.lit(k)).alias("__s")
-    ).distinct()
+    out = pos.select("__id", F.col("__n").substr(F.col("__i"), F.lit(k)).alias("__s"))
+    # distinct is a full shuffle of the shingle stream — callers that
+    # only need per-doc minima (minhash signatures) skip it
+    return out.distinct() if distinct else out
 
 
 def exploded_word_shingles(
@@ -191,19 +192,15 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     r = num_hashes // bands
-    # the shingle table feeds three branches (signatures, verify×2);
-    # without persistence each branch replays the explode+distinct
-    # shuffle — measured 4× the whole pipeline's cost. MEMORY_AND_DISK
-    # + LRU eviction; at 100 TB this is a staged intermediate table on
-    # storage, same topology.
-    sh = exploded_char_shingles(df, text_col, id_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # signature path: NO distinct — min over a multiset equals min
+    # over its set, so the raw exploded shingle stream feeds the
+    # aggregate directly (saves a full shuffle of every shingle).
+    raw_sh = exploded_char_shingles(df, text_col, id_col, shingle_k, distinct=False)
     # signature via explode + num_hashes scalar min-aggregates: each
     # shingle is hashed once, the per-hash permutations are flat
     # scalar expressions (small codegen), and the agg is a standard
     # map-side-partial hash aggregate keyed by doc id.
-    hashed = sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
+    hashed = raw_sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
     coeffs = _coeffs(num_hashes, seed)
     sig_rows = hashed.groupBy("__id").agg(
         *[
@@ -254,22 +251,38 @@ def minhash_lsh_pairs(
     #       sd ≈ sqrt(j(1-j)/H); prune candidates more than ~2.5σ
     #       below the threshold. Corpora with a shared vocabulary
     #       (like this one) produce 10-100× more band collisions than
-    #       true near-dups, and this filter kills them for the cost of
-    #       comparing two 64-int arrays;
+    #       true near-dups. Computed via posexplode + two BROADCAST
+    #       hash joins + a count — NOT zip_with/filter lambdas:
+    #       higher-order functions are interpreted (CodegenFallback)
+    #       and were the pipeline's hottest stage;
     #   (b) exact-Jaccard postings join on the survivors only.
     sig_margin = 2.5 * (0.25 / num_hashes) ** 0.5  # j(1-j) ≤ 0.25
-    sigs = with_sig
-    est = (
-        cand.join(sigs.withColumnsRenamed({"__id": "id1", "__sig": "__sig1"}), "id1")
-        .join(sigs.withColumnsRenamed({"__id": "id2", "__sig": "__sig2"}), "id2")
-        .withColumn(
-            "__est",
-            F.size(F.filter(F.zip_with("__sig1", "__sig2", lambda x, y: x == y), lambda v: v))
-            / F.lit(num_hashes),
+    comp = with_sig.select("__id", F.posexplode("__sig").alias("__pos", "__val"))
+    n_agree = (
+        cand.join(
+            F.broadcast(comp.withColumnsRenamed({"__id": "id1"})), "id1"
         )
-        .filter(F.col("__est") >= jaccard_threshold - sig_margin)
-        .select("id1", "id2")
+        .join(
+            F.broadcast(comp.withColumnsRenamed({"__id": "id2"})),
+            ["id2", "__pos", "__val"],
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("__agree"))
     )
+    est = (
+        n_agree.filter(F.col("__agree") / num_hashes >= jaccard_threshold - sig_margin)
+        .select("id1", "id2")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds id-restriction + 2 verify joins
+    )
+    # exact verification touches only docs that survive the estimate
+    # filter — restrict the shingle stream to them BEFORE the distinct
+    # shuffle (hundreds of docs instead of the whole corpus).
+    ids_needed = (
+        est.select(F.col("id1").alias("__id"))
+        .unionByName(est.select(F.col("id2").alias("__id")))
+        .distinct()
+    )
+    sh = raw_sh.join(F.broadcast(ids_needed), "__id", "left_semi").distinct()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     common = (
         est.join(sh.withColumnsRenamed({"__id": "id1"}), "id1")
