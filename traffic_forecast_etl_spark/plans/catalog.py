@@ -185,6 +185,229 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure scan-filter-aggregate — every predicate
+    pushes to the parquet scan, result is one row (the minimal-IO
+    shape; at 100 TB it reads 4 columns of the pruned date
+    partitions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: who returned the most revenue — dim-broadcast
+    joins, agg, top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return R.top_k(
+        agg.select("c_custkey", "c_name", "revenue", "n_name"),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        20,
+    )
+
+
+@query(
+    "q12_priority_shipmode",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: conditional counting (CASE inside sum) — the
+    one-pass alternative to two filtered aggregations."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: conditional revenue share (LIKE-prefix
+    predicate inside the aggregate)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    HAVING sum(l.l_quantity) > 250
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: HAVING on an aggregate (post-aggregation
+    filter)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(o.select("o_orderkey")), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+
+
+@query(
+    "q17_below_avg_parts",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def q17_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: correlated scalar subquery (per-part average)
+    — decorrelated by hand into an aggregate + broadcast re-join; the
+    same rewrite Catalyst performs for the SQL form (SURVEY §4)."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("__half_avg"))
+    return (
+        l.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "f12_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS type_bucket,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           concat(p_brand, '/', p_type) AS brand_type
+    FROM part
+    """,
+)
+def f12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/substr/length/LIKE/replace/
+    concat — all codegen expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.when(F.col("p_type").like("%BRASS%"), "brass").otherwise("other").alias("type_bucket"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "f13_null_handling",
+    """
+    SELECT e.event_id,
+           coalesce(l.n_name, 'UNKNOWN') AS nation_or_unknown,
+           CASE WHEN e.value IS NULL THEN -1.0 ELSE e.value END AS value_filled,
+           nullif(e.event_type, 'error') AS type_or_null
+    FROM events e LEFT JOIN nation l ON e.user_id = l.n_nationkey
+    """,
+)
+def f13_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce / null-fill / nullif over an
+    outer join's null-producing side."""
+    e = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(n), e.user_id == n.n_nationkey, "left")
+        .select(
+            "event_id",
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_or_unknown"),
+            F.when(F.col("value").isNull(), -1.0).otherwise(F.col("value")).alias("value_filled"),
+            F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter / rename / replace / cast (SURVEY §2.2)
 # ---------------------------------------------------------------------------
