@@ -40,7 +40,10 @@ def _nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
     from pyspark.sql import types as T
 
     if isinstance(df.schema[col].dataType, T.LongType):
-        return df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+        # integer `div`, NOT floor(col / 1000): `/` is double division
+        # and epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer
+        # range — floor(double) is off by ±1 µs on some values
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 

@@ -49,9 +49,9 @@ def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
         # a single-match glob
         path_dir = path_dir[: -len("parquet")] + "parq*"
     raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(path_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # integer `div` — see sources/tables.py: double division loses
+    # integer precision on epoch-nanos
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def streaming_tumbling_agg(
