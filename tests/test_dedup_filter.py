@@ -1,0 +1,49 @@
+"""Connected-components + near-dedup-filter semantics."""
+
+from __future__ import annotations
+
+from traffic_forecast_etl_spark.operators.dedup import (
+    connected_components,
+    near_dedup_filter,
+)
+
+
+def test_connected_components_chains_and_islands(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated nodes absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 long, id2 long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_distributed_path(spark):
+    """Force the label-propagation branch (driver_threshold=0) and
+    assert it matches the union-find result."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 6), (6, 7), (7, 8), (8, 9)],
+        "id1 long, id2 long",
+    )
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    uf = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert dist == uf
+    assert dist[4] == 1 and dist[9] == 5 and dist[11] == 10
+
+
+def test_near_dedup_filter_keeps_min_per_cluster(spark):
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_b = text_a + " ok"  # near-dup of A
+    rows = [
+        (1, text_a),
+        (2, text_b),
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, text_a),  # exact dup of A
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in near_dedup_filter(df, "text", "doc_id", jaccard_threshold=0.5).collect()
+    )
+    assert kept == [1, 3]

@@ -388,6 +388,105 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 10, driver_threshold: int = 1_000_000
+) -> DataFrame:
+    """Connected components over a pair list (id1, id2) via iterative
+    min-label propagation: every node's label becomes the minimum
+    label in its neighborhood until fixpoint.
+
+    Iterative algorithms are where lazy plans explode — each round
+    ``localCheckpoint``s the label table to cut lineage (otherwise the
+    plan doubles per iteration and Catalyst analysis dominates).
+    Near-dup clusters are small and shallow, so convergence is fast
+    (diameter rounds); at web scale swap in the alternating
+    large-star/small-star formulation (Kiveris et al.) — same
+    DataFrame shape, better worst-case.
+
+    Returns (node, component) with component = min node id reachable.
+
+    Hybrid execution: a near-dup pair list is tiny relative to the
+    corpus (it is the OUTPUT of dedup). Below ``driver_threshold``
+    edges, a driver-side union-find is exact and ~1000× cheaper than
+    30 Spark jobs of propagation rounds; above it, the distributed
+    path kicks in. Both produce identical labels.
+    """
+    sample = pairs.limit(driver_threshold + 1).collect()
+    if len(sample) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])  # path halving
+                x = parent[x]
+            return x
+
+        for r in sample:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in sample for x in (r[0], r[1])}
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(rows, "node long, component long")
+
+    edges = pairs.select(
+        F.col("id1").alias("a"), F.col("id2").alias("b")
+    ).unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.a, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nl", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: LSH pairs → connected
+    components → keep the minimum-id document per duplicate cluster.
+    Returns the deduplicated corpus (all original columns) — the
+    operator a training-data pipeline actually calls."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, jaccard_threshold, seed
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

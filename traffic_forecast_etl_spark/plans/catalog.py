@@ -1268,6 +1268,17 @@ def d5_embedding_neardup(spark, sf_dir):
     return S.blocked_allpairs_cosine(emb, "vec_id", "embedding", threshold=0.3)
 
 
+@query("d6_near_dedup_filter")
+def d6_near_dedup_filter(spark, sf_dir):
+    """End-to-end near-dup REMOVAL: LSH pairs → iterative
+    connected-components (min-label propagation, localCheckpoint per
+    round) → keep min-id doc per cluster. Iterative → not
+    SQL-expressible → rows-only; cluster-correctness is pinned in
+    tests/test_dedup_filter.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.near_dedup_filter(docs, "text", "doc_id").select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (engine extensions)
 # ---------------------------------------------------------------------------
