@@ -35,6 +35,7 @@ def test_oracle_coverage(spark):
     assert rows_only == {
         "d2_minhash_lsh",
         "d3_simhash_pairs",
+        "d6_near_dedup_filter",
         "s2_lsh_ann",
         "s3_ivf_ann",
         "t3_lang_id",

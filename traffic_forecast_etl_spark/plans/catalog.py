@@ -585,33 +585,33 @@ def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.event_id, p.user_id,
            (SELECT l.value FROM events l
-            WHERE l.event_type = 'login' AND l.user_id = p.user_id
+            WHERE l.event_type = 'signup' AND l.user_id = p.user_id
               AND l.ts <= p.ts
-            ORDER BY l.ts DESC, l.event_id DESC LIMIT 1) AS login_value
+            ORDER BY l.ts DESC, l.event_id DESC LIMIT 1) AS signup_value
     FROM events p WHERE p.event_type = 'purchase'
     """,
 )
 def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (backward) join: for each purchase, the most recent prior
-    login's value for the same user. Spark lacks a native as-of join —
+    signup's value for the same user. Spark lacks a native as-of join —
     composed as tagged-union + last(ignorenulls) window: ONE shuffle
     on user_id, no per-row lookups (SURVEY §2.3 'absent' row)."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    logins = ev.filter(F.col("event_type") == "login").select(
-        "user_id", "ts", "value", F.col("event_id").alias("login_seq")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value", F.col("event_id").alias("signup_seq")
     )
     out = J.asof_join(
         purchases,
-        logins,
+        signups,
         on="ts",
         by=["user_id"],
         right_cols=["value"],
         direction="backward",
     )
-    return out.select("event_id", "user_id", F.col("value_right").alias("login_value"))
+    return out.select("event_id", "user_id", F.col("value_right").alias("signup_value"))
 
 
 # ---------------------------------------------------------------------------
@@ -1163,6 +1163,39 @@ def w7_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "w8_funnel",
+    """
+    SELECT p.user_id, count(*) AS converted
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events l
+        WHERE l.event_type = 'signup' AND l.user_id = p.user_id
+          AND l.ts <= p.ts AND p.ts - l.ts <= INTERVAL 2 HOUR
+      )
+    GROUP BY p.user_id
+    """,
+)
+def w8_funnel(spark, sf_dir):
+    """Funnel analysis: purchases within 2 hours of a signup by the
+    same user — EXISTS with a time-band predicate → LEFT SEMI join on
+    user_id with the band as residual condition (no window state, one
+    keyed shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    l = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    within = (
+        (F.col("user_id") == F.col("l_user"))
+        & (F.col("l_ts") <= F.col("ts"))
+        & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("l_ts")) <= 2 * 3600 * 1_000_000)
+    )
+    converted = p.join(l, on=within, how="left_semi")
+    return converted.groupBy("user_id").agg(F.count(F.lit(1)).alias("converted"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (engine extensions for corpus curation)
 # ---------------------------------------------------------------------------
@@ -1408,6 +1441,27 @@ def t2_quality_score(spark, sf_dir):
     word length → [0,1] composite."""
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_score(docs, "text", "doc_id")
+
+
+@query(
+    "t5_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'SQLPAT')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """.replace('SQLPAT', r"''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"),
+)
+def t5_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenization count (the GPT-2 pretokenizer shape:
+    contractions, letter runs, digit runs, punct runs, each with an
+    optional leading space) via regexp_extract_all — a far better
+    LLM-token estimate than chars/4, still pure codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias("n_bpe_tokens"),
+    )
 
 
 @query("t3_lang_id")
