@@ -33,6 +33,7 @@ def test_oracle_coverage(spark):
     # heuristic/UDF ops — keep this list in sync deliberately
     rows_only = set(qs) - set(osql)
     assert rows_only == {
+        "c1_curate_corpus",
         "d2_minhash_lsh",
         "d3_simhash_pairs",
         "d6_near_dedup_filter",

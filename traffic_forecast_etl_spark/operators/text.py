@@ -110,6 +110,46 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def curate_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+    near_dedup: bool = True,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The composite curation pipeline a training-data run executes:
+    token-count bounds → quality threshold → (optional) near-dup
+    removal. Returns the surviving rows of ``df`` with ``n_tokens``
+    and ``quality`` attached.
+
+    Plan shape: the token/quality stages are map-only and fuse into
+    one scan; dedup adds the LSH pipeline on the (already reduced)
+    survivor set — filter-then-dedup ordering is deliberate: quality
+    filtering is O(corpus) cheap and shrinks the dedup input.
+    """
+    stats = token_stats(df, text_col, id_col).select(id_col, "n_tokens")
+    q = quality_score(df, text_col, id_col).select(id_col, "quality")
+    out = (
+        df.join(stats, id_col)
+        .join(q, id_col)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("quality") >= min_quality)
+        )
+    )
+    if near_dedup:
+        from .dedup import near_dedup_filter
+
+        out = near_dedup_filter(
+            out, text_col, id_col, jaccard_threshold=jaccard_threshold
+        )
+    return out
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the canonical normalized form
     (lowercased, punctuation stripped, whitespace collapsed). md5 so

@@ -1488,6 +1488,19 @@ def t4_fingerprint(spark, sf_dir):
     return TX.fingerprint(docs, "text", "doc_id")
 
 
+@query("c1_curate_corpus")
+def c1_curate_corpus(spark, sf_dir):
+    """The end-to-end corpus-curation composite: token bounds →
+    quality threshold → near-dup removal. The pieces are individually
+    oracle-checked (t1, t2, d1/d4); the composite is rows-only
+    because the dedup stage is iterative."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.curate_corpus(
+        docs, "text", "doc_id", min_tokens=5, min_quality=0.5, jaccard_threshold=0.7
+    )
+    return out.select("doc_id", "n_tokens", F.round("quality", 6).alias("quality"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (engine extensions; decode kernel stubbed — see
 # operators/multimodal.py)
