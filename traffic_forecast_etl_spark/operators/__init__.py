@@ -1,4 +1,4 @@
-from . import relational, joins, aggregates, dedup, similarity, text, multimodal
+from . import relational, joins, aggregates, dedup, similarity, text, multimodal, skew
 
 __all__ = [
     "relational",
@@ -8,4 +8,5 @@ __all__ = [
     "similarity",
     "text",
     "multimodal",
+    "skew",
 ]

@@ -988,6 +988,30 @@ def f11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j7_null_safe_join",
+    """
+    WITH a AS (SELECT event_id, nullif(event_type, 'error') AS k FROM events),
+         b AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n
+               FROM events GROUP BY 1)
+    SELECT a.event_id, b.n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def j7_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics ordinary equi-joins silently drop
+    (SURVEY §2.3 general-join surface)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_id", F.nullif("event_type", F.lit("error")).alias("k"))
+    b = (
+        ev.select(F.nullif("event_type", F.lit("error")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select("event_id", "n")
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2.7 — absent in the reference; first-class in
 # the engine: rolling, rank, lag, cumulative, tumbling/sliding/session)

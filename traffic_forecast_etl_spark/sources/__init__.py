@@ -1,6 +1,8 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 from .csv import read_csv_auto, probe_delimiter
 from .json_payload import forecast_schema, read_json_payload
+from .jdbc import JdbcConfig, read_jdbc, write_jdbc_append
+from .writers import read_partitioned, write_date_partitioned
 
 __all__ = [
     "TABLE_NAMES",
@@ -11,4 +13,9 @@ __all__ = [
     "probe_delimiter",
     "forecast_schema",
     "read_json_payload",
+    "JdbcConfig",
+    "read_jdbc",
+    "write_jdbc_append",
+    "read_partitioned",
+    "write_date_partitioned",
 ]
