@@ -69,6 +69,34 @@ def test_holiday_flag(full_data):
     assert kd.count() > 0 and kd.filter(~F.col("isHoliday")).count() == 0
 
 
+def test_golden_value_checksum(full_data):
+    """Order-insensitive checksum over every cell of the 8,596-row
+    cleaned table (SURVEY §5.2 'hash of the 9-column cleaned table').
+    Pins the exact cleaning semantics end to end: a change to the
+    hour-24 fold, a cast, the weekday encoding, the holiday calendar,
+    or normalization moves this number."""
+    from pyspark.sql import functions as F
+
+    row_str = full_data.select(
+        F.concat_ws(
+            "|",
+            "Month",
+            "Day",
+            "Hour",
+            "DayofWeek",
+            F.col("isHoliday").cast("string"),
+            F.col("Wind Speed").cast("string"),
+            "Temperature",
+            F.col("Precipitation").cast("string"),
+            F.round("Count", 9).cast("string"),
+        ).alias("s")
+    )
+    chk = row_str.agg(
+        F.sum(F.pmod(F.xxhash64("s"), F.lit(2**32))).alias("c")
+    ).collect()[0].c
+    assert chk == 18477432546025
+
+
 def test_hour24_fold_same_day_quirk(spark):
     """KNMI hour 24 of day D maps to hour 0 of the SAME day (the
     reference's replace(24,0) without date increment — SURVEY §2.11);
