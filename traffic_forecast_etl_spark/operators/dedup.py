@@ -202,9 +202,12 @@ def minhash_lsh_pairs(
     # map-side-partial hash aggregate keyed by doc id.
     hashed = raw_sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
     coeffs = _coeffs(num_hashes, seed)
+    # F.expr strings, not Column algebra: one py4j round trip per
+    # aggregate instead of ~6 (the 64-expression build was measurable
+    # driver time; the parsed plans are identical)
     sig_rows = hashed.groupBy("__id").agg(
         *[
-            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"__m{i}")
+            F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE_P}L)) AS __m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )

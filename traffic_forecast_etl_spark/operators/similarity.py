@@ -48,14 +48,6 @@ def _norm(a: Column) -> Column:
     )
 
 
-def with_unit_vector(df: DataFrame, vec_col: str, out: str = "unit_vec") -> Column:
-    """Normalize to unit length once, so cosine becomes a plain dot."""
-    return df.withColumn(
-        out,
-        F.transform(F.col(vec_col), lambda v: v.cast("double") / _norm(F.col(vec_col))),
-    )
-
-
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -253,9 +245,13 @@ def blocked_allpairs_cosine(
     similarity matrix (each pair of blocks meets in exactly one
     task).
     """
-    unit = with_unit_vector(df.select(F.col(id_col).alias("__id"), F.col(vec_col)), vec_col, "__u")
+    # normalization happens inside the numpy kernel (one vectorized
+    # divide per block) — the expression form (transform + aggregate
+    # norm) is interpreted per ELEMENT, O(d²) lambda evals per row,
+    # and was ~1/3 of end-to-end wall at sf0.1.
     blocked = (
-        unit.withColumn("__b", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)))
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__u"))
+        .withColumn("__b", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)))
         .groupBy("__b")
         .agg(F.collect_list("__id").alias("__ids"), F.collect_list("__u").alias("__vecs"))
     )
@@ -278,17 +274,23 @@ def blocked_allpairs_cosine(
                 "cosine": np.array([], dtype=np.float64),
             }
         )
+        def unit_rows(vecs) -> np.ndarray:
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            np.maximum(norms, 1e-300, out=norms)
+            return M / norms
+
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                ids1 = np.asarray(row["ids1"], dtype=np.int64)
-                ids2 = np.asarray(row["ids2"], dtype=np.int64)
-                A = np.asarray([np.asarray(v) for v in row["vecs1"]], dtype=np.float64)
-                B = np.asarray([np.asarray(v) for v in row["vecs2"]], dtype=np.float64)
+            for row in pdf.itertuples(index=False):
+                ids1 = np.asarray(row.ids1, dtype=np.int64)
+                ids2 = np.asarray(row.ids2, dtype=np.int64)
+                A = unit_rows(row.vecs1)
+                B = unit_rows(row.vecs2)
                 S = A @ B.T
                 ii, jj = np.nonzero(S >= threshold)
                 a, b = ids1[ii], ids2[jj]
-                if row["b1"] == row["b2"]:
+                if row.b1 == row.b2:
                     # same block: S is symmetric, each pair appears at
                     # (i,j) and (j,i) — keep the ordered half
                     keep = a < b

@@ -53,8 +53,21 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, name, sf_dir)
+    """Table loader with a per-session memo of the *DataFrame object*
+    (the lazy scan plan — no data is cached). Building the scan costs
+    ~0.3-1.5 s of driver/py4j round trips (schema read + nanos fixup);
+    a bench or driver run touches the same table from dozens of
+    queries, so memoizing the plan removes a fixed per-query driver
+    cost without changing any execution behavior."""
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _TABLE_CACHE[key] = load_table(spark, name, sf_dir)
+    return df
 
 
 # ---------------------------------------------------------------------------
