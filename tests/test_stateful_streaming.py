@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+The catalog query st3 checks single-batch parity against the DuckDB
+closed form; these tests pin the part only a multi-batch run can show:
+per-key state CARRIES ACROSS micro-batches and the final answer equals
+the batch closed form regardless of how the stream was chopped up.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _closed_form_ewma(spark, events_df, alpha=0.1):
+    """Batch closed form (same as the st3 DuckDB oracle), per user."""
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    return (
+        events_df.selectExpr(
+            "user_id",
+            "value",
+            f"row_number() OVER ({w}) AS rn",
+            "count(*) OVER (PARTITION BY user_id) AS n",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN rn = 1 THEN pow({1 - alpha}, n - 1) * value "
+                    f"ELSE {alpha} * pow({1 - alpha}, n - rn) * value END"
+                )
+            ).alias("ewma"),
+        )
+    )
+
+
+def test_state_carries_across_microbatches(spark, tmp_path):
+    from traffic_forecast_etl_spark.sources.tables import load_table
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        read_events_stream,
+        run_available_now,
+    )
+    from traffic_forecast_etl_spark.streaming.stateful import streaming_ewma
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    cutoff = events.selectExpr("percentile(cast(ts as double), 0.5)").first()[0]
+    src = str(tmp_path / "stream_src")
+    # two time-ordered files -> with maxFilesPerTrigger=1 the stream
+    # runs as two micro-batches; every user straddling the cutoff has
+    # its EWMA continued from checkpointed state in batch 2
+    events.filter(F.col("ts").cast("double") <= cutoff).coalesce(1).write.parquet(
+        src + "/p1"
+    )
+    events.filter(F.col("ts").cast("double") > cutoff).coalesce(1).write.parquet(
+        src + "/p2"
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+    out = run_available_now(
+        streaming_ewma(stream, alpha=0.1), query_name="ewma_mb", output_mode="update"
+    )
+    rows = out.collect()
+    # update mode: straddling users emitted once per batch -> >1 row
+    per_user = {}
+    multi = 0
+    for r in rows:
+        prev = per_user.get(r.user_id)
+        if prev is not None:
+            multi += 1
+        if prev is None or r.n_events > prev[0]:
+            per_user[r.user_id] = (r.n_events, r.ewma)
+    assert multi > 0, "expected straddling users to be updated in both batches"
+
+    expected = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in _closed_form_ewma(spark, events).collect()
+    }
+    assert per_user.keys() == expected.keys()
+    for uid, (n, e) in per_user.items():
+        en, ee = expected[uid]
+        assert n == en
+        assert math.isclose(e, ee, rel_tol=1e-9, abs_tol=1e-9), (uid, e, ee)
+
+
+def test_first_event_initializes_state(spark):
+    """ewma_1 = x_1 (not alpha * x_1): a single-event user's EWMA is
+    exactly its value."""
+    from traffic_forecast_etl_spark.streaming.stateful import streaming_ewma
+    from traffic_forecast_etl_spark.streaming.micro_batch import run_available_now
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 42.5, "x"), (2, "2024-01-01 00:01:00", 8, 10.0, "x"),
+         (3, "2024-01-01 00:02:00", 8, 20.0, "x")],
+        "event_id long, ts_s string, user_id long, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.select("event_id", "ts", "user_id", "value").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d + "/one")
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(d + "/one")
+        out = run_available_now(
+            streaming_ewma(stream, alpha=0.1), query_name="ewma_one", output_mode="update"
+        )
+        got = {r.user_id: (r.n_events, r.ewma) for r in out.collect()}
+    assert got[7] == (1, 42.5)
+    # user 8: ewma = 0.1*20 + 0.9*10 = 11.0
+    assert got[8][0] == 2 and math.isclose(got[8][1], 11.0)

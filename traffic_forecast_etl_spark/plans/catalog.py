@@ -1659,6 +1659,43 @@ def st2_streaming_sessions(spark, sf_dir):
     )
 
 
+@query(
+    "st3_stateful_ewma",
+    """
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, max(n) AS n_events,
+           round(sum(CASE WHEN rn = 1 THEN pow(0.9, n - 1) * value
+                          ELSE 0.1 * pow(0.9, n - rn) * value END), 6) AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+)
+def st3_stateful_ewma(spark, sf_dir):
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user exponential moving average — order-dependent per-key
+    state no built-in windowed aggregation can express. Oracle is the
+    recurrence's closed form (non-negative exponents only, so ancient
+    terms underflow to 0 — which IS the semantics)."""
+    from ..streaming.micro_batch import read_events_stream, run_available_now
+    from ..streaming.stateful import streaming_ewma
+
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        streaming_ewma(events, alpha=0.1), query_name="st3_out", output_mode="update"
+    )
+    # update mode emits one row per key per batch that touched it —
+    # keep the final state (max n_events) so multi-batch sources
+    # reduce to the same answer as the single-file case
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("ewma", "n_events"), 6).alias("ewma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry
 # ---------------------------------------------------------------------------
