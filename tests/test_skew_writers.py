@@ -85,3 +85,39 @@ def test_dynamic_partition_overwrite_touches_only_written_days(spark, sf_dir, tm
     after = read_partitioned(spark, path)
     assert after.filter(F.col("dt") == "2024-01-05").count() == 1  # replaced
     assert after.filter(F.col("dt") != "2024-01-05").count() == before_other  # untouched
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count
+    join with NO Exchange on either side (SCALE.md's bucketing claim
+    as an assertion), and the result matches the plain join."""
+    from traffic_forecast_etl_spark.sinks import write_bucketed
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8,
+                   sort_cols=["l_orderkey"], path=str(tmp_path / "li_b"))
+    write_bucketed(o, "o_b", ["o_orderkey"], num_buckets=8,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "o_b"))
+    try:
+        li_b, o_b = spark.table("li_b"), spark.table("o_b")
+        joined = li_b.join(
+            o_b.hint("merge"), li_b.l_orderkey == o_b.o_orderkey
+        ).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"),
+                                    F.max("o_totalprice").alias("p"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join must be exchange-free, and the groupBy on the SAME
+        # bucket key rides the bucketing too -> no Exchange anywhere
+
+        assert "Exchange" not in plan, plan[:2000]
+        expected = (
+            li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"), F.max("o_totalprice").alias("p"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")

@@ -93,3 +93,36 @@ def merge_upsert(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a hash-BUCKETED (and optionally sort-ordered)
+    catalog table.
+
+    This is the shuffle-elimination layout for repeated fact-fact
+    joins and aggregations (SCALE.md §Joins): two tables bucketed by
+    the same key into the same bucket count join with NO Exchange on
+    either side — at 100 TB that's the difference between a network-
+    bound job and a local merge. ``sort_cols`` additionally skips the
+    per-task sort of a sort-merge join. The write itself costs one
+    shuffle (hash-partition into buckets) — paid once, amortized over
+    every later join/agg on that key.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``;
+    plain ``.parquet(path)`` writes cannot carry it). ``path`` makes
+    it an external table (files owned by the caller).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
