@@ -368,6 +368,142 @@ def q17_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (schema lacks commit/receipt dates, so "late"
+    is shipped >60 days after order date): correlated EXISTS with a
+    non-key comparison → LEFT SEMI join carrying the inequality in the
+    join condition. One semi-join shuffle on orderkey; the date filter
+    is pushed to the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        on=[
+            o.o_orderkey == l.l_orderkey,
+            l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+        ],
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: the sole-late-supplier query — a correlated
+    EXISTS (another supplier participated in the order) AND NOT EXISTS
+    (no OTHER supplier was late) over the same fact. Planned as one
+    LEFT SEMI + one LEFT ANTI join, both keyed on orderkey with the
+    suppkey inequality in the join condition; `late` is computed once
+    and reused for both the driving side and the anti side (same
+    shuffle key → one exchange reused). Supplier dim broadcasts."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = l.select("l_orderkey", "l_suppkey").alias("l2")
+    late3 = late.alias("l3")
+    driving = l1.join(
+        others,
+        on=[
+            F.col("l1.l_orderkey") == F.col("l2.l_orderkey"),
+            F.col("l1.l_suppkey") != F.col("l2.l_suppkey"),
+        ],
+        how="left_semi",
+    ).join(
+        late3,
+        on=[
+            F.col("l1.l_orderkey") == F.col("l3.l_orderkey"),
+            F.col("l1.l_suppkey") != F.col("l3.l_suppkey"),
+        ],
+        how="left_anti",
+    )
+    return (
+        driving.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (schema has no phone, and every customer has
+    SOME order in this data — dormant = no order since 2001-01-01;
+    grouped by market segment): uncorrelated scalar subquery + NOT
+    EXISTS, expressed through the engine's SQL SURFACE (`spark.sql`
+    over registered views) — Catalyst decorrelates the subquery to a
+    broadcast 1-row join and the NOT EXISTS to a LEFT ANTI join with
+    the date predicate pushed to the orders scan; same physical plan
+    the DataFrame form would produce."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
     "f12_string_funcs",
     """
     SELECT p_partkey,
