@@ -39,6 +39,7 @@ def test_oracle_coverage(spark):
         "d6_near_dedup_filter",
         "s2_lsh_ann",
         "s3_ivf_ann",
+        "a10_approx_distinct",
         "t3_lang_id",
     }
 
@@ -139,3 +140,22 @@ def test_temporal_split_is_deterministic_and_disjoint(spark, sf_dir):
     ids = {r.event_id for r in train.select("event_id").collect()}
     ids2 = {r.event_id for r in test.select("event_id").collect()}
     assert not (ids & ids2)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 3x the requested relative
+    error of the exact distinct count on every group."""
+    from traffic_forecast_etl_spark.operators.aggregates import (
+        approx_distinct,
+        distinct_agg,
+    )
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    exact = {r.o_orderpriority: r.nd_o_custkey
+             for r in distinct_agg(o, ["o_orderpriority"], "o_custkey").collect()}
+    apx = {r.o_orderpriority: r.apx_o_custkey
+           for r in approx_distinct(o, ["o_orderpriority"], "o_custkey", rsd=0.02).collect()}
+    assert exact.keys() == apx.keys()
+    for k, n in exact.items():
+        assert abs(apx[k] - n) <= max(3, 0.06 * n), (k, apx[k], n)

@@ -833,6 +833,45 @@ def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a9_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping() indicators — the
+    hierarchical-subtotal twin of a4's CUBE (one expand pass, 3
+    grouping sets; the indicator columns disambiguate real NULL keys
+    from subtotal rows)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "total")
+    )
+
+
+@query("a10_approx_distinct")
+def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct count per order priority — the
+    mergeable-sketch form a 100 TB dashboard uses instead of a5's
+    exact expand (error bound vs exact is pinned in
+    tests/test_catalog.py). Sketches aren't cross-engine
+    deterministic → rows-only driver check; a5 is the oracle twin."""
+    o = _t(spark, sf_dir, "orders")
+    return A.approx_distinct(o, ["o_orderpriority"], "o_custkey", rsd=0.02)
+
+
+@query(
     "a5_distinct_agg",
     """
     SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_o_custkey
