@@ -159,3 +159,24 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert exact.keys() == apx.keys()
     for k, n in exact.items():
         assert abs(apx[k] - n) <= max(3, 0.06 * n), (k, apx[k], n)
+
+
+def test_resize_stub_bytes(spark):
+    """The resize kernel's byte behavior: every k-th byte kept with
+    k = in_px // out_px (floored, min 1); binary payload round-trips
+    through Arrow intact."""
+    from traffic_forecast_etl_spark.operators.multimodal import (
+        synthesize_media,
+        resize_stub,
+    )
+
+    text = "x" * 1000  # w = 1000%640+1 = 361, h = 1000%480+1 = 41
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = resize_stub(synthesize_media(df, "text", "doc_id"), 64, 64).first()
+    k = (361 * 41) // (64 * 64)  # = 3
+    expected = text.encode()[::k]
+    assert out.content == expected and out.out_len == len(expected)
+    # small image never upsamples: k floors at 1 -> payload unchanged
+    tiny = spark.createDataFrame([(2, "ab")], "doc_id long, text string")
+    r = resize_stub(synthesize_media(tiny, "text", "doc_id"), 64, 64).first()
+    assert r.content == b"ab"

@@ -106,6 +106,62 @@ def decode_stub_features(df: DataFrame, content_col: str = "content", id_col: st
     return df.select(id_col, content_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_len", T.LongType()),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    meta_col: str = "media_meta",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """'Resize' binary media to target dimensions via Arrow-batched
+    mapInPandas — binary in, binary out, the exact plumbing of a real
+    image-resize pass (swap the kernel body for PIL's
+    ``Image.resize`` to productionize).
+
+    STUB kernel: keeps every k-th payload byte with
+    ``k = max(1, in_pixels // out_pixels)`` — deterministic and
+    SQL-replicable, so the m3 catalog query can oracle-check the size
+    arithmetic while the byte-level behavior is pinned in pytest.
+    Output length is ``ceil(len/k)``, mirroring how a real resize
+    scales data volume with the pixel ratio."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_px = max(target_w * target_h, 1)
+        for pdf in batches:
+            rows = []
+            for did, buf, w, h in zip(
+                pdf["doc_id"], pdf["__buf"], pdf["__w"], pdf["__h"]
+            ):
+                buf = buf if buf is not None else b""
+                in_px = max(int(w) * int(h), 1)
+                keep = max(1, in_px // out_px)
+                out = bytes(buf[::keep])
+                rows.append((int(did), out, target_w, target_h, len(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "out_width", "out_height", "out_len"]
+            )
+
+    flat = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(content_col).alias("__buf"),
+        F.col(f"{meta_col}.width").alias("__w"),
+        F.col(f"{meta_col}.height").alias("__h"),
+    )
+    return flat.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id", every_n_bytes: int = 256
 ) -> DataFrame:

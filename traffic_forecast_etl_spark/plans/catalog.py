@@ -1765,6 +1765,34 @@ def m2_frame_sample(spark, sf_dir):
     )
 
 
+@query(
+    "m3_resize",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS blen,
+             (length(text) % 640 + 1) * (length(text) % 480 + 1) AS in_px
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 AS INTEGER) AS out_width,
+           CAST(64 AS INTEGER) AS out_height,
+           CAST(ceil(CAST(blen AS DOUBLE) / greatest(in_px // 4096, 1)) AS BIGINT)
+             AS out_len
+    FROM b
+    """,
+)
+def m3_resize(spark, sf_dir):
+    """Binary-in/binary-out media resize through Arrow-batched
+    mapInPandas (stub kernel, production plumbing). The oracle checks
+    the pixel-ratio size arithmetic; the byte-level subsampling is
+    pinned in tests/test_catalog.py."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "text", "doc_id")
+    out = MM.resize_stub(media, target_w=64, target_h=64)
+    return out.select("doc_id", "out_width", "out_height", "out_len")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (SURVEY §2.7) — the streaming twin runs the SAME
 # windowed aggregation as w5 through readStream + AvailableNow and must
