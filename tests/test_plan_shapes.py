@@ -80,3 +80,25 @@ def test_no_row_udfs_registered():
         if "@F.udf" in text or "F.udf(" in text or "udf(lambda" in text:
             offenders.append(str(f))
     assert not offenders, offenders
+
+
+@pytest.mark.parametrize(
+    "query,needle",
+    [
+        # q4: the order-date range is pushed into the orders scan and
+        # the correlated EXISTS plans as a semi join
+        ("q4_order_priority", "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+        ("q4_order_priority", "LeftSemi"),
+        # q21: EXISTS -> semi, NOT EXISTS -> anti, supplier broadcast
+        ("q21_waiting_supplier", "LeftSemi"),
+        ("q21_waiting_supplier", "LeftAnti"),
+        ("q21_waiting_supplier", "BroadcastHashJoin"),
+        # q22 via SQL surface: Catalyst decorrelates NOT EXISTS with a
+        # pushed date predicate to an anti join, scalar subquery to a
+        # broadcast
+        ("q22_dormant_customers", "LeftAnti"),
+        ("q22_dormant_customers", "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+    ],
+)
+def test_decorrelation_plan_shapes(spark, sf_dir, query, needle):
+    assert needle in plan_of(spark, query, sf_dir), f"{query} lost {needle!r}"
