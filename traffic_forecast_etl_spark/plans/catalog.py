@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,7 +63,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a bench or driver run touches the same table from dozens of
     queries, so memoizing the plan removes a fixed per-query driver
     cost without changing any execution behavior."""
-    key = (id(spark), sf_dir, name)
+    # applicationId (not id(spark)) keys the entry: a stopped session's
+    # address can be reused, but its app id never is — stale plans from
+    # a dead JVM can't be returned
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = _TABLE_CACHE[key] = load_table(spark, name, sf_dir)
