@@ -1411,6 +1411,34 @@ def w8_funnel(spark, sf_dir):
     return converted.groupBy("user_id").agg(F.count(F.lit(1)).alias("converted"))
 
 
+@query(
+    "w9_rank_family",
+    """
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def w9_rank_family(spark, sf_dir):
+    """Ranking-family window functions (ntile / percent_rank /
+    cume_dist) partitioned by a real key — one hash shuffle on
+    user_id, per-partition sort, no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (engine extensions for corpus curation)
 # ---------------------------------------------------------------------------
