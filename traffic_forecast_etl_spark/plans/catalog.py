@@ -1203,6 +1203,68 @@ def j7_null_safe_join(spark, sf_dir):
     return a.join(b, a.k.eqNullSafe(b.k)).select("event_id", "n")
 
 
+@query(
+    "j8_full_outer",
+    """
+    WITH buyers AS (SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+                    GROUP BY o_custkey),
+         actives AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    SELECT coalesce(b.o_custkey, a.user_id) AS entity_id,
+           coalesce(b.n_orders, 0) AS n_orders,
+           coalesce(b.spend, 0.0) AS spend,
+           coalesce(a.n_events, 0) AS n_events
+    FROM buyers b FULL OUTER JOIN actives a ON b.o_custkey = a.user_id
+    """,
+)
+def j8_full_outer(spark, sf_dir):
+    """FULL OUTER join + coalesce-merge of two aggregate views — the
+    general-join surface's last unexercised member (SURVEY §2.3
+    'absent' row). Both sides pre-aggregate before the join, so the
+    outer join shuffles group counts, not facts."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    buyers = (
+        o.filter(F.col("o_orderdate") >= "2001-01-01")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    actives = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    j = buyers.join(actives, buyers.o_custkey == actives.user_id, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "user_id").alias("entity_id"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "f14_array_ops",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
+           round(list_aggregate(list(value), 'sum'), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def f14_array_ops(spark, sf_dir):
+    """Array-valued aggregation surface: collect_set → sort_array for
+    a deterministic array value, size, and an array-reduce — arrays as
+    first-class values (absent in the reference's flat tables,
+    required of a general engine)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2.7 — absent in the reference; first-class in
 # the engine: rolling, rank, lag, cumulative, tumbling/sliding/session)
@@ -1409,6 +1471,36 @@ def w8_funnel(spark, sf_dir):
     )
     converted = p.join(l, on=within, how="left_semi")
     return converted.groupBy("user_id").agg(F.count(F.lit(1)).alias("converted"))
+
+
+@query(
+    "w10_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_month, date_trunc('month', e.ts) AS activity_month,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def w10_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (signup-month × activity-month):
+    per-user min-ts cohort assignment re-joined to the fact, distinct
+    users per cell. Both aggregations key on user_id/month — the
+    cohort join is a broadcast (one row per user) at dim scale, a
+    co-partitioned shuffle at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort_month", F.date_trunc("month", F.col("ts")).alias("activity_month"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
 
 
 @query(
