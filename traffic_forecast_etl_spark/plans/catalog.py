@@ -1246,7 +1246,7 @@ def j8_full_outer(spark, sf_dir):
     "f14_array_ops",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
            round(list_aggregate(list(value), 'sum'), 6) AS total_value
     FROM events GROUP BY user_id
@@ -1256,10 +1256,12 @@ def f14_array_ops(spark, sf_dir):
     """Array-valued aggregation surface: collect_set → sort_array for
     a deterministic array value, size, and an array-reduce — arrays as
     first-class values (absent in the reference's flat tables,
-    required of a general engine)."""
+    required of a general engine). The array column is serialized
+    with array_join on BOTH sides because the driver's pandas-based
+    canonicalizer cannot hash list cells (r01 TypeError)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
         F.size(F.collect_set("event_type")).alias("n_types"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
@@ -1493,12 +1495,17 @@ def w10_cohort_retention(spark, sf_dir):
     cohort join is a broadcast (one row per user) at dim scale, a
     co-partitioned shuffle at 100 TB."""
     ev = _t(spark, sf_dir, "events")
+    # cast to date: Spark date_trunc returns TIMESTAMP but DuckDB's
+    # returns DATE — the stringified hash values must agree (ADVICE r01)
     first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort_month")
     )
     return (
         ev.join(first_seen, "user_id")
-        .groupBy("cohort_month", F.date_trunc("month", F.col("ts")).alias("activity_month"))
+        .groupBy(
+            "cohort_month",
+            F.date_trunc("month", F.col("ts")).cast("date").alias("activity_month"),
+        )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
 
