@@ -61,7 +61,9 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
     sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    mean_wl = (n_chars - F.size(toks) + 1) / n_tok  # ≈ chars-per-token
+    # exact sum-of-token-lengths / n_tokens — the (n_chars - n_tokens + 1)
+    # shortcut only holds for single-spaced text with no padding
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
     punct_ratio = n_punct / n_chars
     digit_ratio = n_digit / n_chars
     upper_ratio = n_upper / n_chars

@@ -2036,3 +2036,66 @@ def st3_stateful_ewma(spark, sf_dir):
 def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the q1 pricing-summary spine at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-priority registration order
+#
+# The correctness sweep walks `queries()` in registration order and may
+# be capped (round 1 covered exactly the first 50 of 77 entries, leaving
+# every extension operator unverified). Re-key the registries so the
+# highest-value queries — the large-scale extension operators (windows,
+# streaming, dedup, similarity, text, multimodal) plus one representative
+# of each core family — come first, and the TPC-H tail whose join/agg
+# shapes are already covered by q1/q3/q5 comes last.
+# ---------------------------------------------------------------------------
+
+_SWEEP_PRIORITY = [
+    # extension operators: zero correctness rows in round 1 — verify first
+    "w5_tumbling_window", "w6_sliding_window", "w7_sessionize", "w8_funnel",
+    "w9_rank_family", "w10_cohort_retention",
+    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
+    "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
+    "d5_embedding_neardup", "d6_near_dedup_filter",
+    "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann",
+    "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_bpe_tokens", "c1_curate_corpus",
+    "m1_media_features", "m2_frame_sample", "m3_resize",
+    # errored in round 1 (list-cell canonicalization) — re-verify the fix
+    "f14_array_ops",
+    # core families, one block each: headline spine, joins, aggregates
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+    "q6_forecast_revenue",
+    "j1_composite_key_join", "j2_fk_lookup", "j3_semi_membership",
+    "j4_anti_join", "j5_range_join", "j6_asof_join", "j7_null_safe_join",
+    "j8_full_outer",
+    "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
+    "a9_rollup", "a10_approx_distinct", "a5_distinct_agg", "a6_pivot",
+    "a7_unpivot", "a8_median_stats",
+    # ---- entry 50 boundary: everything below was green in round 1 and
+    # re-tests shapes the blocks above already cover ----
+    "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
+    "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
+    "f1_date_roundtrip", "f2_multiformat_date", "f4_calendar",
+    "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
+    "f12_string_funcs", "f13_null_handling",
+    "p_project_filter", "p_rename_replace_cast", "p_const_first_row",
+    "q4_order_priority", "q21_waiting_supplier", "q22_dormant_customers",
+    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
+    "q17_below_avg_parts", "q18_large_orders",
+]
+
+
+def _reorder(reg: dict, priority: list[str]) -> dict:
+    missing = [k for k in priority if k not in QUERIES]
+    extra = [k for k in QUERIES if k not in priority]
+    if missing or extra:  # fail loudly at import: the list must stay exact
+        raise RuntimeError(
+            f"sweep priority drifted: missing={missing} unlisted={extra}"
+        )
+    out = {k: reg[k] for k in priority if k in reg}
+    return out
+
+
+QUERIES = _reorder(QUERIES, _SWEEP_PRIORITY)
+ORACLE = _reorder(ORACLE, _SWEEP_PRIORITY)
