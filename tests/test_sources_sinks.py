@@ -86,6 +86,73 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
     assert out == {1: "a", 2: "B", 3: "c"}  # id=2 UPDATED
 
 
+def test_insert_if_absent_prunes_existing_scan(spark, tmp_path):
+    """At a steady ingest cadence the anti-join must NOT reread the
+    sink's full history: the existing-side scan carries the batch's
+    [min, max] range of the leading key as a pushed parquet filter
+    (partition pruning under a partitioned layout)."""
+    from traffic_forecast_etl_spark.sinks import fresh_rows
+
+    path = str(tmp_path / "pruned_sink")
+    history = spark.range(0, 1000).selectExpr("id AS ts", "id * 2 AS v")
+    history.write.parquet(path)
+    batch = spark.createDataFrame([(990, 0), (1005, 1)], "ts long, v long")
+    df = fresh_rows(spark, batch, path, ["ts"])
+    explained = df._jdf.queryExecution().explainString(  # noqa: SLF001
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the parquet scan of the sink must carry the range predicate
+    assert "PushedFilters" in explained
+    pushed = [ln for ln in explained.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThanOrEqual(ts,990)" in ln and "LessThanOrEqual(ts,1005)" in ln
+        for ln in pushed
+    ), pushed
+    # and pruning must not change semantics: 990 exists, 1005 is new
+    assert {r.ts for r in df.collect()} == {1005}
+
+
+def test_merge_upsert_partition_scoped_rewrite(spark, tmp_path):
+    """With a partitioned sink, merging a batch that touches one
+    partition must leave the files of untouched partitions in place
+    (dynamic partition overwrite), not rewrite the whole sink."""
+    import os
+
+    path = str(tmp_path / "part_sink")
+    seed = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")], "id int, d string, v string"
+    )
+    merge_upsert(spark, seed, path, ["id"], partition_by=["d"])
+    d1_files = {
+        f: os.path.getmtime(os.path.join(path, "d=d1", f))
+        for f in os.listdir(os.path.join(path, "d=d1"))
+        if f.endswith(".parquet")
+    }
+    batch = spark.createDataFrame([(3, "d2", "C"), (4, "d2", "e")], "id int, d string, v string")
+    merge_upsert(spark, batch, path, ["id"], partition_by=["d"])
+    out = {r.id: (r.d, r.v) for r in spark.read.parquet(path).collect()}
+    assert out == {1: ("d1", "a"), 2: ("d1", "b"), 3: ("d2", "C"), 4: ("d2", "e")}
+    d1_after = {
+        f: os.path.getmtime(os.path.join(path, "d=d1", f))
+        for f in os.listdir(os.path.join(path, "d=d1"))
+        if f.endswith(".parquet")
+    }
+    assert d1_after == d1_files  # untouched partition: same files, same mtimes
+
+
+def test_merge_upsert_unique_staging(spark, tmp_path):
+    """Staging dirs are uniquely named and cleaned up — no fixed
+    '__staging' sibling for concurrent merges to collide on."""
+    import os
+
+    path = str(tmp_path / "stage_sink")
+    merge_upsert(spark, spark.createDataFrame([(1, "a")], "id int, v string"), path, ["id"])
+    merge_upsert(spark, spark.createDataFrame([(1, "A")], "id int, v string"), path, ["id"])
+    siblings = [d for d in os.listdir(tmp_path) if d.startswith("stage_sink") and d != "stage_sink"]
+    assert siblings == []
+    assert {r.v for r in spark.read.parquet(path).collect()} == {"A"}
+
+
 def test_streaming_dedup_sink(spark, tmp_path):
     """Streaming plane: watermarked dedup + foreachBatch idempotent
     append over the events stream — re-running the stream appends
