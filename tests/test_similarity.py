@@ -97,3 +97,46 @@ def test_blocked_allpairs_matches_threshold_semantics(spark, emb):
         .count()
     )
     assert len(rows) == naive
+
+
+def test_allpairs_block_autosizing_bounds_task_memory(spark, emb):
+    """The all-pairs kernel's per-task memory is O(block_rows · d);
+    auto_n_blocks must keep block_rows at the target no matter how the
+    corpus grows — checked across four decades including 10× and 100×
+    the test fixture's scale."""
+    from traffic_forecast_etl_spark.operators.similarity import (
+        ALLPAIRS_BLOCK_ROWS,
+        auto_n_blocks,
+    )
+    import math
+
+    for n in (100, 2_000, 20_000, 200_000, 1_000_000):
+        b = auto_n_blocks(n)
+        assert b >= 8  # pair fan-out floor
+        assert math.ceil(n / b) <= ALLPAIRS_BLOCK_ROWS, (n, b)
+
+    # auto-sized end-to-end run returns the same pairs as a manual B
+    small = emb.filter(F.col("vec_id") < 100)
+    from traffic_forecast_etl_spark.operators.similarity import blocked_allpairs_cosine
+
+    auto = {
+        (r.id1, r.id2)
+        for r in blocked_allpairs_cosine(small, "vec_id", "embedding", 0.2).collect()
+    }
+    manual = {
+        (r.id1, r.id2)
+        for r in blocked_allpairs_cosine(
+            small, "vec_id", "embedding", 0.2, n_blocks=4
+        ).collect()
+    }
+    assert auto == manual
+
+
+def test_allpairs_refuses_oversized_corpus(spark, emb):
+    """Exact all-pairs is the oracle baseline: beyond max_rows it must
+    raise and point at the sub-quadratic operators, not launch an
+    O(n²·d) job."""
+    from traffic_forecast_etl_spark.operators.similarity import blocked_allpairs_cosine
+
+    with pytest.raises(ValueError, match="ivf_topk"):
+        blocked_allpairs_cosine(emb, "vec_id", "embedding", 0.3, max_rows=100)

@@ -219,15 +219,46 @@ def lsh_topk(
     )
 
 
+#: blocked_allpairs_cosine refuses corpora above this row count —
+#: O(n²·d) FLOPs past it is a cluster-sized bill for an answer the
+#: sub-quadratic operators (near_dedup_filter / lsh_topk / ivf_topk)
+#: give at a fraction of the cost. Deliberately generous: ~5e12
+#: pair-dot-products at the cap, a day of single-node BLAS.
+ALLPAIRS_MAX_ROWS = 1_000_000
+
+#: auto-sizing target: rows per block. Bounds per-task memory at
+#: 2 · target · d · 8 bytes (two blocks resident per task) — ~4 MiB
+#: at d=256 — independent of corpus size.
+ALLPAIRS_BLOCK_ROWS = 2_000
+
+
+def auto_n_blocks(n_rows: int, target_block_rows: int = ALLPAIRS_BLOCK_ROWS) -> int:
+    """Blocks for the all-pairs kernel: enough that a block fits the
+    per-task memory target at any corpus size, never fewer than 8 so
+    the pair fan-out (B·(B+1)/2 ≥ 36 tasks) keeps a multi-core
+    executor busy."""
+    import math
+
+    return max(8, math.ceil(n_rows / max(target_block_rows, 1)))
+
+
 def blocked_allpairs_cosine(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
     round_to: int = 4,
+    max_rows: int = ALLPAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via BLOCKED matrix multiply.
+
+    **Oracle-baseline operator, quadratic by definition** — it exists
+    as the exact ground truth that the scale paths (``near_dedup_filter``
+    d6, ``lsh_topk`` s2, ``ivf_topk`` s3) are validated against, and it
+    refuses corpora beyond ``max_rows`` rather than silently launching
+    an O(n²·d) job (the eager count that enforces this is one
+    column-pruned scan).
 
     The naive formulation (non-equi self-join + per-pair
     ``aggregate`` lambdas) evaluates interpreted higher-order
@@ -241,10 +272,22 @@ def blocked_allpairs_cosine(
     Scale model: work is O(n²·d) FLOPs no matter what — the blocked
     form does them at BLAS speed with O(n²/B²) pairs per task and
     O(n·d/B) memory per block row; B is the knob that bounds task
-    memory. This is the standard outer-product decomposition of the
-    similarity matrix (each pair of blocks meets in exactly one
-    task).
+    memory, and it AUTO-SIZES from the corpus count (``auto_n_blocks``)
+    so per-task memory stays ~constant as n grows. This is the
+    standard outer-product decomposition of the similarity matrix
+    (each pair of blocks meets in exactly one task).
     """
+    if n_blocks is None or max_rows is not None:
+        n = df.select(id_col).count()
+        if max_rows is not None and n > max_rows:
+            raise ValueError(
+                f"blocked_allpairs_cosine: corpus has {n} rows > max_rows="
+                f"{max_rows}; exact all-pairs is the oracle baseline, not a "
+                "production path — use near_dedup_filter (LSH dedup), "
+                "lsh_topk, or ivf_topk, or raise max_rows explicitly."
+            )
+        if n_blocks is None:
+            n_blocks = auto_n_blocks(n)
     # normalization happens inside the numpy kernel (one vectorized
     # divide per block) — the expression form (transform + aggregate
     # norm) is interpreted per ELEMENT, O(d²) lambda evals per row,
