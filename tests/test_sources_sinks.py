@@ -153,6 +153,47 @@ def test_merge_upsert_unique_staging(spark, tmp_path):
     assert {r.v for r in spark.read.parquet(path).collect()} == {"A"}
 
 
+def test_ddl_create_tables_idempotent(spark, tmp_path):
+    """S10: the reference's create_db DDL (dags/utils.py:91-136) as
+    Spark SQL — create-twice is a no-op, schema matches the SURVEY
+    §1.2 type mapping, and data written between the two creates
+    survives the second (IF NOT EXISTS, not replace)."""
+    from traffic_forecast_etl_spark.ddl import (
+        TRAFFIC_SCHEMA,
+        WEATHER_SCHEMA,
+        create_tables,
+        drop_tables,
+    )
+
+    db = "ddl_test_db"
+    try:
+        names = create_tables(
+            spark,
+            database=db,
+            weather_location=str(tmp_path / "weather"),
+            traffic_location=str(tmp_path / "traffic"),
+        )
+        assert names == [f"{db}.weather", f"{db}.traffic"]
+        got = [(f.name, f.dataType.simpleString()) for f in spark.table(f"{db}.weather").schema]
+        spark_type = {"BIGINT": "bigint", "TIMESTAMP": "timestamp", "INT": "int", "BOOLEAN": "boolean"}
+        assert got == [(c, spark_type[t]) for c, t in WEATHER_SCHEMA]
+        assert [f.name for f in spark.table(f"{db}.traffic").schema] == [c for c, _ in TRAFFIC_SCHEMA]
+        spark.sql(
+            f"INSERT INTO {db}.weather VALUES (1, TIMESTAMP '2015-06-01 12:00:00', 5, 21, false)"
+        )
+        # second create: no-op, data intact
+        assert create_tables(
+            spark,
+            database=db,
+            weather_location=str(tmp_path / "weather"),
+            traffic_location=str(tmp_path / "traffic"),
+        ) == names
+        assert spark.table(f"{db}.weather").count() == 1
+    finally:
+        drop_tables(spark, db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
 def test_streaming_dedup_sink(spark, tmp_path):
     """Streaming plane: watermarked dedup + foreachBatch idempotent
     append over the events stream — re-running the stream appends
