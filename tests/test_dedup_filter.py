@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from traffic_forecast_etl_spark.operators.dedup import (
     connected_components,
     near_dedup_filter,
@@ -31,6 +33,32 @@ def test_connected_components_distributed_path(spark):
     uf = {r.node: r.component for r in connected_components(pairs).collect()}
     assert dist == uf
     assert dist[4] == 1 and dist[9] == 5 and dist[11] == 10
+
+
+def test_connected_components_deep_chain_converges_log_rounds(spark):
+    """Pointer jumping doubles label reach per round, so a 40-node
+    chain (diameter 39) must converge within ~log2(39)+2 rounds —
+    plain min-label propagation would need 39 (the r01 silent-split
+    failure mode)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id1 long, id2 long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iter=8, driver_threshold=0).collect()
+    }
+    assert set(comp.values()) == {1}
+    assert len(comp) == 40
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A fixpoint not reached must RAISE, not silently return split
+    components that would leak duplicates through near_dedup_filter."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2, driver_threshold=0)
 
 
 def test_near_dedup_filter_keeps_min_per_cluster(spark):

@@ -68,6 +68,19 @@ def test_location_lookup_intended_semantics():
     assert first_matching_location(None, payload, "Nowhere") is None
 
 
+def test_intensity_rounds_like_postgres(spark):
+    """The reference inserts prediction*10 as a numeric literal into a
+    Postgres INTEGER column, which ROUNDS: 0.47 → 5. A bare int cast
+    truncates to 4 — pin the parity choice (ADVICE r01)."""
+    from traffic_forecast_etl_spark.functions.units import rescale_intensity
+
+    df = spark.createDataFrame([(0.47,), (0.44,), (0.05,)], "prediction double")
+    out = df.select(
+        F.round(rescale_intensity("prediction")).cast("int").alias("i")
+    ).collect()
+    assert [r.i for r in out] == [5, 4, 1]
+
+
 @pytest.mark.slow
 def test_forecast_plane_idempotent(spark, tmp_path):
     """Run the full plane twice with the same payload: second run

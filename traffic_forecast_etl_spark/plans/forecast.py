@@ -112,7 +112,12 @@ def run_forecast_plane(
     traffic = pred.join(F.broadcast(weather), on="datetime", how="left").select(
         "date_id",
         F.col("datetime"),
-        rescale_intensity("prediction").cast("int").alias("intensity"),
+        # round before the int cast: the reference inserts the scaled
+        # prediction as a numeric literal into a Postgres INTEGER
+        # column (utils.py:273), which ROUNDS — a bare Spark int cast
+        # truncates and would sit one below the reference for any
+        # fractional part >= .5
+        F.round(rescale_intensity("prediction")).cast("int").alias("intensity"),
     )
     n_traffic = insert_if_absent(spark, traffic, traffic_path, keys=["date_id"])
     forecast.unpersist()
