@@ -35,6 +35,10 @@ HEADLINE = [
     "s1_cosine_topk",
     "s2_lsh_ann",
     "d5_embedding_neardup",
+    # the RECOMMENDED end-to-end dedup path (LSH -> connected
+    # components -> anti-join), tracked whole — appended so earlier
+    # per-query keys stay comparable across rounds
+    "d6_near_dedup_filter",
     "t1_token_stats",
     "t2_quality_score",
     "t4_fingerprint",
