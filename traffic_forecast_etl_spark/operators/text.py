@@ -152,6 +152,62 @@ def curate_corpus(
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of the
+    normalized text, slide a window of ``window`` consecutive k-gram
+    hashes, keep the minimum per window; the distinct selected hashes
+    are the document's fingerprint set. Guarantees any shared
+    substring of length ≥ k + window - 1 contributes a shared
+    fingerprint — the rolling-hash local sketch used for plagiarism/
+    provenance detection, complementing the global md5 (``fingerprint``)
+    and set-similarity (MinHash) sketches.
+
+    Engine parity: the k-gram "hash" is the first 8 hex chars of md5,
+    compared lexicographically — a selection function both Spark and
+    the DuckDB oracle compute bit-identically (xxhash64 is engine-only).
+    Trailing windows are partial (ROWS BETWEEN CURRENT AND n
+    FOLLOWING on both engines) — same selection, same result.
+
+    Plan shape: explode positions → substring + md5 (map-side,
+    fused) → one shuffle for the per-doc window min → one partial agg
+    for the distinct-set collapse. Cost is O(doc_len) rows per doc
+    with ~12-byte payloads — the shuffle carries hashes, never text.
+    """
+    from .dedup import normalize_text
+
+    t = normalize_text(text_col)
+    base = df.select(F.col(id_col), t.alias("__t")).filter(F.length("__t") >= k)
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1))
+        ).alias("__p"),
+        F.col("__t"),
+    ).select(
+        id_col,
+        "__p",
+        F.substring(F.md5(F.encode(F.expr(f"substring(__t, __p, {k})"), "UTF-8")), 1, 8).alias("__g"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(id_col).orderBy("__p").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("__wg", F.min("__g").over(win))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("__wg")), ",").alias("fingerprints"),
+            F.size(F.collect_set("__wg")).alias("n_fp"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the canonical normalized form
     (lowercased, punctuation stripped, whitespace collapsed). md5 so

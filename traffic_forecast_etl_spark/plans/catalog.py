@@ -1806,6 +1806,41 @@ def t5_bpe_tokens(spark, sf_dir):
     )
 
 
+@query(
+    "t6_winnow_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(length(t) - 7, 0) + 1)) AS p
+      FROM norm WHERE length(t) >= 8
+    ), grams AS (
+      SELECT doc_id, p, substr(md5(substr(t, p, 8)), 1, 8) AS g FROM pos
+    ), wins AS (
+      SELECT doc_id,
+             min(g) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wg
+      FROM grams
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list(DISTINCT wg)), ',') AS fingerprints,
+           CAST(count(DISTINCT wg) AS INT) AS n_fp
+    FROM wins GROUP BY doc_id
+    """,
+)
+def t6_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03): rolling
+    k-gram hash + per-window min selection — the LOCAL substring
+    sketch (shared passages) complementing t4's global md5 and d2's
+    set-similarity MinHash. Hash = md5 prefix so the oracle matches
+    bit-for-bit; fingerprint set serialized (canonicalizer can't hash
+    list cells)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+
+
 @query("t3_lang_id")
 def t3_lang_id(spark, sf_dir):
     """Language ID (CJK share + stopword votes). Heuristic →
@@ -2029,6 +2064,48 @@ def st3_stateful_ewma(spark, sf_dir):
     )
 
 
+@query(
+    "st4_stream_stream_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts,
+           round(l.value + r.value, 6) AS pair_value
+    FROM events l
+    JOIN events r
+      ON r.user_id = l.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
+    """,
+)
+def st4_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (the fourth core Structured
+    Streaming family after windowed agg st1 / sessions st2 / custom
+    state st3): signups joined to same-user purchases within the
+    following hour, both sides watermarked so state stays bounded at
+    watermark + interval per key. Oracle is the batch time-range join
+    — AvailableNow over a static source must emit exactly the batch
+    answer."""
+    from ..streaming.micro_batch import (
+        read_events_stream,
+        run_available_now,
+        streaming_interval_join,
+    )
+
+    events_path = f"{sf_dir}/events.parquet"
+    left = read_events_stream(spark, events_path).filter(
+        F.col("event_type") == "signup"
+    )
+    right = read_events_stream(spark, events_path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_available_now(
+        streaming_interval_join(left, right, interval="1 hour"),
+        query_name="st4_out",
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry
 # ---------------------------------------------------------------------------
@@ -2055,11 +2132,12 @@ _SWEEP_PRIORITY = [
     "w5_tumbling_window", "w6_sliding_window", "w7_sessionize", "w8_funnel",
     "w9_rank_family", "w10_cohort_retention",
     "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
+    "st4_stream_stream_join",
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
     "d5_embedding_neardup", "d6_near_dedup_filter",
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
-    "t5_bpe_tokens", "c1_curate_corpus",
+    "t5_bpe_tokens", "t6_winnow_fingerprint", "c1_curate_corpus",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
@@ -2071,9 +2149,9 @@ _SWEEP_PRIORITY = [
     "j8_full_outer",
     "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
     "a9_rollup", "a10_approx_distinct", "a5_distinct_agg", "a6_pivot",
-    "a7_unpivot", "a8_median_stats",
     # ---- entry 50 boundary: everything below was green in round 1 and
     # re-tests shapes the blocks above already cover ----
+    "a8_median_stats", "a7_unpivot",
     "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
     "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
     "f1_date_roundtrip", "f2_multiformat_date", "f4_calendar",

@@ -80,6 +80,54 @@ def streaming_sessionize(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER equi-join with a time-range condition —
+    the remaining core Structured Streaming operator family (st1
+    covers windowed agg, st2 sessions, st3 custom state). Both sides
+    carry a watermark and the join predicate bounds right.ts to
+    [left.ts, left.ts + interval], so Spark derives a state watermark
+    for BOTH buffers: each side holds at most watermark + interval of
+    history, regardless of stream length — the property that makes
+    the join runnable forever at 100 TB/day (state is O(rate ×
+    window), not O(stream)).
+
+    Semantics: each left event pairs with every right event of the
+    same key within the interval after it (e.g. "view followed by
+    purchase within the hour") — matches emit once (append mode).
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("__k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("__r_k"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (l["__k"] == r["__r_k"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("__k").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+        F.round(F.col("l_value") + F.col("r_value"), 6).alias("pair_value"),
+    )
+
+
 def streaming_dedup_sink(
     events: DataFrame,
     sink_path: str,
