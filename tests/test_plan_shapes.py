@@ -68,6 +68,19 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
     }
 
 
+def test_winnow_has_single_shuffle(spark, sf_dir):
+    """t6 winnowing: the groupBy(doc_id) must REUSE the window's
+    hash partitioning on doc_id — explode → hash → one Exchange →
+    window min → partial+final agg with no second shuffle. A second
+    Exchange appearing means someone broke the partitioning chain
+    (at 100 TB that's a full re-shuffle of the k-gram stream)."""
+    import re
+
+    plan = plan_of(spark, "t6_winnow_fingerprint", sf_dir)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan[:600]
+
+
 def test_no_row_udfs_registered():
     """U1 contract: the engine has zero row-at-a-time Python UDFs —
     only Arrow-batched pandas UDFs / mapInPandas where documented."""
