@@ -152,6 +152,61 @@ def curate_corpus(
     return out
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-N terms per document by TF-IDF (idf = ln(n_docs / df) —
+    the plain Robertson form, exactly reproducible in SQL) — the
+    relevance/keyword scoring pass of a corpus pipeline.
+
+    Plan shape (three shuffles, all keyed and partial-aggregated):
+      1. explode tokens → groupBy (doc, term) count = TF;
+      2. groupBy term count = DF (tf rows are already distinct per
+         (doc, term), so DF is a count, not a countDistinct);
+      3. broadcast the 1-row corpus count onto the TF stream, join
+         TF ⋈ DF on term (shuffle keyed by term — uniform unless a
+         term is in every doc, which IDF then zeroes anyway), ranked
+         window per doc for top-N.
+    The shuffles carry (hash, counts) pairs, never the text. At
+    100 TB the DF table is Zipf-headed but small (vocabulary-sized)
+    — it broadcasts; here it stays a shuffle join to keep the plan
+    honest for unbounded vocabularies (mapInPandas tokenizers).
+    """
+    from .dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.filter(F.split(normalize_text(text_col), r"\s+"), lambda t: t != "")).alias(
+            "__term"
+        ),
+    )
+    tf = toks.groupBy("__id", "__term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "__term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("__df")))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__id").orderBy(F.col("tfidf").desc(), F.col("__term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__term").alias("term"),
+            "tf",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -1841,6 +1841,42 @@ def t6_winnow_fingerprint(spark, sf_dir):
     return TX.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
 
 
+@query(
+    "t7_tfidf_topterms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+               '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def t7_tfidf_topterms(spark, sf_dir):
+    """Top-5 terms per document by TF-IDF (idf = ln(n/df)): the
+    keyword/relevance scoring pass — explode → two keyed aggregates →
+    DF join → ranked window; shuffles carry counts, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs, "text", "doc_id", top_n=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @query("t3_lang_id")
 def t3_lang_id(spark, sf_dir):
     """Language ID (CJK share + stopword votes). Heuristic →
@@ -2137,7 +2173,8 @@ _SWEEP_PRIORITY = [
     "d5_embedding_neardup", "d6_near_dedup_filter",
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
-    "t5_bpe_tokens", "t6_winnow_fingerprint", "c1_curate_corpus",
+    "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
+    "c1_curate_corpus",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
@@ -2148,10 +2185,10 @@ _SWEEP_PRIORITY = [
     "j4_anti_join", "j5_range_join", "j6_asof_join", "j7_null_safe_join",
     "j8_full_outer",
     "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
-    "a9_rollup", "a10_approx_distinct", "a5_distinct_agg", "a6_pivot",
+    "a9_rollup", "a10_approx_distinct", "a5_distinct_agg",
     # ---- entry 50 boundary: everything below was green in round 1 and
     # re-tests shapes the blocks above already cover ----
-    "a8_median_stats", "a7_unpivot",
+    "a6_pivot", "a8_median_stats", "a7_unpivot",
     "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
     "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
     "f1_date_roundtrip", "f2_multiformat_date", "f4_calendar",
