@@ -194,6 +194,52 @@ def test_ddl_create_tables_idempotent(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
 
 
+def test_compact_partition_reduces_files(spark, tmp_path):
+    """The small-files maintenance pass: a many-small-file partition
+    compacts to few files with identical data; sibling partitions are
+    untouched; staging dirs are cleaned up."""
+    import os
+
+    from traffic_forecast_etl_spark.sources.writers import compact_partition
+
+    path = str(tmp_path / "facts")
+    # 40 tiny files in dt=a, a few in dt=b
+    spark.range(0, 4000).selectExpr("id", "'a' AS dt").repartition(40).write.partitionBy(
+        "dt"
+    ).parquet(path)
+    spark.range(4000, 4100).selectExpr("id", "'b' AS dt").repartition(2).write.mode(
+        "append"
+    ).partitionBy("dt").parquet(path)
+    b_files = sorted(os.listdir(os.path.join(path, "dt=b")))
+    before = sum(1 for f in os.listdir(os.path.join(path, "dt=a")) if f.endswith(".parquet"))
+    assert before == 40
+    n = compact_partition(spark, path, {"dt": "a"})
+    assert n < 5
+    assert sorted(os.listdir(os.path.join(path, "dt=b"))) == b_files  # untouched
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(4100))
+    assert [d for d in os.listdir(tmp_path) if "compact" in d] == []
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE must land rowCount stats in the catalog — the
+    input Catalyst's cost-based join planning reads."""
+    from traffic_forecast_etl_spark.ddl import analyze_table
+
+    spark.range(0, 777).write.mode("overwrite").option(
+        "path", str(tmp_path / "stats_tbl")
+    ).saveAsTable("stats_tbl")
+    try:
+        analyze_table(spark, "stats_tbl", columns=["id"])
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED stats_tbl").collect()
+        }
+        assert "777 rows" in desc.get("Statistics", ""), desc.get("Statistics")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_tbl")
+
+
 def test_streaming_dedup_sink(spark, tmp_path):
     """Streaming plane: watermarked dedup + foreachBatch idempotent
     append over the events stream — re-running the stream appends
