@@ -6,15 +6,17 @@ NOTHING`, one row-at-a-time INSERT per forecast row
 parquet and no enforced UNIQUE — the engine provides the set-based
 equivalents:
 
-  - ``insert_if_absent``: stage → anti-join against current sink keys
-    → append only the new keys. Re-running the same batch is a no-op
+  - ``insert_if_absent``: stage → anti-join against the sink keys
+    RESTRICTED to the batch's key range (pushed filter / partition
+    pruning — the scan is O(batch window), not O(sink lifetime)) →
+    append only the new keys. Re-running the same batch is a no-op
     (the ON CONFLICT contract), and the write is one distributed
     append, not N commits.
-  - ``merge_upsert``: delete-and-replace emulation of MERGE for
-    engines without Delta/Iceberg (rewrite of the touched partition
-    set): existing rows not matching the batch keys + the batch →
-    overwrite. With a partitioned layout + dynamic partition
-    overwrite, only touched date partitions rewrite.
+  - ``merge_upsert``: MERGE emulation for engines without
+    Delta/Iceberg. With ``partition_by``, only the partitions the
+    batch touches are read and rewritten (dynamic partition
+    overwrite); unpartitioned sinks rewrite through a uniquely-named
+    staging dir swapped by rename.
 
 Both take the sink as a *path* (parquet dir) — at 100 TB these would
 be Delta/Iceberg tables and ``MERGE INTO`` (jars not shipped in this
