@@ -180,3 +180,27 @@ def test_resize_stub_bytes(spark):
     tiny = spark.createDataFrame([(2, "ab")], "doc_id long, text string")
     r = resize_stub(synthesize_media(tiny, "text", "doc_id"), 64, 64).first()
     assert r.content == b"ab"
+
+
+def test_redact_pii_on_synthetic_fixtures(spark):
+    """The corpus is mostly PII-free (t8's oracle proves Java/RE2
+    regex agreement on it); this pins the actual redaction semantics
+    on planted PII."""
+    from traffic_forecast_etl_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact jane.doe+spam@example.co.uk or call 555-867 5309 x"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, phone 020 555 1234"),
+        (3, "clean text with version 1.2.3 and year 2024"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert got[1].n_email == 1 and "<EMAIL>" in got[1].text_clean
+    assert "jane" not in got[1].text_clean
+    # 555-867 5309: mixed separators still match the phone shape
+    assert got[1].n_phone == 1
+    assert got[2].n_ipv4 == 2 and got[2].text_clean.count("<IPV4>") == 2
+    assert got[2].n_phone == 1  # 020 555 1234
+    # version strings and years are NOT IPs/phones
+    assert got[3].n_email == got[3].n_phone == got[3].n_ipv4 == 0
+    assert got[3].text_clean == rows[2][1]

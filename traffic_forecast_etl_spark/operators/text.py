@@ -263,6 +263,34 @@ def winnow_fingerprints(
     )
 
 
+# PII patterns shared with the DuckDB oracle — written in the common
+# subset of Java regex and RE2: no backrefs, no lookaround, ASCII \b.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing pass (the C4/corpus-cleaning shape): replace
+    emails, phone numbers, and IPv4 addresses with typed placeholders
+    and count each category. Map-only regexp pipeline — fuses into
+    the scan, no shuffle; the patterns live in the Java∩RE2 regex
+    subset so the DuckDB oracle applies them identically.
+
+    Returns (id, text_clean, n_email, n_phone, n_ipv4)."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text_col, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = c
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), clean.alias("text_clean"), *counts)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the canonical normalized form
     (lowercased, punctuation stripped, whitespace collapsed). md5 so
