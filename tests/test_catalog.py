@@ -204,3 +204,22 @@ def test_redact_pii_on_synthetic_fixtures(spark):
     # version strings and years are NOT IPs/phones
     assert got[3].n_email == got[3].n_phone == got[3].n_ipv4 == 0
     assert got[3].text_clean == rows[2][1]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Consecutive chunks share exactly `overlap` tokens and their
+    union reconstructs the document with no token lost."""
+    from traffic_forecast_etl_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_tokens=64, overlap=16).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2]
+    t0, t1, t2 = (c.chunk_text.split(" ") for c in chunks)
+    assert t0[-16:] == t1[:16] and t1[-16:] == t2[:16]  # exact overlap
+    merged = t0 + t1[16:] + t2[16:]
+    assert merged == text.split(" ")  # full coverage, order preserved
+    assert chunks[-1].n_chunk_tokens == 150 - 2 * 48

@@ -263,6 +263,45 @@ def winnow_fingerprints(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-bounded chunks — the
+    context-window preparation pass before embedding or training
+    (chunk k starts at token k·(chunk_tokens−overlap), so consecutive
+    chunks share ``overlap`` tokens and no token is dropped).
+
+    Plan shape: tokenize (map) → explode chunk starts (generate) →
+    slice+join per chunk (map) — no shuffle at all; chunking
+    pipelines into the scan and the downstream embed/write stage.
+    Output rows carry chunk_idx = (start−1)/stride for deterministic
+    ordering without a window."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__t") - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        base.select(id_col, "__t", F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            ((F.col("__start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("__t", F.col("__start"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size("__t") - F.col("__start") + 1, F.lit(chunk_tokens)
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
 # PII patterns shared with the DuckDB oracle — written in the common
 # subset of Java regex and RE2: no backrefs, no lookaround, ASCII \b.
 PII_PATTERNS: dict[str, str] = {

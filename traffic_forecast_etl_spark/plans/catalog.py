@@ -1904,6 +1904,33 @@ def t8_redact_pii(spark, sf_dir):
     return TX.redact_pii(docs, "text", "doc_id")
 
 
+@query(
+    "t9_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
+           CAST(least(len(t) - s + 1, 64) AS INT) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def t9_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — context-window prep before embedding/training. Zero
+    shuffles: tokenize → explode starts → slice, all scan-fused."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+    return out.withColumn("n_chunk_tokens", F.col("n_chunk_tokens").cast("int"))
+
+
 @query("t3_lang_id")
 def t3_lang_id(spark, sf_dir):
     """Language ID (CJK share + stopword votes). Heuristic →
@@ -2201,7 +2228,7 @@ _SWEEP_PRIORITY = [
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
-    "t8_redact_pii", "c1_curate_corpus",
+    "t8_redact_pii", "t9_chunk_documents", "c1_curate_corpus",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
@@ -2212,11 +2239,12 @@ _SWEEP_PRIORITY = [
     "j4_anti_join", "j5_range_join", "j6_asof_join", "j7_null_safe_join",
     "j8_full_outer",
     "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
-    "a9_rollup", "a5_distinct_agg",
+    "a9_rollup",
     # ---- entry 50 boundary: everything below was green in round 1 and
     # re-tests shapes the blocks above already cover (a10's rows-only
     # record is covered by its pytest error-bound + the exact twin a5)
-    "a10_approx_distinct", "a6_pivot", "a8_median_stats", "a7_unpivot",
+    "a5_distinct_agg", "a10_approx_distinct", "a6_pivot",
+    "a8_median_stats", "a7_unpivot",
     "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
     "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
     "f1_date_roundtrip", "f2_multiformat_date", "f4_calendar",
