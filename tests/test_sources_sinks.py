@@ -264,3 +264,49 @@ def test_streaming_dedup_sink(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_streaming_checkpoint_resume_is_incremental(spark, tmp_path):
+    """R2 semantics: successive AvailableNow ticks over a growing
+    source directory with the SAME checkpoint process only the new
+    files — the streaming form of the reference's 12-hourly poll."""
+    import shutil
+
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        read_events_stream,
+        streaming_dedup_sink,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    first = events.filter("event_id < 500")
+    second = events.filter("event_id >= 500")
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    for f in (tmp_path / "b1").glob("*.parquet"):
+        shutil.copy(f, src / "batch1.parquet")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = streaming_dedup_sink(
+        read_events_stream(spark, str(src)), sink, ["event_id"], checkpoint=ckpt
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == first.count()
+
+    # tick 2: new file arrives; SAME checkpoint — only it is processed
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    for f in (tmp_path / "b2").glob("*.parquet"):
+        shutil.copy(f, src / "batch2.parquet")
+    q2 = streaming_dedup_sink(
+        read_events_stream(spark, str(src)), sink, ["event_id"], checkpoint=ckpt
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == events.count()
+
+    # tick 3: nothing new — a no-op tick appends nothing
+    q3 = streaming_dedup_sink(
+        read_events_stream(spark, str(src)), sink, ["event_id"], checkpoint=ckpt
+    )
+    q3.awaitTermination()
+    assert spark.read.parquet(sink).count() == events.count()
