@@ -310,3 +310,48 @@ def test_streaming_checkpoint_resume_is_incremental(spark, tmp_path):
     )
     q3.awaitTermination()
     assert spark.read.parquet(sink).count() == events.count()
+
+
+def test_merge_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty batch against an existing partitioned sink must be a
+    clean no-op (a 12-h tick with zero rows), not a crash."""
+    import os
+
+    path = str(tmp_path / "empty_batch_sink")
+    seed = spark.createDataFrame([(1, "d1", "a")], "id int, d string, v string")
+    merge_upsert(spark, seed, path, ["id"], partition_by=["d"])
+    empty = spark.createDataFrame([], "id int, d string, v string")
+    merge_upsert(spark, empty, path, ["id"], partition_by=["d"])
+    assert [(r.id, r.v) for r in spark.read.parquet(path).collect()] == [(1, "a")]
+
+
+def test_compact_refuses_partitioned_root(spark, tmp_path):
+    """Compacting the root of a partitioned table would flatten the
+    layout — it must refuse and direct to per-partition compaction."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources.writers import compact_partition
+
+    path = str(tmp_path / "parts")
+    spark.range(10).selectExpr("id", "'a' AS dt").write.partitionBy("dt").parquet(path)
+    with _pytest.raises(ValueError, match="leaf partition"):
+        compact_partition(spark, path)
+
+
+def test_fresh_rows_nonkey_range_key(spark, tmp_path):
+    """The traffic-sink shape: hash surrogate key, pruning on the
+    timestamp the hash derives from — the non-key range column must
+    be projected for the filter and must not leak into the output."""
+    from traffic_forecast_etl_spark.sinks import fresh_rows
+
+    path = str(tmp_path / "hash_sink")
+    hist = spark.range(0, 100).selectExpr(
+        "xxhash64(id) AS date_id", "id AS datetime", "id * 2 AS v"
+    )
+    hist.write.parquet(path)
+    batch = spark.range(99, 105).selectExpr(
+        "xxhash64(id) AS date_id", "id AS datetime", "id * 2 AS v"
+    )
+    out = fresh_rows(spark, batch, path, ["date_id"], range_key="datetime")
+    assert sorted(out.columns) == ["date_id", "datetime", "v"]
+    assert sorted(r.datetime for r in out.collect()) == [100, 101, 102, 103, 104]

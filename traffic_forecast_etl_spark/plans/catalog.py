@@ -2257,16 +2257,18 @@ _SWEEP_PRIORITY = [
 ]
 
 
-def _reorder(reg: dict, priority: list[str]) -> dict:
-    missing = [k for k in priority if k not in QUERIES]
-    extra = [k for k in QUERIES if k not in priority]
-    if missing or extra:  # fail loudly at import: the list must stay exact
+def _check_priority_exact() -> None:
+    """Fail loudly at import when the priority list drifts from the
+    registered query set (ORACLE is validated as a subset implicitly:
+    its keys are always QUERIES keys via the decorator)."""
+    missing = [k for k in _SWEEP_PRIORITY if k not in QUERIES]
+    extra = [k for k in QUERIES if k not in _SWEEP_PRIORITY]
+    if missing or extra:
         raise RuntimeError(
             f"sweep priority drifted: missing={missing} unlisted={extra}"
         )
-    out = {k: reg[k] for k in priority if k in reg}
-    return out
 
 
-QUERIES = _reorder(QUERIES, _SWEEP_PRIORITY)
-ORACLE = _reorder(ORACLE, _SWEEP_PRIORITY)
+_check_priority_exact()
+QUERIES = {k: QUERIES[k] for k in _SWEEP_PRIORITY}
+ORACLE = {k: ORACLE[k] for k in _SWEEP_PRIORITY if k in ORACLE}

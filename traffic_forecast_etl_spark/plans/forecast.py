@@ -119,6 +119,11 @@ def run_forecast_plane(
         # fractional part >= .5
         F.round(rescale_intensity("prediction")).cast("int").alias("intensity"),
     )
-    n_traffic = insert_if_absent(spark, traffic, traffic_path, keys=["date_id"])
+    # range_key=datetime: a min/max range on the hash key prunes
+    # nothing; datetime is sound as the pruning column because
+    # date_id = xxhash64(datetime) is a function of it
+    n_traffic = insert_if_absent(
+        spark, traffic, traffic_path, keys=["date_id"], range_key="datetime"
+    )
     forecast.unpersist()
     return n_weather, n_traffic

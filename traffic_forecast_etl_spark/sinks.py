@@ -58,7 +58,10 @@ def fresh_rows(
         return deduped
     rk = range_key or keys[0]
     lo, hi = deduped.agg(F.min(rk), F.max(rk)).first()
-    existing = spark.read.parquet(path).select(*keys)
+    # project the range key too when it is not a key column (e.g. a
+    # time-ranged scan of a hash-keyed sink); the extra column rides
+    # on the anti-join's build side and never reaches the output
+    existing = spark.read.parquet(path).select(*dict.fromkeys([*keys, rk]))
     if lo is not None:
         existing = existing.filter(F.col(rk).between(F.lit(lo), F.lit(hi)))
     return deduped.join(existing, on=list(keys), how="left_anti")
@@ -80,15 +83,21 @@ def insert_if_absent(
 
     The existing-side scan is restricted to the batch's
     ``[min, max]`` range of ``range_key`` (default: ``keys[0]``)
-    before the anti-join: any sink row equal to a batch row on ALL
-    keys necessarily falls inside that range, so the pruning never
-    changes the result — but it stops the anti-join from rereading
-    the sink's entire accumulated history every batch. The predicate
+    before the anti-join — it stops the anti-join from rereading the
+    sink's entire accumulated history every batch. The predicate
     reaches the parquet scan as a pushed min/max filter; with a
     layout partitioned on (a function of) the range key it becomes
     partition pruning. A steady 12-h ingest (reference
     dags/traffic_dag.py cadence) therefore scans O(batch window), not
     O(sink lifetime).
+
+    Soundness: when ``range_key`` is a key column, a sink row equal
+    to a batch row on ALL keys necessarily falls inside the batch's
+    range of it. A non-key ``range_key`` (e.g. the timestamp a
+    surrogate hash key derives from — the traffic sink's shape, where
+    a range on the hash itself prunes nothing) is sound iff its value
+    is functionally determined by the keys; that contract is the
+    caller's to uphold and is documented at the call site.
     """
     fresh = fresh_rows(spark, batch, path, keys, range_key)
     # count once, write the same (cached) frame — avoids recomputing
@@ -120,21 +129,30 @@ def merge_upsert(
     partitions the batch touches are read (pruned scan) and rewritten
     (dynamic partition overwrite) — untouched history is never moved.
     A 12-h batch against a years-deep sink rewrites two date
-    partitions, not the sink. Without ``partition_by`` the whole sink
+    partitions, not the sink. CONTRACT: partition values must be
+    functionally determined by ``keys`` (the date-derived-from-key
+    layout this engine writes). If a key could change partitions
+    between batches, its old row in the untouched partition would
+    survive the merge — that shape needs the unpartitioned path or a
+    transactional MERGE. Without ``partition_by`` the whole sink
     rewrites (unavoidable for an unpartitioned parquet dir) through a
     unique staging dir swapped in by rename.
 
-    Not transactional: local-fs renames and Spark's dynamic-overwrite
-    commit are each atomic-enough per partition, but a crash between
-    them can leave a partially-updated sink (the unique staging path
-    at least means a *complete* copy always exists and concurrent
-    merges cannot collide on staging). The real 100 TB answer is
-    Delta/Iceberg `MERGE INTO` — jars absent here, same call shape.
+    Not transactional, single-writer: unique staging means merges
+    never collide on a shared staging dir and a complete copy exists
+    until the swap, but the rename swap itself is not safe against a
+    CONCURRENT merge or reader of the same sink (a reader can observe
+    the gap between the two renames), and a crash between renames
+    leaves the sink under the ``__old`` name. The real 100 TB answer
+    is Delta/Iceberg `MERGE INTO` — jars absent here, same call
+    shape.
     """
     deduped = batch.dropDuplicates(list(keys))
     exists = _sink_exists(spark, path)
 
     if partition_by and exists:
+        if not deduped.limit(1).count():
+            return  # empty batch: MERGE of nothing is a no-op
         # restrict the existing-side read to the touched partitions
         touched = deduped.select(*partition_by).distinct().collect()
         pred = None

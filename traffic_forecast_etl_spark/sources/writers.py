@@ -64,6 +64,18 @@ def compact_partition(
 
     sub = "".join(f"/{k}={v}" for k, v in (partition or {}).items())
     target_dir = f"{path}{sub}"
+    # refuse to flatten a partitioned layout: compacting the root of a
+    # table whose children are k=v dirs would rewrite partition dirs
+    # as flat files and wreck partition discovery for later appends
+    has_part_dirs = any(
+        "=" in d and os.path.isdir(os.path.join(target_dir, d))
+        for d in os.listdir(target_dir)
+    )
+    if has_part_dirs:
+        raise ValueError(
+            f"{target_dir} contains partition directories — compact each "
+            "leaf partition (pass `partition=`), not the table root."
+        )
     size_b = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, files in os.walk(target_dir)
