@@ -1,0 +1,126 @@
+"""Semantics tests for the round-2 curation additions: entropy /
+repetition quality signals, benchmark decontamination, token-bin
+packing, and deterministic hash sampling (oracle equivalence for
+their catalog queries is covered by tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from traffic_forecast_etl_spark.operators import sampling as SM
+from traffic_forecast_etl_spark.operators import text as TX
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_char_entropy_known_values(spark):
+    df = _docs(spark, ["aaaa", "ab", ""])
+    out = {
+        r["doc_id"]: r
+        for r in TX.char_entropy(df, "text", "doc_id").collect()
+    }
+    assert out[0]["char_entropy"] == 0.0  # single symbol: zero entropy
+    assert out[1]["char_entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[2]["char_entropy"] == 0.0 and out[2]["n_chars"] == 0
+
+
+def test_repetition_known_values(spark):
+    df = _docs(spark, ["a b a b a b", "w x y z"])
+    out = {
+        r["doc_id"]: r
+        for r in TX.repetition_stats(df, "text", "doc_id", n=3).collect()
+    }
+    # grams: "a b a","b a b","a b a","b a b" -> 4 total, 2 distinct
+    assert out[0]["n_grams"] == 4 and out[0]["n_distinct_grams"] == 2
+    assert out[0]["dup_gram_frac"] == 0.5
+    assert out[1]["dup_gram_frac"] == 0.0
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    bench = _docs(spark, ["the quick brown fox jumps over"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "we saw the quick brown fox yesterday"),  # shares a 4-gram
+            (11, "completely unrelated text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in TX.decontaminate(corpus, bench, "text", "doc_id", n=4).collect()
+    }
+    assert out == {10: True, 11: False}
+
+
+def test_pack_token_bins_layout(spark):
+    # 5 docs x 4 tokens, budget 8 -> two docs per bin in doc_id order
+    df = _docs(spark, ["a b c d"] * 5)
+    rows = sorted(
+        TX.pack_token_bins(df, "text", "doc_id", budget=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["bin_id"] for r in rows] == [0, 0, 1, 1, 2]
+    # deterministic: same assignment on a re-built plan
+    again = sorted(
+        TX.pack_token_bins(df, "text", "doc_id", budget=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["bin_id"] for r in rows] == [r["bin_id"] for r in again]
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in SM.hash_sample(df, "k", 0.3).collect()}
+    # repartitioning must not change the selected set (unlike df.sample)
+    b = {r["k"] for r in SM.hash_sample(df.repartition(7), "k", 0.3).collect()}
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_split_train_eval_disjoint_exhaustive(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    train, ev = SM.split_train_eval(df, "k", eval_rate=0.2)
+    t = {r["k"] for r in train.collect()}
+    e = {r["k"] for r in ev.collect()}
+    assert t.isdisjoint(e)
+    assert len(t) + len(e) == 1000
+    # different salts give decorrelated (not nested) samples
+    s1 = {r["k"] for r in SM.hash_sample(df, "k", 0.2, salt="a").collect()}
+    s2 = {r["k"] for r in SM.hash_sample(df, "k", 0.2, salt="b").collect()}
+    assert s1 != s2 and not s1 <= s2
+
+
+def test_stratified_rates_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)], ["k", "lang"]
+    )
+    out = SM.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.5}, default_rate=0.1
+    ).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in out}
+    assert 400 < counts["en"] < 600
+    assert 50 < counts["de"] < 150
+    with pytest.raises(ValueError):
+        SM.hash_sample(df, "k", 1.5)
+    with pytest.raises(ValueError):
+        SM.stratified_hash_sample(df, "k", "lang", {"en": -0.1})
+
+
+def test_curation_scoring_passes_are_shuffle_free(spark):
+    """The quality-scoring family must fuse into the scan: no Exchange
+    in the plan (the 100 TB scoring-pass contract)."""
+    df = _docs(spark, ["some text here"] * 3)
+    for out in (
+        TX.char_entropy(df, "text", "doc_id"),
+        TX.repetition_stats(df, "text", "doc_id"),
+        SM.hash_sample(df, "doc_id", 0.5),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

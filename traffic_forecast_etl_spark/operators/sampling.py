@@ -1,0 +1,87 @@
+"""Deterministic sampling operators (engine extension; the reference
+has no sampling plane — pandas `.sample` is the closest analogue).
+
+Training-data pipelines need samples that are (a) reproducible across
+runs and engines, (b) stable under re-partitioning, and (c) cheap at
+100 TB. Spark's `df.sample()` satisfies none of these: it is seeded
+per-partition, so the selected rows change whenever the partitioning
+does. The operators here hash a KEY instead — selection is a pure
+function of the row, independent of physical layout, identical on any
+engine that has md5 (which is why the DuckDB oracle reproduces it
+bit-for-bit; xxhash64 is the cheaper engine-internal alternative with
+the same plan shape).
+
+All map-only: the sample predicate fuses into the parquet scan, and
+column pruning means only the key column is read when the caller
+projects afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Denominator for the hash bucket: the first 8 hex chars of md5 as an
+# integer, mod _BUCKETS, is uniform on [0, _BUCKETS). 1e6 buckets give
+# rate granularity of 1e-6 — fine-grained enough for corpus work while
+# staying far from the 2^32 ceiling of the 8-hex-char prefix.
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform deterministic bucket in [0, 1e6) from md5(salt||key).
+
+    The salt decorrelates independent samples over the same keys
+    (e.g. a 1% eval split and a 10% training subsample must not nest).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.encode(F.concat(F.lit(salt), c.cast("string")), "UTF-8"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash: reproducible across
+    runs, engines, and physical layouts; the same key always lands on
+    the same side (so a key-correlated table sampled with the same
+    salt stays referentially consistent)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(hash_bucket(key_col, salt) < int(rate * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing pass
+    (e.g. keep 100% of high-quality sources, 10% of the crawl tail).
+    ``rates`` maps stratum value → keep rate; unlisted strata get
+    ``default_rate``. Map-only: the per-stratum threshold is a CASE
+    expression, not a join, so it fuses into the scan."""
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0,1], got {rate}")
+    threshold = F.lit(int(default_rate * _BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * _BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
+def split_train_eval(
+    df: DataFrame, key_col: str, eval_rate: float = 0.01, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive train/eval split by key hash — the
+    leakage-safe counterpart of a random split: a key can never
+    appear on both sides, even across re-runs or backfills."""
+    cut = int(eval_rate * _BUCKETS)
+    bucket = hash_bucket(key_col, salt)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)

@@ -11,7 +11,7 @@ what you want for a 100 TB scoring pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal high-frequency stopword profiles per language — enough
@@ -328,6 +328,152 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), clean.alias("text_clean"), *counts)
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution
+    (nats) — the boilerplate/garbage signal in rule-based quality
+    filtering (near-zero entropy = repeated filler; very high =
+    random bytes).
+
+    Deliberately MAP-ONLY: instead of explode(char)→groupBy(doc,char)
+    (which shuffles O(total_chars) rows), the distribution is computed
+    inside array expressions per row — the alphabet is small, so the
+    O(|alphabet|·len) scan beats a corpus-wide shuffle at any scale,
+    and the whole pass fuses into the parquet scan like the other
+    scoring ops. The distinct-char list is sorted so the fold order
+    (and hence double rounding) is deterministic and matches the
+    DuckDB oracle's sorted list fold."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    p_of = lambda u: F.size(F.filter(chars, lambda c: c == u)) / n  # noqa: E731
+    ent = -F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, u: acc + p_of(u) * F.log(p_of(u)),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.size(uniq).alias("n_distinct_chars"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias("char_entropy"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Within-document repetition: the fraction of word n-grams that
+    are duplicates (1 − distinct/total) — the Gopher-style "repeated
+    lines/paragraphs" signal adapted to token n-grams. High values
+    flag looping boilerplate that survives per-document dedup because
+    the repetition is internal.
+
+    Map-only like the other scoring passes: n-grams are materialized
+    as an array expression per row (slice+join over a sequence), so
+    the pass fuses into the scan with zero shuffle."""
+    toks = tokens(text_col)
+    # greatest(…, 1) (not 0): Spark sequence(1, 0) counts DOWN to
+    # [1, 0] — the guard must clamp to one (possibly short) gram, the
+    # same convention as the d4 oracle's range(1, greatest(len−n+1, 1)+1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/eval set — the standard pre-training
+    hygiene pass (cf. GPT-3/PaLM appendix decontamination: 8-13-gram
+    overlap against eval sets; n is a parameter because the right
+    value depends on tokenizer and corpus).
+
+    Returns (id, contaminated) for every corpus row.
+
+    Plan shape: both sides explode to (doc, gram) postings over the
+    NORMALIZED text (same canonical form as the dedup family); the
+    benchmark side is collapsed to distinct grams and BROADCAST — an
+    eval suite is tiny next to a 100 TB corpus, so the corpus side is
+    checked map-side with zero shuffle of corpus data. The corpus
+    postings carry (id, 64-bit hash), never the text. Contaminated
+    ids are distinct-collapsed before the final broadcast back onto
+    the corpus spine, so the output is one row per input."""
+    from .dedup import normalize_text
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(normalize_text(text_col), r"\s+"), lambda t: t != "")
+        # greatest(…, 1): sequence(1, 0) would count DOWN — clamp to
+        # one (possibly short) gram, matching the oracle's range()
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        )
+        return df.select(F.col(id_col), F.explode(g).alias("__g"))
+
+    bench_grams = grams_of(benchmark).select("__g").distinct()
+    hits = (
+        grams_of(corpus)
+        .join(F.broadcast(bench_grams), "__g")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+def pack_token_bins(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 2048,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to ~``budget``-token training shards
+    ("sequence packing" at the sharding granularity): documents are
+    laid out in deterministic ``id`` order and bin k covers token
+    offsets [k·budget, (k+1)·budget) — bin_id = floor(cumulative
+    tokens before this doc / budget). Contiguous, deterministic, and
+    exactly reproducible in SQL (unlike best-fit packing, which is
+    order-dependent heuristic state — for that, the per-bin greedy
+    pass would run inside applyInPandas per shard AFTER this coarse
+    assignment, at budget-bounded state).
+
+    One window shuffle keyed by the stratum (or a single global
+    ordering when ``strata_col`` is None — fine for a shard count,
+    wrong for row-level at 100 TB; pass a stratum)."""
+    n_tok = F.size(tokens(text_col))
+    w = (
+        Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    ).orderBy(id_col)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    out = df.select(
+        F.col(id_col),
+        *([strata_col] if strata_col else []),
+        n_tok.alias("n_tokens"),
+    ).withColumn("bin_id", F.floor(cum_before / budget).cast("long"))
+    return out
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

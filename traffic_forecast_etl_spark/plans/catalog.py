@@ -36,6 +36,7 @@ from ..operators import aggregates as A
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
+from ..operators import sampling as SM
 from ..operators import multimodal as MM
 from ..functions import dates as FD
 from ..functions import units as FU
@@ -1968,6 +1969,161 @@ def c1_curate_corpus(spark, sf_dir):
     return out.select("doc_id", "n_tokens", F.round("quality", 6).alias("quality"))
 
 
+@query(
+    "t10_char_entropy",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS chars
+      FROM documents
+    ), u AS (
+      SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uniq,
+             len(chars) AS n
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(uniq) AS BIGINT) AS n_distinct_chars,
+           CASE WHEN n > 0 THEN
+             round(-list_sum(list_transform(uniq,
+               x -> (CAST(len(list_filter(chars, c -> c = x)) AS DOUBLE) / n)
+                  * ln(CAST(len(list_filter(chars, c -> c = x)) AS DOUBLE) / n))), 6)
+           ELSE 0.0 END AS char_entropy
+    FROM u
+    """,
+)
+def t10_char_entropy(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy — the
+    boilerplate/garbage quality signal. Map-only (in-row array fold
+    over the sorted distinct alphabet), zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.char_entropy(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        "char_entropy",
+    )
+
+
+@query(
+    "t11_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+2], ' ')
+              for i in range(1, greatest(len(t) - 2, 1) + 1)] AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+           CASE WHEN len(grams) > 0 THEN
+             round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+           ELSE 0.0 END AS dup_gram_frac
+    FROM g
+    """,
+)
+def t11_repetition(spark, sf_dir):
+    """Within-document repetition (duplicate word-3-gram fraction) —
+    the Gopher-style internal-repetition quality signal. Map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.repetition_stats(docs, "text", "doc_id", n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
+        "dup_gram_frac",
+    )
+
+
+@query(
+    "c2_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+               '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(t[i:i+3], ' ')
+                     for i in range(1, greatest(len(t) - 3, 1) + 1)]) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE source = 'src0'
+    ), hit AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def c2_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    4-gram with the held-out benchmark slice (source 'src0' plays the
+    eval suite). Benchmark gram set is broadcast — corpus text never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return TX.decontaminate(corpus, benchmark, "text", "doc_id", n=4)
+
+
+@query(
+    "c3_pack_token_bins",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+)
+def c3_pack_token_bins(spark, sf_dir):
+    """Sequence packing at sharding granularity: deterministic
+    contiguous ~512-token bins per language stratum (one window
+    shuffle keyed by the stratum)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pack_token_bins(
+        docs, "text", "doc_id", budget=512, strata_col="lang"
+    )
+
+
+@query(
+    "d7_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000)
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+)
+def d7_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (the mixing pass):
+    keep 50% of 'en', 25% of 'fr', 10% of everything else, selected
+    by md5 key hash — reproducible across engines and layouts,
+    map-only (CASE threshold, no join)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SM.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25}, default_rate=0.1,
+        salt="mix1",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (engine extensions; decode kernel stubbed — see
 # operators/multimodal.py)
@@ -2228,7 +2384,9 @@ _SWEEP_PRIORITY = [
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
-    "t8_redact_pii", "t9_chunk_documents", "c1_curate_corpus",
+    "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
+    "t11_repetition", "c1_curate_corpus", "c2_decontaminate",
+    "c3_pack_token_bins", "d7_stratified_sample",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
