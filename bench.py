@@ -43,6 +43,11 @@ HEADLINE = [
     "t2_quality_score",
     "t4_fingerprint",
     "m1_media_features",
+    # round-2 capability families, appended so earlier per-query keys
+    # stay comparable across rounds
+    "t10_char_entropy",
+    "c2_decontaminate",
+    "d7_stratified_sample",
 ]
 
 

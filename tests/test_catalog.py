@@ -40,7 +40,6 @@ def test_oracle_coverage(spark):
         "s2_lsh_ann",
         "s3_ivf_ann",
         "a10_approx_distinct",
-        "t3_lang_id",
     }
 
 

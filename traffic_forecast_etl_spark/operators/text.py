@@ -336,28 +336,37 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     filtering (near-zero entropy = repeated filler; very high =
     random bytes).
 
-    Deliberately MAP-ONLY: instead of explode(char)→groupBy(doc,char)
-    (which shuffles O(total_chars) rows), the distribution is computed
-    inside array expressions per row — the alphabet is small, so the
-    O(|alphabet|·len) scan beats a corpus-wide shuffle at any scale,
-    and the whole pass fuses into the parquet scan like the other
-    scoring ops. The distinct-char list is sorted so the fold order
-    (and hence double rounding) is deterministic and matches the
-    DuckDB oracle's sorted list fold."""
-    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
-    n = F.size(chars)
-    uniq = F.array_sort(F.array_distinct(chars))
-    p_of = lambda u: F.size(F.filter(chars, lambda c: c == u)) / n  # noqa: E731
-    ent = -F.aggregate(
-        uniq,
-        F.lit(0.0),
-        lambda acc, u: acc + p_of(u) * F.log(p_of(u)),
-    )
-    return df.select(
+    Plan shape: explode(char) → two hash aggregates, NOT an in-row
+    higher-order-function fold. The fold version was tried first and
+    was 15× slower at sf0.1: array lambdas are interpreted
+    (CodegenFallback), while explode + count/sum aggregates stay
+    inside whole-stage codegen, and map-side partial aggregation
+    collapses the (doc, char) stream to O(docs · alphabet) rows
+    before it ever shuffles — at 100 TB the shuffle carries character
+    histograms, never characters. Entropy is then the closed form
+    ln N − (Σ n·ln n)/N over the histogram. An empty-text doc has no
+    exploded rows, so the doc spine is joined back to keep one output
+    row per input (entropy 0)."""
+    chars = df.select(
         F.col(id_col),
-        n.alias("n_chars"),
-        F.size(uniq).alias("n_distinct_chars"),
-        F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias("char_entropy"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("__c"),
+    )
+    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.sum(F.col("__n") * F.log("__n")).alias("__sum_nlnn"),
+    )
+    ent = F.log("__total") - F.col("__sum_nlnn") / F.col("__total")
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__total").cast("int"), F.lit(0)).alias("n_chars"),
+        F.coalesce(F.col("__distinct").cast("int"), F.lit(0)).alias(
+            "n_distinct_chars"
+        ),
+        F.coalesce(F.round(ent, 6), F.lit(0.0)).alias("char_entropy"),
     )
 
 
@@ -417,14 +426,33 @@ def decontaminate(
     from .dedup import normalize_text
 
     def grams_of(df: DataFrame) -> DataFrame:
-        toks = F.filter(F.split(normalize_text(text_col), r"\s+"), lambda t: t != "")
-        # greatest(…, 1): sequence(1, 0) would count DOWN — clamp to
-        # one (possibly short) gram, matching the oracle's range()
-        g = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        # explode positions + slice/concat_ws/xxhash64 — regular
+        # (codegen) expressions, NOT a transform() lambda: array
+        # higher-order functions are interpreted and were 4× slower
+        # on the corpus-sized side. greatest(…, 1): sequence(1, 0)
+        # would count DOWN — clamp to one (possibly short) gram,
+        # matching the oracle's range().
+        toks = df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(normalize_text(text_col), r"\s+"), lambda t: t != ""
+            ).alias("__t"),
         )
-        return df.select(F.col(id_col), F.explode(g).alias("__g"))
+        pos = toks.select(
+            id_col,
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__t") - F.lit(n - 1), F.lit(1))
+                )
+            ).alias("__i"),
+        )
+        return pos.select(
+            F.col(id_col),
+            F.xxhash64(F.concat_ws(" ", F.slice("__t", F.col("__i"), n))).alias(
+                "__g"
+            ),
+        )
 
     bench_grams = grams_of(benchmark).select("__g").distinct()
     hits = (

@@ -1932,11 +1932,44 @@ def t9_chunk_documents(spark, sf_dir):
     return out.withColumn("n_chunk_tokens", F.col("n_chunk_tokens").cast("int"))
 
 
-@query("t3_lang_id")
+# the t3 oracle is generated from the SAME stopword table the engine
+# uses (operators/text._STOPWORDS) so the two can never drift; the
+# vote tie-break is struct comparison (score, then lang) on both
+# engines — Spark array_max(struct) ≡ DuckDB list_sort(struct)[-1]
+def _t3_oracle() -> str:
+    votes = ", ".join(
+        "{'score': CAST(len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], x))) AS DOUBLE) / greatest(len(t), 1), 'lang': '" + lang + "'}"
+        for lang, words in TX._STOPWORDS.items()
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS t
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, text, [{votes}] AS votes FROM toks
+    ), best AS (
+      SELECT doc_id, text, list_sort(votes)[-1] AS b FROM sc
+    )
+    SELECT doc_id,
+           CASE WHEN CAST(len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                     / greatest(len(text), 1) > 0.25 THEN 'zh'
+                WHEN b.score > 0 THEN b.lang
+                ELSE 'unk' END AS lang_pred
+    FROM best
+    """
+
+
+@query("t3_lang_id", _t3_oracle())
 def t3_lang_id(spark, sf_dir):
-    """Language ID (CJK share + stopword votes). Heuristic →
-    rows-only; accuracy vs the `lang` ground-truth column is asserted
-    in tests/test_text.py."""
+    """Language ID (CJK share + stopword votes). The heuristic is
+    deterministic, so it gets a full value oracle (generated from the
+    shared stopword table); accuracy vs the `lang` ground-truth column
+    is additionally asserted in tests/test_catalog.py."""
     docs = _t(spark, sf_dir, "documents")
     return TX.lang_id(docs, "text", "doc_id")
 
