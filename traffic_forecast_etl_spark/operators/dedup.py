@@ -254,23 +254,42 @@ def minhash_lsh_pairs(
     #       sd ≈ sqrt(j(1-j)/H); prune candidates more than ~2.5σ
     #       below the threshold. Corpora with a shared vocabulary
     #       (like this one) produce 10-100× more band collisions than
-    #       true near-dups. Computed via posexplode + two BROADCAST
-    #       hash joins + a count — NOT zip_with/filter lambdas:
-    #       higher-order functions are interpreted (CodegenFallback)
-    #       and were the pipeline's hottest stage;
-    #   (b) exact-Jaccard postings join on the survivors only.
+    #       true near-dups.
+    #   (b) exact-Jaccard set comparison on the survivors only.
+    #
+    # Both stages compare PER-DOC ARRAYS with array_intersect (a
+    # regular codegen expression, O(n+m) hash-set probe per pair) —
+    # NOT per-component/per-shingle posexplode joins, which shuffled
+    # |pairs|·num_hashes and |docs|·|shingles| rows and were 3× the
+    # pipeline's wall time; and NOT zip_with/filter lambdas, which
+    # are interpreted (CodegenFallback). Position is folded into the
+    # component value by hashing (i, x) pairs — done once per DOC, so
+    # the only per-pair work is the intersect itself. The tag table
+    # derives from the persisted signature frame and joins the pair
+    # stream keyed by id — a plain equi-join that AQE broadcasts when
+    # it fits and leaves as an id-keyed shuffle join at 100 TB (never
+    # an explicit corpus-wide broadcast hint).
     sig_margin = 2.5 * (0.25 / num_hashes) ** 0.5  # j(1-j) ≤ 0.25
-    comp = with_sig.select("__id", F.posexplode("__sig").alias("__pos", "__val"))
+    tagged = with_sig.select(
+        "__id",
+        # one interpreted lambda per DOC (not per pair): tag each
+        # component with its position so intersect == agreement count
+        F.expr("transform(__sig, (x, i) -> xxhash64(i, x))").alias("__tag"),
+    )
     n_agree = (
         cand.join(
-            F.broadcast(comp.withColumnsRenamed({"__id": "id1"})), "id1"
+            tagged.select(F.col("__id").alias("id1"), F.col("__tag").alias("__t1")),
+            "id1",
         )
         .join(
-            F.broadcast(comp.withColumnsRenamed({"__id": "id2"})),
-            ["id2", "__pos", "__val"],
+            tagged.select(F.col("__id").alias("id2"), F.col("__tag").alias("__t2")),
+            "id2",
         )
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("__agree"))
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("__t1", "__t2")).alias("__agree"),
+        )
     )
     est = (
         n_agree.filter(F.col("__agree") / num_hashes >= jaccard_threshold - sig_margin)
@@ -278,27 +297,35 @@ def minhash_lsh_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds id-restriction + 2 verify joins
     )
     # exact verification touches only docs that survive the estimate
-    # filter — restrict the shingle stream to them BEFORE the distinct
-    # shuffle (hundreds of docs instead of the whole corpus).
+    # filter: collapse their shingle streams to per-doc hash SETS
+    # (collect_set dedups — no separate distinct shuffle) and compare
+    # sets per pair. Task memory is O(one doc's shingle set); the
+    # 64-bit shingle hash stands in for the string (collision odds
+    # ~n²·2⁻⁶⁴; d4 is the exact-string ground truth).
     ids_needed = (
         est.select(F.col("id1").alias("__id"))
         .unionByName(est.select(F.col("id2").alias("__id")))
         .distinct()
     )
-    sh = raw_sh.join(F.broadcast(ids_needed), "__id", "left_semi").distinct()
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    common = (
-        est.join(sh.withColumnsRenamed({"__id": "id1"}), "id1")
-        .join(sh.withColumnsRenamed({"__id": "id2"}), ["id2", "__s"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("__common"))
+    sh_sets = (
+        raw_sh.join(F.broadcast(ids_needed), "__id", "left_semi")
+        .groupBy("__id")
+        .agg(F.collect_set(F.xxhash64("__s")).alias("__set"))
     )
     return (
-        common.join(sizes.withColumnsRenamed({"__id": "id1", "__sz": "__sz1"}), "id1")
-        .join(sizes.withColumnsRenamed({"__id": "id2", "__sz": "__sz2"}), "id2")
+        est.join(
+            sh_sets.select(F.col("__id").alias("id1"), F.col("__set").alias("__s1")),
+            "id1",
+        )
+        .join(
+            sh_sets.select(F.col("__id").alias("id2"), F.col("__set").alias("__s2")),
+            "id2",
+        )
+        .withColumn("__common", F.size(F.array_intersect("__s1", "__s2")))
         .withColumn(
             "jaccard",
-            F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common")),
+            F.col("__common")
+            / (F.size("__s1") + F.size("__s2") - F.col("__common")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
