@@ -140,3 +140,18 @@ def test_allpairs_refuses_oversized_corpus(spark, emb):
 
     with pytest.raises(ValueError, match="ivf_topk"):
         blocked_allpairs_cosine(emb, "vec_id", "embedding", 0.3, max_rows=100)
+
+
+def test_label_centroids_assembled_in_dim_order(spark):
+    from traffic_forecast_etl_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "label int, embedding array<double>",
+    )
+    rows = {
+        r["label"]: r
+        for r in label_centroids(df, "embedding", "label").collect()
+    }
+    assert rows[1]["centroid"] == [2.0, 3.0] and rows[1]["n_vectors"] == 2
+    assert rows[2]["centroid"] == [5.0, 6.0] and rows[2]["n_vectors"] == 1

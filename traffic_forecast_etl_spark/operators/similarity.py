@@ -450,3 +450,34 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the embedding
+    aggregation pass behind IVF coarse-quantizer training, prototype
+    classifiers, and cluster summaries.
+
+    Plan shape: posexplode to (label, dim, value) → hash aggregate
+    keyed by (label, dim) — map-side partial aggregation collapses
+    each partition to |labels|·d running sums before the shuffle, so
+    the exchange carries per-label histograms, never vectors — then a
+    per-label collect_list re-assembles the centroid with an explicit
+    (dim, avg) sort (collect_list order is partition-arbitrary).
+
+    Returns (label, centroid array<double>, n_vectors).
+    """
+    comp = df.select(
+        F.col(label_col), F.posexplode(vec_col).alias("__pos", "__v")
+    )
+    per_dim = comp.groupBy(label_col, "__pos").agg(
+        F.avg("__v").alias("__avg"), F.count(F.lit(1)).alias("__n")
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__avg"))),
+            lambda s: s["__avg"],
+        ).alias("centroid"),
+        F.max("__n").alias("n_vectors"),
+    )

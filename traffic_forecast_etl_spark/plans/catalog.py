@@ -2157,6 +2157,26 @@ def d7_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+@query(
+    "a11_embedding_centroid",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(embedding[i]), 6) AS avg_val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, dim
+    """,
+)
+def a11_embedding_centroid(spark, sf_dir):
+    """Per-label mean embedding (class centroids): posexplode →
+    (label, dim) partial-agg — the shuffle carries per-label running
+    sums, never vectors. Long (label, dim, avg) form for the oracle;
+    the operator's assembled array output is exercised by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = S.label_centroids(emb, "embedding", "label")
+    return cent.select(
+        "label", F.posexplode("centroid").alias("dim", "__v")
+    ).select("label", "dim", F.round("__v", 6).alias("avg_val"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (engine extensions; decode kernel stubbed — see
 # operators/multimodal.py)
@@ -2385,6 +2405,37 @@ def st4_stream_stream_join(spark, sf_dir):
     )
 
 
+@query(
+    "st5_stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st5_stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join (the dimension-lookup pattern):
+    the event stream joins the broadcast customer snapshot per
+    micro-batch — stateless, so no watermark and no state store.
+    Oracle is the batch join: AvailableNow over a static source must
+    emit exactly the batch answer."""
+    from ..streaming.micro_batch import (
+        read_events_stream,
+        run_available_now,
+        streaming_enrich_join,
+    )
+
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = streaming_enrich_join(
+        events, cust, events["user_id"] == cust["c_custkey"]
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+    return run_available_now(
+        joined, query_name="st5_out", output_mode="append"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry
 # ---------------------------------------------------------------------------
@@ -2411,10 +2462,10 @@ _SWEEP_PRIORITY = [
     "w5_tumbling_window", "w6_sliding_window", "w7_sessionize", "w8_funnel",
     "w9_rank_family", "w10_cohort_retention",
     "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
-    "st4_stream_stream_join",
+    "st4_stream_stream_join", "st5_stream_static_enrich",
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
     "d5_embedding_neardup", "d6_near_dedup_filter",
-    "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann",
+    "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "a11_embedding_centroid",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",

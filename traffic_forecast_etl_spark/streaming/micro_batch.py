@@ -170,3 +170,17 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_enrich_join(
+    stream: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (broadcast) dimension snapshot — the lookup-table pattern for
+    attaching slowly-changing reference data to an event stream.
+    Stateless (no watermark, no state store): each batch is enriched
+    independently, so state never accumulates regardless of stream
+    length. The static side re-resolves per micro-batch, which is
+    what makes dimension updates visible mid-stream on a real
+    deployment."""
+    return stream.join(F.broadcast(dim), on, how)
