@@ -75,3 +75,23 @@ def test_near_dedup_filter_keeps_min_per_cluster(spark):
         r.doc_id for r in near_dedup_filter(df, "text", "doc_id", jaccard_threshold=0.5).collect()
     )
     assert kept == [1, 3]
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    from traffic_forecast_etl_spark.operators.dedup import incremental_exact_dedup
+
+    seen = spark.createDataFrame([(0, "Hello World")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (10, "hello, world!"),    # normalizes to a corpus duplicate
+            (11, "fresh content"),
+            (12, "Fresh   CONTENT"),  # within-batch dup of 11 -> min id kept
+            (13, "unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(new, seen, "text", "doc_id").collect()
+    }
+    assert kept == {11, 13}

@@ -124,6 +124,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame, seen_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup for CONTINUOUS INGESTION: keep rows of ``new_df``
+    that (a) are the min-id representative of their duplicate group
+    within the batch and (b) don't duplicate anything already in
+    ``seen_df`` — the shape a daily crawl-ingest pipeline runs, where
+    re-deduplicating the full corpus per batch would be O(corpus)
+    forever.
+
+    Both legs are keyed by a 64-bit fingerprint of the normalized
+    text: the within-batch groupBy shuffles the batch once, and the
+    against-corpus leg is an anti-join against the corpus's DISTINCT
+    fingerprint projection — 8 bytes per historical doc, the thing a
+    production deployment materializes once as a compacted
+    fingerprint store (sinks.insert_if_absent keeps it current) so
+    steady state reads O(batch) + O(fingerprint store), never the
+    corpus text."""
+    fp = F.xxhash64(normalize_text(text_col))
+    new_fp = new_df.withColumn("__fp", fp)
+    seen_fp = seen_df.select(fp.alias("__fp")).distinct()
+    batch_rep = new_fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    return (
+        new_fp.join(batch_rep, "__fp")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .join(seen_fp, "__fp", "left_anti")
+        .drop("__fp", "__keep")
+    )
+
+
 def _minhash_signature(base_hashes: Column, num_hashes: int, seed: int = 42) -> list[Column]:
     """num_hashes minhash values over a pre-hashed shingle array
     (``base_hashes`` = xxhash64(shingle) mod p, materialized ONCE as a

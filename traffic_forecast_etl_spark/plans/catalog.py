@@ -1295,6 +1295,37 @@ def w1_rolling_avg(spark, sf_dir):
 
 
 @query(
+    "w11_time_range_rolling",
+    """
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+           round(avg(value) OVER w, 6) AS rolling_avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_time_range_rolling(spark, sf_dir):
+    """TIME-range rolling aggregate (RANGE frame over epoch seconds,
+    not a row count): each event averages the trailing hour of its
+    user's events — the hypertable time_bucket-free rolling form.
+    Distinct from w1: a RANGE frame includes ALL peers within the
+    interval regardless of row count, so it is robust to irregular
+    event spacing. One shuffle keyed by user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg_1h"),
+    )
+
+
+@query(
     "w2_topk_per_group",
     """
     SELECT o_orderpriority, o_orderkey, rnk FROM (
@@ -2135,6 +2166,40 @@ def c3_pack_token_bins(spark, sf_dir):
 
 
 @query(
+    "d8_incremental_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS f
+      FROM documents
+    ), batch AS (
+      SELECT * FROM fp WHERE source = 'src19'
+    ), seen AS (
+      SELECT DISTINCT f FROM fp WHERE source <> 'src19'
+    ), rep AS (
+      SELECT f, min(doc_id) AS keep FROM batch GROUP BY f
+    )
+    SELECT b.doc_id FROM batch b
+    JOIN rep r ON b.f = r.f AND b.doc_id = r.keep
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.f = b.f)
+    """,
+)
+def d8_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup: the 'src19' slice plays the new
+    batch, everything else the existing corpus. Within-batch min-id
+    representative + anti-join against the corpus fingerprint set
+    (8-byte keys — steady state never rereads corpus text)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.incremental_exact_dedup(
+        docs.filter(F.col("source") == "src19"),
+        docs.filter(F.col("source") != "src19"),
+        "text",
+        "doc_id",
+    )
+    return out.select("doc_id")
+
+
+@query(
     "d7_stratified_sample",
     """
     SELECT doc_id, lang, source
@@ -2460,7 +2525,7 @@ def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
 _SWEEP_PRIORITY = [
     # extension operators: zero correctness rows in round 1 — verify first
     "w5_tumbling_window", "w6_sliding_window", "w7_sessionize", "w8_funnel",
-    "w9_rank_family", "w10_cohort_retention",
+    "w9_rank_family", "w10_cohort_retention", "w11_time_range_rolling",
     "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
     "st4_stream_stream_join", "st5_stream_static_enrich",
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
@@ -2470,7 +2535,7 @@ _SWEEP_PRIORITY = [
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
     "t11_repetition", "c1_curate_corpus", "c2_decontaminate",
-    "c3_pack_token_bins", "d7_stratified_sample",
+    "c3_pack_token_bins", "d7_stratified_sample", "d8_incremental_dedup",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
