@@ -115,3 +115,69 @@ def test_no_row_udfs_registered():
 )
 def test_decorrelation_plan_shapes(spark, sf_dir, query, needle):
     assert needle in plan_of(spark, query, sf_dir), f"{query} lost {needle!r}"
+
+
+# Queries allowed to funnel a full stream through one task or use a
+# cartesian product, each with the documented justification.
+_SINGLE_PARTITION_WINDOW_OK = {
+    # global row_number ordering IS the operator's contract; the scale
+    # path is temporal_split_at (date cutoff) — see relational.py
+    "o2_temporal_split",
+    # deliberately tiny: ranks the 5-row distinct-agg output
+    "a5_distinct_agg",
+}
+_CARTESIAN_OK = {
+    # broadcast query-side × corpus is the documented exact baseline
+    "s1_cosine_topk",
+    # |queries| × n_centroids shortlist — bounded by centroid count
+    "s3_ivf_ann", "s2_lsh_ann",
+    # blocked all-pairs cosine is O(n²) BY CONTRACT (oracle baseline;
+    # guard-railed: auto-sized blocks + >1M-row refusal)
+    "d5_embedding_neardup",
+    # 1-row global-stats frame joined back onto the stream
+    "a2_minmax_normalize", "a3_profile", "q14_promo_share",
+    "q17_below_avg_parts", "p_const_first_row",
+    # 1-row corpus-count (IDF denominator) broadcast onto the TF stream
+    "t7_tfidf_topterms",
+}
+
+
+def test_no_unjustified_single_partition_windows(spark, sf_dir):
+    """Catalog-wide scale audit: a Window with `Exchange
+    SinglePartition` below it pushes the FULL stream through one task
+    (the trap fixed in minmax_normalize_expr). Every occurrence must
+    be on the allow-list with a documented reason."""
+    offenders = []
+    for name in QUERIES:
+        if name.startswith("st"):  # streaming plans build sinks, not explains
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window" not in ln:
+                continue
+            # the Window's required child exchange is the FIRST
+            # Exchange printed below it; a SinglePartition exchange
+            # elsewhere in the tree (e.g. a 1-row count branch) is fine
+            for nxt in lines[i + 1:]:
+                if "Exchange" in nxt:
+                    if (
+                        "Exchange SinglePartition" in nxt
+                        and name not in _SINGLE_PARTITION_WINDOW_OK
+                    ):
+                        offenders.append(name)
+                    break
+    assert not offenders, f"single-partition window in: {sorted(set(offenders))}"
+
+
+def test_no_unjustified_cartesian_products(spark, sf_dir):
+    offenders = []
+    for name in QUERIES:
+        if name.startswith("st"):
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+            name not in _CARTESIAN_OK
+        ):
+            offenders.append(name)
+    assert not offenders, f"unjustified cartesian/nested-loop in: {offenders}"

@@ -36,17 +36,23 @@ def decicelsius_to_celsius(col: Column | str) -> Column:
 def minmax_normalize_expr(df: DataFrame, col: str, out: str) -> DataFrame:
     """F8/A2: global min-max normalization to [0,1].
 
-    Implemented as an empty-frame window aggregate: Spark computes the
-    global min/max with a partial-aggregate-per-partition + single
-    1-row exchange, then broadcasts the scalars back into the
-    projection — no driver round-trip, no crossJoin materialization.
-    At 100 TB this is 2 tiny shuffled rows, not a collect().
+    Implemented as a 1-row aggregate broadcast back onto the stream:
+    partial min/max per partition → single 1-row exchange → broadcast
+    nested-loop join (1 row × n, a pure pass-through). No driver
+    round-trip, and — unlike the empty-frame window form this
+    replaced — no `Exchange SinglePartition` of the full dataset:
+    an unpartitioned Window funnels EVERY row through one task
+    (Spark even warns), which is a 100 TB non-starter; the aggregate
+    form shuffles exactly one row.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    mn, mx = F.min(col).over(w), F.max(col).over(w)
-    return df.withColumn(out, (F.col(col) - mn) / (mx - mn))
+    stats = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            out, (F.col(col) - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+        )
+        .drop("__mn", "__mx")
+    )
 
 
 def rescale_intensity(col: Column | str, factor: float = 10.0) -> Column:
