@@ -95,3 +95,41 @@ def test_incremental_exact_dedup_semantics(spark):
         for r in incremental_exact_dedup(new, seen, "text", "doc_id").collect()
     }
     assert kept == {11, 13}
+
+
+def test_ngram_postings_cap_drops_stop_shingles_only(spark):
+    from traffic_forecast_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    filler = "lorem ipsum dolor sit amet"  # shared by ALL docs -> stop-shingles
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon {filler}"),
+            (2, f"alpha beta gamma delta epsilon {filler}"),  # true dup of 1
+            (3, f"completely different words here {filler}"),
+            (4, f"another unrelated document text {filler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1, max_postings=2
+        ).collect()
+    }
+    # the filler-only pairs (3,4 vs others) exist in exact but vanish
+    # once ubiquitous shingles are dropped
+    assert (3, 4) in exact and (3, 4) not in capped
+    # the true duplicate pair survives the cap at jaccard 1.0
+    assert capped[(1, 2)] == 1.0
+    # a generous cap reproduces the exact result
+    wide = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1, max_postings=100
+        ).collect()
+    }
+    assert wide == exact

@@ -155,3 +155,18 @@ def test_label_centroids_assembled_in_dim_order(spark):
     }
     assert rows[1]["centroid"] == [2.0, 3.0] and rows[1]["n_vectors"] == 2
     assert rows[2]["centroid"] == [5.0, 6.0] and rows[2]["n_vectors"] == 1
+
+
+def test_quantize_embeddings_recovers_cosine(spark):
+    from traffic_forecast_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8])], "vec_id int, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "embedding", "vec_id").collect()}
+    assert rows[1]["q_embedding"] == [127, 0] and rows[1]["norm"] == 1.0
+    q2 = rows[2]["q_embedding"]
+    # cosine(v1, v2) = 0.6 recovered from int8 dot product within
+    # quantization error
+    approx = (rows[1]["q_embedding"][0] * q2[0] + rows[1]["q_embedding"][1] * q2[1]) / 127**2
+    assert abs(approx - 0.6) < 0.01

@@ -580,6 +580,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.4,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """EXACT word n-gram Jaccard similar pairs via the explode-shingle
     equi-join (no LSH approximation — the ground-truth operator the
@@ -589,8 +590,23 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|. Scales as O(sum of postings²) per shingle
     — fine when shingles are selective (stopword-only shingles are the
     skew risk; n≥3 word grams keep postings short).
+
+    ``max_postings`` is the skew guard for corpora with pathological
+    shingles: postings lists longer than the cap are dropped ENTIRELY
+    (a document-frequency stop-shingle filter — the standard IR move).
+    Jaccard then slightly UNDER-estimates for pairs whose overlap was
+    carried by ubiquitous shingles, which is the conservative
+    direction for dedup (near-dups by stop-shingles alone are not
+    near-dups). Sizes are computed on the SAME filtered stream so the
+    estimate stays internally consistent. Default None = exact.
     """
     sh = exploded_word_shingles(df, text_col, id_col, n)
+    if max_postings is not None:
+        freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__pf"))
+        sh = (
+            sh.join(freq.filter(F.col("__pf") <= max_postings), "__s")
+            .drop("__pf")
+        )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     common = (
         sh.alias("a")

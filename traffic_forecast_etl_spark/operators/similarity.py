@@ -481,3 +481,24 @@ def label_centroids(
         ).alias("centroid"),
         F.max("__n").alias("n_vectors"),
     )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Unit-normalize + symmetric int8 quantization — the storage/
+    bandwidth pass before ANN at scale (4× smaller vectors, and
+    int8·int8 dot products for SIMD rerank). q_i = round(127·x_i/‖x‖),
+    so cosine is recovered as (q·q')/127² to quantization error.
+
+    Map-only; the per-row array lambdas run once per VECTOR (the
+    acceptable HOF case — cf. SCALE.md codegen-vs-lambda rule: what
+    loses is a lambda per pair/element-row, not one fold per row).
+    Returns (id, q_embedding array<int>, norm)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x / norm * 127).cast("int")).alias(
+            "q_embedding"
+        ),
+        F.round(norm, 6).alias("norm"),
+    )

@@ -2223,6 +2223,32 @@ def d7_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "s4_quantize_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+           CAST(round(e[i] / nrm * 127) AS INT) AS q
+    FROM n, unnest(generate_series(1, len(e))) AS t(i)
+    """,
+)
+def s4_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (unit-norm × 127, rounded): the
+    vector-storage pass before ANN. Long (vec_id, dim, q) form for
+    the oracle; the array output is exercised by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings(emb, "embedding", "vec_id")
+    return out.select(
+        "vec_id", F.posexplode("q_embedding").alias("dim", "q")
+    ).select("vec_id", "dim", "q")
+
+
+@query(
     "a11_embedding_centroid",
     """
     SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(embedding[i]), 6) AS avg_val
@@ -2530,7 +2556,8 @@ _SWEEP_PRIORITY = [
     "st4_stream_stream_join", "st5_stream_static_enrich",
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
     "d5_embedding_neardup", "d6_near_dedup_filter",
-    "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "a11_embedding_centroid",
+    "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "s4_quantize_embeddings",
+    "a11_embedding_centroid",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
