@@ -121,3 +121,37 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    """The data-skipping contract: after write_range_clustered, each
+    parquet file's [min, max] for the cluster column must not overlap
+    any other file's — that is exactly what lets footer-stats pruning
+    skip files on range predicates at scale."""
+    import pyarrow.parquet as pq
+
+    from traffic_forecast_etl_spark.sources.writers import write_range_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") % 97
+    )
+    # shuffle the input so clustering has real work to do
+    write_range_clustered(df.orderBy(F.col("v")), path, ["k"], n_files=6)
+
+    ranges = []
+    import glob as _glob
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
