@@ -126,3 +126,30 @@ def test_curation_scoring_passes_are_shuffle_free(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """Integration of the full curation pipeline: each stage only
+    removes rows, the output carries bin assignments, the JSONL
+    export round-trips, and a re-run is deterministic."""
+    import glob
+
+    from traffic_forecast_etl_spark.plans.corpus import build_training_corpus
+
+    out_path = str(tmp_path / "corpus")
+    out, st = build_training_corpus(spark, sf_dir, out_path=out_path, n_shards=2)
+
+    assert st.n_input >= st.n_quality >= st.n_clean >= st.n_deduped >= st.n_sampled
+    assert st.n_sampled > 0 and st.n_bins > 0
+    assert set(out.columns) >= {"doc_id", "lang", "source", "bin_id", "text"}
+
+    shards = glob.glob(f"{out_path}/*.json.gz")
+    assert len(shards) == 2
+    back = spark.read.json(out_path)
+    assert back.count() == st.n_sampled
+
+    again, st2 = build_training_corpus(spark, sf_dir)
+    assert st2 == st
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == {
+        r["doc_id"] for r in out.select("doc_id").collect()
+    }
