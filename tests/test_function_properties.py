@@ -110,3 +110,56 @@ def test_minmax_normalize_bounds_and_order(spark, values):
         expected = (v - lo) / (hi - lo)
         assert abs(out[i] - expected) < 1e-12
     assert min(out.values()) == 0.0 and max(out.values()) == 1.0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_text_scoring_invariants(spark, texts):
+    """Entropy is bounded by ln(alphabet size); repetition fraction
+    lives in [0,1] with distinct ≤ total — on arbitrary unicode
+    letter/digit/space soup."""
+    import math
+
+    from traffic_forecast_etl_spark.operators.text import (
+        char_entropy,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    ent = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    rep = {
+        r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    for i in range(len(texts)):
+        e = ent[i]
+        assert e["n_distinct_chars"] <= max(e["n_chars"], 1)
+        assert -1e-9 <= e["char_entropy"] <= math.log(max(e["n_distinct_chars"], 1)) + 1e-6
+        r = rep[i]
+        assert 0 <= r["n_distinct_grams"] <= r["n_grams"]
+        assert -1e-9 <= r["dup_gram_frac"] <= 1.0
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50, unique=True))
+def test_hash_bucket_range_and_salt_sensitivity(spark, keys):
+    from traffic_forecast_etl_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = df.select(
+        hash_bucket("k").alias("b"), hash_bucket("k", salt="s").alias("bs")
+    ).collect()
+    assert all(0 <= r["b"] < 1_000_000 and 0 <= r["bs"] < 1_000_000 for r in got)
+    if len(keys) >= 20:
+        # salting must actually move buckets for at least some keys
+        assert any(r["b"] != r["bs"] for r in got)
