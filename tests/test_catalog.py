@@ -36,6 +36,7 @@ def test_oracle_coverage(spark):
         "c1_curate_corpus",
         "d2_minhash_lsh",
         "d3_simhash_pairs",
+        "d9_incremental_near_dup",
         "d6_near_dedup_filter",
         "s2_lsh_ann",
         "s3_ivf_ann",

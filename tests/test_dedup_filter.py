@@ -133,3 +133,43 @@ def test_ngram_postings_cap_drops_stop_shingles_only(spark):
         ).collect()
     }
     assert wide == exact
+
+
+def test_incremental_near_dup_against_signature_store(spark, tmp_path):
+    """The continuous-ingestion LSH path: corpus text is reduced to a
+    signature store once; a later batch finds its near-dups against
+    the store alone (no corpus text involved)."""
+    from traffic_forecast_etl_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain fell "
+        "softly on the quiet village roofs and the river ran east"
+    )
+    seen = spark.createDataFrame(
+        [(1, base), (2, "an entirely different document about spark plans")],
+        ["doc_id", "text"],
+    )
+    store_path = str(tmp_path / "sigstore")
+    minhash_signatures(seen, "text", "doc_id").write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("lazy", "sleepy")),  # near-dup of doc 1
+            (11, "completely novel content with no relatives at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = incremental_near_dup_pairs(
+        new, store, "text", "doc_id", jaccard_threshold=0.5
+    ).collect()
+    assert {(r["new_id"], r["seen_id"]) for r in pairs} == {(10, 1)}
+    assert all(0.5 <= r["est_jaccard"] <= 1.0 for r in pairs)
+
+    # determinism: a re-computed store yields identical signatures
+    again = minhash_signatures(seen, "text", "doc_id").collect()
+    stored = {r["doc_id"]: r["minhash_sig"] for r in store.collect()}
+    assert all(stored[r["doc_id"]] == r["minhash_sig"] for r in again)

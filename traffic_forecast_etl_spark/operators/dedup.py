@@ -193,6 +193,144 @@ def _coeffs(n: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, minhash_sig) — the PERSISTABLE signature artifact for
+    incremental near-dedup: a production pipeline materializes this
+    once per corpus (num_hashes·8 bytes per doc) and every later
+    ingest batch LSH-joins against the store instead of re-shingling
+    corpus text. Deterministic in ``seed``, so signatures computed in
+    different runs/clusters are comparable."""
+    raw_sh = exploded_char_shingles(df, text_col, id_col, shingle_k, distinct=False)
+    hashed = raw_sh.withColumn(
+        "__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P))
+    )
+    coeffs = _coeffs(num_hashes, seed)
+    sig_rows = hashed.groupBy("__id").agg(
+        *[
+            F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE_P}L)) AS __m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return sig_rows.select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("minhash_sig"),
+    )
+
+
+def _band_entries(sigs: DataFrame, id_col: str, sig_col: str, bands: int, r: int) -> DataFrame:
+    """Explode a signature table to (id, band_idx, band_hash) — bands
+    are plan-time constants → unrolled python loop, not a lambda
+    (shift/slice offsets stay literals for codegen)."""
+    return sigs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "_", F.lit(bi), F.slice(F.col(sig_col), bi * r + 1, r)
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band_idx", "b.band_hash")
+
+
+def _tagged_sigs(sigs: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """(id, position-tagged signature array): one interpreted lambda
+    per DOC, so per-pair agreement counting is a codegen
+    array_intersect (see minhash_lsh_pairs)."""
+    return sigs.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({sig_col}, (x, i) -> xxhash64(i, x))").alias("__tag"),
+    )
+
+
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    seen_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs between a NEW ingest batch and an EXISTING
+    corpus represented only by its signature store (the output of
+    ``minhash_signatures``, typically parquet on disk) — the
+    continuous-ingestion twin of ``minhash_lsh_pairs``: steady state
+    touches O(batch) text + O(store) 8·num_hashes-byte signatures,
+    never corpus text.
+
+    The asymmetric band join is keyed by (band_idx, band_hash), so
+    the store side shuffles signatures once per batch; candidates are
+    scored by the signature-estimate Jaccard (unbiased, sd ≈
+    sqrt(j(1-j)/num_hashes)) — exact verification is impossible
+    without corpus text BY DESIGN, so the threshold is applied to the
+    estimate; callers wanting exactness re-join survivors to corpus
+    text themselves (the pairs output carries both ids).
+
+    Returns (new_id, seen_id, est_jaccard). ``seed``/``num_hashes``/
+    ``shingle_k`` must match the store's parameters."""
+    from pyspark import StorageLevel
+
+    r = num_hashes // bands
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds banding + tagging
+    nb = _band_entries(new_sigs, id_col, "minhash_sig", bands, r)
+    sb = _band_entries(seen_sigs, id_col, "minhash_sig", bands, r)
+    cand = (
+        nb.alias("l")
+        .join(
+            sb.alias("rr"),
+            on=[
+                F.col("l.band_idx") == F.col("rr.band_idx"),
+                F.col("l.band_hash") == F.col("rr.band_hash"),
+                F.col("l.__id") != F.col("rr.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("new_id"), F.col("rr.__id").alias("seen_id")
+        )
+        .distinct()
+    )
+    nt = _tagged_sigs(new_sigs, id_col, "minhash_sig")
+    st = _tagged_sigs(seen_sigs, id_col, "minhash_sig")
+    return (
+        cand.join(
+            nt.select(F.col("__id").alias("new_id"), F.col("__tag").alias("__t1")),
+            "new_id",
+        )
+        .join(
+            st.select(F.col("__id").alias("seen_id"), F.col("__tag").alias("__t2")),
+            "seen_id",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.array_intersect("__t1", "__t2")) / F.lit(num_hashes), 6
+            ),
+        )
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_id", "seen_id", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

@@ -2199,6 +2199,29 @@ def d8_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+@query("d9_incremental_near_dup")
+def d9_incremental_near_dup(spark, sf_dir):
+    """Continuous-ingestion NEAR-dedup: the 'src13' slice plays the
+    new ingest batch, LSH-joined against the signature store of the
+    rest of the corpus (computed inline here; persisted parquet in
+    production — see test_incremental_near_dup_against_signature_store
+    for the store-on-disk path). src13 because the generator plants
+    cross-source near-dups touching it, so the smoke is non-empty.
+    Estimate-based → rows-only check; the exact twins d4/d8 are
+    oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    store = D.minhash_signatures(
+        docs.filter(F.col("source") != "src13"), "text", "doc_id"
+    )
+    return D.incremental_near_dup_pairs(
+        docs.filter(F.col("source") == "src13"),
+        store,
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+    )
+
+
 @query(
     "d7_stratified_sample",
     """
@@ -2563,6 +2586,7 @@ _SWEEP_PRIORITY = [
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
     "t11_repetition", "c1_curate_corpus", "c2_decontaminate",
     "c3_pack_token_bins", "d7_stratified_sample", "d8_incremental_dedup",
+    "d9_incremental_near_dup",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
