@@ -383,24 +383,7 @@ def minhash_lsh_pairs(
         "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the band self-join
 
-    # bands are plan-time constants → unrolled python loop, not a
-    # lambda (shift/slice offsets stay literals for codegen)
-    band_entries = with_sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws("_", F.lit(bi), F.slice(F.col("__sig"), bi * r + 1, r))
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("__id", "b.band_idx", "b.band_hash")
+    band_entries = _band_entries(with_sig, "__id", "__sig", bands, r)
 
     cand = (
         band_entries.alias("l")
@@ -438,12 +421,7 @@ def minhash_lsh_pairs(
     # it fits and leaves as an id-keyed shuffle join at 100 TB (never
     # an explicit corpus-wide broadcast hint).
     sig_margin = 2.5 * (0.25 / num_hashes) ** 0.5  # j(1-j) ≤ 0.25
-    tagged = with_sig.select(
-        "__id",
-        # one interpreted lambda per DOC (not per pair): tag each
-        # component with its position so intersect == agreement count
-        F.expr("transform(__sig, (x, i) -> xxhash64(i, x))").alias("__tag"),
-    )
+    tagged = _tagged_sigs(with_sig, "__id", "__sig")
     n_agree = (
         cand.join(
             tagged.select(F.col("__id").alias("id1"), F.col("__tag").alias("__t1")),
