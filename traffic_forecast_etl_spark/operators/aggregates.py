@@ -70,3 +70,46 @@ def percentiles(df: DataFrame, col: str, probs: Sequence[float] = (0.25, 0.5, 0.
             for p in probs
         ]
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column data-quality profile — the audit pass run before a
+    corpus/table is admitted to training: row count, null count,
+    exact distinct count, and stringified min/max per column, one
+    output row per column.
+
+    Single scan: all per-column aggregates run in one agg (Spark
+    plans the multi-distinct via Expand — k× row multiply, the
+    standard cost of exact multi-column distinct; swap in
+    approx_count_distinct for the 100 TB run, same plan minus the
+    Expand), then the 1-row result unpivots via explode. min/max are
+    computed in the column's native type and cast to string AFTER
+    (lexicographic string min would be wrong for numerics)."""
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"__n_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__nn_{c}"),
+                F.countDistinct(c).alias(f"__nd_{c}"),
+                F.min(c).cast("string").alias(f"__mn_{c}"),
+                F.max(c).cast("string").alias(f"__mx_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select("p.*")

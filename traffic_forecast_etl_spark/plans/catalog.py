@@ -2271,6 +2271,33 @@ def s4_quantize_embeddings(spark, sf_dir):
     ).select("vec_id", "dim", "q")
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _a12_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("a12_column_profile", _a12_oracle())
+def a12_column_profile(spark, sf_dir):
+    """Per-column data-quality audit over orders (one scan, exact
+    multi-distinct via Expand; the 100 TB variant swaps in HLL++).
+    The oracle is the same profile as per-column UNION ALL."""
+    orders = _t(spark, sf_dir, "orders")
+    return A.profile_columns(orders, _PROFILE_COLS)
+
+
 @query(
     "a11_embedding_centroid",
     """
@@ -2580,7 +2607,7 @@ _SWEEP_PRIORITY = [
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
     "d5_embedding_neardup", "d6_near_dedup_filter",
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "s4_quantize_embeddings",
-    "a11_embedding_centroid",
+    "a11_embedding_centroid", "a12_column_profile",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
