@@ -118,3 +118,28 @@ def test_first_event_initializes_state(spark):
     assert got[7] == (1, 42.5)
     # user 8: ewma = 0.1*20 + 0.9*10 = 11.0
     assert got[8][0] == 2 and math.isclose(got[8][1], 11.0)
+
+
+def test_text_scoring_is_stream_compatible(spark, sf_dir):
+    """The corpus-scoring plane runs UNCHANGED on a document stream:
+    map-only operators are mode-agnostic, so live ingest is scored by
+    the same code as batch corpora. AvailableNow over the static
+    source must equal the batch answer row-for-row."""
+    from traffic_forecast_etl_spark.operators.text import quality_score, token_stats
+    from traffic_forecast_etl_spark.sources.tables import load_table
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        read_documents_stream,
+        run_available_now,
+    )
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    stream = read_documents_stream(spark, docs_path)
+    streamed = run_available_now(
+        quality_score(stream, "text", "doc_id"),
+        query_name="score_stream",
+        output_mode="append",
+    )
+    batch = quality_score(load_table(spark, "documents", sf_dir), "text", "doc_id")
+    got = {r["doc_id"]: r["quality"] for r in streamed.collect()}
+    want = {r["doc_id"]: r["quality"] for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -184,3 +184,26 @@ def streaming_enrich_join(
     what makes dimension updates visible mid-stream on a real
     deployment."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the local
+    stand-in for a crawl-ingest topic. The text-scoring operators
+    (token stats, quality, PII redaction, lang-id, fingerprints) are
+    map-only Column expressions, so they apply to this stream
+    UNCHANGED — the same curation code scores batch corpora and live
+    ingest (proven by the batch/stream parity test)."""
+    if path_dir.endswith(".parquet"):
+        path_dir = path_dir[: -len("parquet")] + "parq*"
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet").load(path_dir)
