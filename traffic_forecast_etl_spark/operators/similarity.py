@@ -502,3 +502,37 @@ def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         ),
         F.round(norm, 6).alias("norm"),
     )
+
+
+def label_cohesion(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Intra-class cohesion: mean cosine similarity of each vector to
+    its label centroid — the embedding-quality / cluster-tightness
+    metric run after an embedding or clustering pass (low cohesion =
+    the label is not a coherent region).
+
+    Plan shape: centroids via the (label, dim) partial-agg histogram
+    shuffle (label_centroids), broadcast-joined back by label (a
+    |labels|-row table — broadcast at any corpus size), then one
+    map-only cosine fold per row and a final per-label mean. The
+    corpus is scanned twice (once for centroids, once for scoring) —
+    unavoidable in two-pass mean-then-compare metrics; persist the
+    input to trade memory for the second scan."""
+    cents = label_centroids(df, vec_col, label_col).select(
+        label_col, "centroid"
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(v) * _norm(F.col("centroid")))
+    return (
+        df.join(F.broadcast(cents), label_col)
+        .select(F.col(label_col), cos.alias("__cos"))
+        .groupBy(label_col)
+        .agg(
+            F.round(F.avg("__cos"), 6).alias("mean_cosine"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

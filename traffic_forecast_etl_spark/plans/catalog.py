@@ -2271,6 +2271,38 @@ def s4_quantize_embeddings(spark, sf_dir):
     ).select("vec_id", "dim", "q")
 
 
+@query(
+    "a13_label_cohesion",
+    """
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c AS (
+      SELECT label, i, avg(e[i]) AS cv
+      FROM v, unnest(generate_series(1, len(e))) AS t(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label, list(cv ORDER BY i) AS centroid FROM c GROUP BY label
+    ), scored AS (
+      SELECT v.label, list_cosine_similarity(v.e, cent.centroid) AS cos
+      FROM v JOIN cent USING (label)
+    )
+    SELECT label, round(avg(cos), 6) AS mean_cosine,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM scored GROUP BY label
+    """,
+)
+def a13_label_cohesion(spark, sf_dir):
+    """Intra-class embedding cohesion: mean cosine of each vector to
+    its label centroid (two-pass metric: histogram-shuffle centroids,
+    broadcast back, map-only cosine fold, per-label mean)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.label_cohesion(emb, "embedding", "label")
+    return out.select(
+        "label", "mean_cosine", F.col("n_vectors").cast("long").alias("n_vectors")
+    )
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
 
 
@@ -2607,7 +2639,7 @@ _SWEEP_PRIORITY = [
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
     "d5_embedding_neardup", "d6_near_dedup_filter",
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "s4_quantize_embeddings",
-    "a11_embedding_centroid", "a12_column_profile",
+    "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
