@@ -508,6 +508,400 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c ON c.c_custkey   = o.o_custkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    ship year. Five-way join where the same dimension (nation) joins
+    twice under different roles — both broadcast; the OR of the two
+    nation-pair directions prunes most rows before the fact-fact
+    shuffle join on orderkey. The symmetric-pair disjunction cannot be
+    pushed below the join (it spans both sides), but each branch's
+    nation list can: Catalyst infers `n1 IN (N1,N2)` and `n2 IN
+    (N1,N2)` from the OR and pushes those into the broadcast sides."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey   = l.l_partkey
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one nation's market share of ECONOMY-part
+    volume per order year — the conditional-aggregate-ratio shape
+    (sum(CASE)/sum, a single grouped pass, no self-join). Part and
+    supplier⋈nation broadcast; the p_type filter prunes the fact rows
+    at the part join before the orders shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n_name").alias("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey   = l.l_partkey
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (schema has no partsupp/supplycost, so profit
+    is gross revenue): LIKE-substring part filter driving a 5-way
+    join, grouped by supplier nation × order year. The `%red%`
+    contains-filter is evaluated on the broadcast part side — only
+    matching partkeys reach the fact scan's join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS part_value
+    FROM pv
+    WHERE value > (SELECT sum(value) * 0.0008 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (no partsupp — value = revenue per part):
+    grouped aggregate filtered by a fraction of the GLOBAL total — the
+    uncorrelated-scalar-subquery-in-HAVING shape. The per-part frame
+    computes once and feeds both the global sum (1-row broadcast) and
+    the filter, so lineitem is scanned and shuffled exactly once."""
+    l = _t(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    total = pv.agg((F.sum("value") * 0.0008).alias("__cut"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__cut"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: order-count histogram over customers — LEFT
+    OUTER join with a non-key predicate in the join condition (NOT the
+    WHERE clause: customers whose only orders are urgent must still
+    appear with count 0), then two stacked aggregations. count(col)
+    skips the NULLs the outer join manufactures, which is what makes
+    the zero bucket correct."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey"), c.c_custkey == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: quarterly revenue per supplier, keep the
+    max-revenue supplier(s) — the view + scalar-max-subquery shape.
+    The revenue frame computes once (one fact shuffle on suppkey) and
+    feeds both the 1-row max aggregate (broadcast back) and the join;
+    revenue is rounded BEFORE the max comparison on both sides so the
+    float-sum tie compare is exact. Supplier dim broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type  <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (no partsupp — supplier relationships come
+    from shipped lineitems): distinct-count aggregate over a 3-column
+    group with negated + IN-list predicates on the broadcast dim.
+    Spark plans count(DISTINCT) as a two-phase expand/partial-agg —
+    no per-group set materialization."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)
+    )
+    return (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              l.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: three OR'd conjunct branches spanning both
+    join sides. Catalyst derives the cross-side residuals — the brand
+    IN-list and size ≤ 15 push into the broadcast part side, quantity
+    ≤ 30 into the fact scan — and keeps the full disjunction as the
+    post-join filter; the classic test that OR predicates don't defeat
+    pushdown."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               l.l_partkey == F.col("p_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, round(c.unit_cost, 4) AS best_unit_cost
+    FROM cost c
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size = 10
+      AND c.unit_cost = (SELECT min(unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (no partsupp — a supplier's offer price for a
+    part is its cheapest observed unit price): the correlated-min
+    subquery shape, decorrelated by hand into a per-part min aggregate
+    re-joined to the offer frame (the rewrite Catalyst applies to the
+    SQL form). Ties keep every minimal supplier, matching SQL. The
+    equality compares raw doubles — both engines select (never
+    recompute) the same IEEE division result, so the compare is exact;
+    rounding happens only in the projection."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    s = _t(spark, sf_dir, "supplier")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__best")
+    )
+    return (
+        cost.join(best, (cost.l_partkey == F.col("__pk")) & (cost.unit_cost == F.col("__best")))
+        .join(F.broadcast(p.select("p_partkey")), cost.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), cost.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", F.round("unit_cost", 4).alias("best_unit_cost"))
+    )
+
+
+@query(
     "f12_string_funcs",
     """
     SELECT p_partkey,
@@ -2671,6 +3065,15 @@ _SWEEP_PRIORITY = [
     "q4_order_priority", "q21_waiting_supplier", "q22_dormant_customers",
     "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
     "q17_below_avg_parts", "q18_large_orders",
+    # round-2 additions: the remaining TPC-H plan shapes (multi-role
+    # dimension joins, conditional-agg ratio, global-share HAVING,
+    # outer-join histogram, scalar-max view, distinct-count grouping,
+    # cross-side disjunction, correlated-min) — registered last, they
+    # broaden shape coverage but the extension operators above matter
+    # more under any sweep cap
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q2_min_cost_supplier",
 ]
 
 
