@@ -340,6 +340,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -356,6 +357,15 @@ def minhash_lsh_pairs(
     Returns (id1, id2, jaccard). Candidate verification re-joins the
     shingle arrays by id, so memory per task is O(one doc), never
     O(corpus).
+
+    ``persist_tracker``: the pipeline persists two intermediate frames
+    (signatures, estimate-filtered pairs). They stay cached until the
+    JVM's context cleaner notices the dropped references — in a
+    long-lived session running many queries that lag accumulates
+    storage memory. Callers that fully consume the result (e.g.
+    near_dedup_filter, whose connected-components step materializes
+    the pairs eagerly) pass a list here and unpersist its entries as
+    soon as the result is materialized.
     """
     from pyspark import StorageLevel
 
@@ -382,6 +392,8 @@ def minhash_lsh_pairs(
     with_sig = sig_rows.select(
         "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the band self-join
+    if persist_tracker is not None:
+        persist_tracker.append(with_sig)
 
     band_entries = _band_entries(with_sig, "__id", "__sig", bands, r)
 
@@ -442,19 +454,32 @@ def minhash_lsh_pairs(
         .select("id1", "id2")
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds id-restriction + 2 verify joins
     )
+    if persist_tracker is not None:
+        persist_tracker.append(est)
     # exact verification touches only docs that survive the estimate
     # filter: collapse their shingle streams to per-doc hash SETS
     # (collect_set dedups — no separate distinct shuffle) and compare
     # sets per pair. Task memory is O(one doc's shingle set); the
     # 64-bit shingle hash stands in for the string (collision odds
     # ~n²·2⁻⁶⁴; d4 is the exact-string ground truth).
+    #
+    # The candidate restriction is applied at the DOCUMENT level,
+    # before re-shingling: semi-join the source table on the candidate
+    # id set, THEN explode. Restricting the already-exploded stream
+    # instead re-shingles the whole corpus to discard ~all of it —
+    # measured ~2× the end-to-end wall at sf0.1, and at 100 TB it is
+    # the difference between an O(candidates) and an O(corpus) verify
+    # stage.
     ids_needed = (
         est.select(F.col("id1").alias("__id"))
         .unionByName(est.select(F.col("id2").alias("__id")))
         .distinct()
     )
+    docs_needed = df.select(
+        F.col(id_col).alias("__did"), F.col(text_col).alias("__txt")
+    ).join(F.broadcast(ids_needed), F.col("__did") == F.col("__id"), "left_semi")
     sh_sets = (
-        raw_sh.join(F.broadcast(ids_needed), "__id", "left_semi")
+        exploded_char_shingles(docs_needed, "__txt", "__did", shingle_k, distinct=False)
         .groupBy("__id")
         .agg(F.collect_set(F.xxhash64("__s")).alias("__set"))
     )
@@ -680,10 +705,25 @@ def near_dedup_filter(
     components → keep the minimum-id document per duplicate cluster.
     Returns the deduplicated corpus (all original columns) — the
     operator a training-data pipeline actually calls."""
+    tracker: list = []
     pairs = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_k, jaccard_threshold, seed
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_k,
+        jaccard_threshold,
+        seed,
+        persist_tracker=tracker,
     )
     comp = connected_components(pairs)
+    # connected_components materializes the pair list eagerly (driver
+    # union-find collect, or checkpointed propagation rounds) — the LSH
+    # pipeline's cached intermediates are dead weight from here on;
+    # release them instead of waiting on the JVM context cleaner.
+    for cached in tracker:
+        cached.unpersist()
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
