@@ -139,7 +139,45 @@ _CARTESIAN_OK = {
     "q17_below_avg_parts", "p_const_first_row",
     # 1-row corpus-count (IDF denominator) broadcast onto the TF stream
     "t7_tfidf_topterms",
+    # 1-row global-revenue threshold joined by INEQUALITY (value >
+    # 0.08% of total) — no equi-key for Catalyst to convert, stays a
+    # 1-row broadcast nested loop by construction (q15's max-equality
+    # twin DOES convert to a BroadcastHashJoin)
+    "q11_important_parts",
 }
+
+
+@pytest.mark.parametrize(
+    "query,needle",
+    [
+        # q19: the three OR'd cross-side branches must still push
+        # per-side residuals — quantity OR-bounds into the fact scan,
+        # brand+size bounds into the part scan
+        (
+            "q19_disjunctive_revenue",
+            "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11.0))",
+        ),
+        ("q19_disjunctive_revenue", "Or(Or(And(EqualTo(p_brand,Brand#12)"),
+        # q7: Catalyst infers each nation side's IN-list from the
+        # symmetric-pair disjunction and pushes it to the (broadcast)
+        # nation scans
+        ("q7_nation_volume", "Or(EqualTo(n_name,NATION_1),EqualTo(n_name,NATION_2))"),
+        ("q7_nation_volume", "BroadcastHashJoin"),
+        # q13: the non-key join predicate lives in the ORDERS scan
+        # (NOT the join output — customers with only urgent orders
+        # must survive with count 0)
+        ("q13_customer_distribution", "Not(EqualTo(o_orderpriority,1-URGENT))"),
+        # q15: the rounded-revenue = max(revenue) filter becomes an
+        # EQUI-join on the 1-row max frame (no nested loop)
+        ("q15_top_supplier", "BroadcastHashJoin"),
+        # q16/q8/q9: dim-side predicates stay on the broadcast side
+        ("q16_supplier_count", "Not(EqualTo(p_brand,Brand#5))"),
+        ("q8_market_share", "EqualTo(p_type,ECONOMY)"),
+        ("q9_product_profit", "StringContains(p_name,red)"),
+    ],
+)
+def test_round2_tpch_plan_shapes(spark, sf_dir, query, needle):
+    assert needle in plan_of(spark, query, sf_dir), f"{query} lost {needle!r}"
 
 
 def test_no_unjustified_single_partition_windows(spark, sf_dir):
