@@ -113,6 +113,70 @@ def test_stratified_rates_and_validation(spark):
         SM.stratified_hash_sample(df, "k", "lang", {"en": -0.1})
 
 
+def test_source_quota_caps_and_is_layout_independent(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], ["k", "source"]
+    )
+    kept = SM.source_quota(df, "k", "source", max_per_source=20)
+    counts = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert counts == {"src0": 20, "src1": 20, "src2": 20}
+    # determinism: repartitioning must keep the SAME documents
+    a = {r["k"] for r in kept.collect()}
+    b = {r["k"] for r in SM.source_quota(df.repartition(7), "k", "source", 20).collect()}
+    assert a == b
+    # a source under quota is untouched
+    small = df.filter((F.col("source") == "src0") & (F.col("k") < 30))
+    assert SM.source_quota(small, "k", "source", 20).count() == 10
+    with pytest.raises(ValueError):
+        SM.source_quota(df, "k", "source", 0)
+
+
+def test_source_quota_plans_window_group_limit(spark):
+    """The rank-filter must plan as WindowGroupLimit — per-task state
+    O(quota) during the sort, not O(source size)."""
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(60)], ["k", "source"])
+    plan = (
+        SM.source_quota(df, "k", "source", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mix_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 700 else ("mid" if i < 950 else "tiny")) for i in range(1000)],
+        ["k", "source"],
+    )
+    rows = {
+        r["source"]: r
+        for r in SM.temperature_mix_rates(df, "source", alpha=0.5, target_fraction=0.3).collect()
+    }
+    # flattening: smaller sources keep a HIGHER fraction
+    assert rows["tiny"]["rate"] > rows["mid"]["rate"] > rows["big"]["rate"]
+    # α=1 is natural proportions: every source keeps the target fraction
+    nat = SM.temperature_mix_rates(df, "source", alpha=1.0, target_fraction=0.4).collect()
+    assert all(abs(r["rate"] - 0.4) < 1e-9 for r in nat)
+    # expected kept mass ≈ target when nothing clips (700/250/50 at
+    # α=0.5, target 0.3 → max rate ~0.86)
+    assert all(r["rate"] < 1.0 for r in rows.values())
+    expected = sum(r["n_docs"] * r["rate"] for r in rows.values()) / 1000
+    assert abs(expected - 0.3) < 0.02
+    # heavy skew clips the small sources to 1.0 (kept whole), and the
+    # clipped budget under-shoots conservatively rather than being
+    # redistributed
+    skew = spark.createDataFrame(
+        [(i, "big" if i < 990 else "tiny") for i in range(1000)], ["k", "source"]
+    )
+    srows = {r["source"]: r for r in SM.temperature_mix_rates(skew, "source", 0.5, 0.5).collect()}
+    assert srows["tiny"]["rate"] == 1.0 and srows["big"]["rate"] < 1.0
+    with pytest.raises(ValueError):
+        SM.temperature_mix_rates(df, "source", alpha=-0.1)
+    with pytest.raises(ValueError):
+        SM.temperature_mix_rates(df, "source", target_fraction=0.0)
+
+
 def test_curation_scoring_passes_are_shuffle_free(spark):
     """The quality-scoring family must fuse into the scan: no Exchange
     in the plan (the 100 TB scoring-pass contract)."""

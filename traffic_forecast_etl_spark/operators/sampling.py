@@ -85,3 +85,88 @@ def split_train_eval(
     cut = int(eval_rate * _BUCKETS)
     bucket = hash_bucket(key_col, salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def source_quota(
+    df: DataFrame, key_col: str, source_col: str, max_per_source: int, salt: str = ""
+) -> DataFrame:
+    """Cap each source (domain, crawl host, feed) at ``max_per_source``
+    documents — the anti-domination pass of web-corpus curation: a few
+    mega-domains otherwise contribute most of the tokens.
+
+    Selection ranks WITHIN each source by the deterministic key hash
+    (layout-independent, engine-reproducible — same properties as
+    hash_sample), so re-runs and backfills keep the SAME documents,
+    and adding new documents to a source only displaces hash-adjacent
+    ones rather than reshuffling the kept set wholesale.
+
+    One hash-partitioned window shuffle keyed by source; Spark plans
+    the rank-filter as WindowGroupLimit, so each task retains only
+    ``max_per_source`` rows per source during the sort — per-task
+    memory is O(quota), not O(source size). Skew note: a mega-source
+    still lands on one task; for the pathological case pre-filter
+    with hash_sample at rate ≈ quota·3/|source| first (two-pass
+    quota), which bounds the window input without changing the kept
+    set materially."""
+    if max_per_source < 1:
+        raise ValueError(f"max_per_source must be >= 1, got {max_per_source}")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(
+            hash_bucket(key_col, salt), F.col(key_col)
+        )
+    )
+    return df.withColumn("__rn", rn).filter(F.col("__rn") <= max_per_source).drop("__rn")
+
+
+def temperature_mix_rates(
+    df: DataFrame, source_col: str, alpha: float = 0.5, target_fraction: float = 0.5
+) -> DataFrame:
+    """Compute per-source sampling RATES for temperature-based corpus
+    mixing: source i with nᵢ docs is kept at rate ∝ nᵢ^(α-1), i.e.
+    sampled mass ∝ nᵢ^α — α=1 is natural proportions, α=0 is uniform
+    across sources, α≈0.3-0.7 is the standard multilingual/multi-
+    source flattening (cf. the exponent-smoothed sampling used by
+    multilingual LM training).
+
+    Rates are scaled so the expected kept fraction of the WHOLE corpus
+    is ``target_fraction``, then clipped to 1.0 (a source whose raw
+    rate exceeds 1 keeps everything; the shortfall is accepted rather
+    than redistributed — deterministic and side-effect-free).
+
+    Returns (source, n_docs, rate) — one row per source, computed
+    from one count aggregate (shuffle volume O(sources)). Feed the
+    result to ``stratified_hash_sample`` (driver-collect of O(sources)
+    rows is the documented pattern) for the actual selection."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in (0,1], got {target_fraction}")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # unnormalized per-doc weight n^(α-1); scale k solves
+    # Σ nᵢ·min(1, k·wᵢ) ≈ target_fraction·Σ nᵢ — one fixed-point pass
+    # is exact when no source clips; with clipping it under-shoots,
+    # which is the conservative direction for a size budget.
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(alpha - 1.0))
+    weighted = counts.withColumn("__w", w)
+    totals = weighted.agg(
+        F.sum(F.col("n_docs") * F.col("__w")).alias("__mass"),
+        F.sum("n_docs").alias("__n"),
+    )
+    return (
+        weighted.join(F.broadcast(totals))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_fraction) * F.col("__n") / F.col("__mass") * F.col("__w"),
+                ),
+                6,
+            ),
+        )
+        .select("source", "n_docs", "rate")
+    )

@@ -370,6 +370,31 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def type_token_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Lexical diversity: distinct lowercase tokens / tokens (the
+    type-token ratio quality signal — low TTR flags template/keyword
+    spam that per-document dedup and n-gram repetition both miss when
+    the repeats are shuffled rather than contiguous).
+
+    Map-only in-row array expression (size of array_distinct), zero
+    shuffle — TTR is bounded work per row (unlike entropy's alphabet
+    histogram, token arrays are small enough that the interpreted
+    array_distinct is cheaper than an explode + two-level aggregate;
+    measured at sf0.1 both forms are ~equal, so the shuffle-free form
+    wins)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n_tok = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.when(n_tok > 0, F.round(n_types / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Within-document repetition: the fraction of word n-grams that
     are duplicates (1 − distinct/total) — the Gopher-style "repeated

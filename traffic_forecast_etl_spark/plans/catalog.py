@@ -2499,6 +2499,139 @@ def t11_repetition(spark, sf_dir):
 
 
 @query(
+    "t12_type_token_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+           CASE WHEN len(t) > 0
+                THEN round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                ELSE 0.0 END AS ttr
+    FROM toks
+    """,
+)
+def t12_type_token_ratio(spark, sf_dir):
+    """Lexical diversity (type-token ratio) — the template/keyword-
+    spam quality signal. Map-only in-row expression, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.type_token_ratio(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "ttr",
+    )
+
+
+@query(
+    "c4_source_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (('0x' || substr(md5('quota' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000),
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 15
+    """,
+)
+def c4_source_quota(spark, sf_dir):
+    """Per-source document quota (anti-domination cap): keep ≤ N docs
+    per source, ranked by the deterministic key hash so re-runs keep
+    the SAME documents. One window shuffle keyed by source; the
+    rank-filter plans as WindowGroupLimit (per-task memory O(quota))."""
+    docs = _t(spark, sf_dir, "documents")
+    return SM.source_quota(
+        docs, "doc_id", "source", max_per_source=15, salt="quota"
+    ).select("doc_id", "source")
+
+
+@query(
+    "c5_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), -0.5) AS wt FROM counts
+    ), t AS (
+      SELECT sum(n_docs * wt) AS mass, sum(n_docs) AS n FROM w
+    )
+    SELECT source, n_docs,
+           round(least(1.0, 0.5 * n / mass * wt), 6) AS rate
+    FROM w, t
+    """,
+)
+def c5_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing rates (sampled mass ∝ n^α,
+    α=0.5, budget 50% of the corpus) — computes the per-source rates a
+    stratified_hash_sample pass then applies. One count aggregate
+    (shuffle O(sources)) + a 1-row total broadcast back."""
+    docs = _t(spark, sf_dir, "documents")
+    return SM.temperature_mix_rates(
+        docs, "source", alpha=0.5, target_fraction=0.5
+    ).select("source", F.col("n_docs").cast("long").alias("n_docs"), "rate")
+
+
+@query(
+    "w12_zscore_anomaly",
+    """
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             count(*)     OVER w AS n_prev,
+             avg(value)   OVER w AS mu,
+             stddev_pop(value) OVER w AS sigma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n_prev >= 3 AND sigma > 0
+                THEN round((value - mu) / sigma, 6) END AS zscore,
+           CASE WHEN n_prev >= 3 AND sigma > 0
+                THEN abs((value - mu) / sigma) > 2.0 END AS is_anomaly
+    FROM stats
+    """,
+)
+def w12_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection per user: each event scored
+    against the mean/std of its previous ≤6 events (current row
+    EXCLUDED — the score must not see the value it judges). Events
+    with <3 predecessors or zero variance yield NULL (insufficient
+    evidence ≠ normal). One window shuffle keyed by user; all three
+    frame aggregates share the same window definition, so Spark
+    computes them in a single Window operator pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, -1)
+    )
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_pop("value").over(w)
+    n_prev = F.count(F.lit(1)).over(w)
+    ok = (n_prev >= 3) & (sigma > 0)
+    z = (F.col("value") - mu) / sigma
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.round(z, 6)).alias("zscore"),
+        F.when(ok, F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+@query(
     "c2_decontaminate",
     """
     WITH toks AS (
@@ -3037,9 +3170,10 @@ _SWEEP_PRIORITY = [
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
-    "t11_repetition", "c1_curate_corpus", "c2_decontaminate",
-    "c3_pack_token_bins", "d7_stratified_sample", "d8_incremental_dedup",
-    "d9_incremental_near_dup",
+    "t11_repetition", "t12_type_token_ratio", "c1_curate_corpus",
+    "c2_decontaminate", "c3_pack_token_bins", "c4_source_quota",
+    "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
+    "d9_incremental_near_dup", "w12_zscore_anomaly",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
