@@ -197,6 +197,97 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+def streaming_near_dedup(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    sig_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """CONTINUOUS-INGESTION near-dedup — the composition a crawl
+    pipeline runs on every ingest tick, as one foreachBatch plane:
+
+      1. exact-dedup the batch within itself and against the corpus
+         (fingerprint anti-join, incremental_exact_dedup);
+      2. near-dedup survivors against the PERSISTED signature store
+         (incremental_near_dup_pairs — LSH band join vs the store,
+         estimate-Jaccard threshold), and within the batch itself
+         (minhash_lsh_pairs on the survivors, min-id winner);
+      3. append kept docs to the corpus and their signatures to the
+         store, so the NEXT tick sees them.
+
+    Steady-state cost per tick: O(batch text) + O(store signatures)
+    — corpus text is never re-read (the store carries 8·num_hashes
+    bytes per historical doc). Idempotence: both appends route
+    through insert_if_absent keyed by id, so a replayed micro-batch
+    (checkpoint recovery) cannot double-insert.
+
+    The batch-internal near-dup step keeps the MIN-id representative
+    (same convention as near_dedup_filter); batch docs near-duplicate
+    to the store are dropped outright. ``seed``/``num_hashes``/
+    ``shingle_k`` are store parameters — changing them invalidates
+    the store (documented on minhash_signatures)."""
+    from ..operators.dedup import (
+        incremental_exact_dedup,
+        incremental_near_dup_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from ..sinks import insert_if_absent
+
+    def tick(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            seen_sigs = spark.read.parquet(sig_store_path)
+            first_tick = False
+        except Exception:  # AnalysisException: store not created yet
+            corpus, seen_sigs, first_tick = None, None, True
+        # 1. exact: within-batch min-id rep, then anti-join the corpus
+        if first_tick:
+            from ..operators.dedup import exact_dedup
+
+            reps = exact_dedup(batch, text_col, id_col).select(id_col)
+            survivors = batch.join(reps, id_col, "left_semi")
+        else:
+            survivors = incremental_exact_dedup(batch, corpus, text_col, id_col)
+        # 2a. near-dup within the batch: min-id wins its cluster
+        batch_pairs = minhash_lsh_pairs(
+            survivors, text_col, id_col, num_hashes, bands, shingle_k,
+            jaccard_threshold, seed,
+        )
+        losers = batch_pairs.select(
+            F.greatest("id1", "id2").alias(id_col)
+        ).distinct()
+        survivors = survivors.join(losers, id_col, "left_anti")
+        # 2b. near-dup vs the store (estimate-threshold by design —
+        # corpus text is not read back on the steady-state path)
+        if not first_tick:
+            store_hits = incremental_near_dup_pairs(
+                survivors, seen_sigs, text_col, id_col, num_hashes,
+                bands, shingle_k, jaccard_threshold, seed,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            survivors = survivors.join(store_hits, id_col, "left_anti")
+        kept = survivors.localCheckpoint(eager=True)  # cut lineage: 2 sinks below
+        # 3. corpus + signature store appends (idempotent, keyed by id)
+        insert_if_absent(spark, kept, corpus_path, [id_col])
+        sigs = minhash_signatures(kept, text_col, id_col, num_hashes, shingle_k, seed)
+        insert_if_absent(spark, sigs, sig_store_path, [id_col])
+
+    writer = docs_stream.writeStream.foreachBatch(tick).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def read_documents_stream(spark: SparkSession, path_dir: str) -> DataFrame:
     """File-source stream over the documents parquet — the local
     stand-in for a crawl-ingest topic. The text-scoring operators
