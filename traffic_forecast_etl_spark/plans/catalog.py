@@ -902,6 +902,61 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q20_dominant_suppliers",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), ps AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS pair_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), totals AS (
+      SELECT l_partkey, sum(pair_qty) AS part_qty FROM ps GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM ps JOIN totals t ON t.l_partkey = ps.l_partkey
+      WHERE ps.pair_qty > 0.5 * t.part_qty
+    )
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (no partsupp — "availability" is shipped
+    volume): the nested-IN-chain shape. Suppliers who shipped more
+    than half of some red part's 1996 volume. The part IN-list is a
+    broadcast semi-join on the fact scan; the per-part total DERIVES
+    from the per-(supplier, part) aggregate itself (sum of pair sums
+    = part sum), so the fact is scanned and shuffled once; the outer
+    IN is a left-semi against the small qualifying-supplier set."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = _t(spark, sf_dir, "supplier")
+    ps = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    totals = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    dominant = (
+        ps.join(totals, ps.l_partkey == F.col("__pk"))
+        .filter(F.col("pair_qty") > 0.5 * F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("__sk"))
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(dominant), s.s_suppkey == F.col("__sk"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
     "f12_string_funcs",
     """
     SELECT p_partkey,
@@ -3208,6 +3263,7 @@ _SWEEP_PRIORITY = [
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_count", "q19_disjunctive_revenue", "q2_min_cost_supplier",
+    "q20_dominant_suppliers",
 ]
 
 
