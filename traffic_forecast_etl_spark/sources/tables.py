@@ -56,13 +56,35 @@ def _ensure_session_policy(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _ntz_to_utc_timestamp(df: DataFrame) -> DataFrame:
+    """Parquet written by pandas/pyarrow carries timestamp[us] with
+    isAdjustedToUTC=false, which Spark 4 surfaces as TIMESTAMP_NTZ
+    (spark.sql.parquet.inferTimestampNTZ.enabled default). The
+    correctness oracle (DuckDB) reads the same bytes as a naive-UTC
+    TIMESTAMP, and the engine's temporal operators (unix_micros,
+    watermarks, INTERVAL arithmetic) want the instant type — so every
+    NTZ column is cast to TimestampType here, once, at the scan. The
+    session timezone is pinned to UTC (_ensure_session_policy), which
+    makes the cast a pure re-tag: identical micros, identical
+    stringified values on both engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if not ntz_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     _ensure_session_policy(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and "ts" in df.columns:
         df = _nanos_to_timestamp(df, "ts")
-    return df
+    return _ntz_to_utc_timestamp(df)
 
 
 def load_tables(

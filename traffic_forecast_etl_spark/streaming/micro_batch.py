@@ -27,31 +27,83 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos in the parquet (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# default published schema: instant-typed ts (what every downstream
+# operator consumes after read_events_stream's normalization)
+EVENTS_SCHEMA = _events_schema(T.TimestampType())
+
+
+def _peek_ts_encoding(path_dir: str) -> str:
+    """A file-source stream needs its schema declared up front, but
+    the events `ts` column has three on-disk encodings in the wild:
+    INT64 TIMESTAMP(NANOS) (pandas datetime64[ns] via some writers),
+    timestamp[us] with isAdjustedToUTC=false (pandas/pyarrow default
+    — Spark reads TIMESTAMP_NTZ), and UTC-adjusted timestamp (Spark's
+    own writer). Peek ONE parquet footer driver-side (O(KB), plan
+    build time) and pick the matching declared type; the stream then
+    normalizes to instant-typed micros whatever the source wrote."""
+    import glob as _glob
+    import os as _os
+
+    cands: list[str] = []
+    for p in sorted(_glob.glob(path_dir)) or [path_dir]:
+        if _os.path.isdir(p):
+            cands.extend(
+                sorted(_glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True))
+            )
+        elif _os.path.isfile(p):
+            cands.append(p)
+    for f in cands:
+        try:
+            import pyarrow.parquet as pq
+
+            typ = pq.read_schema(f).field("ts").type
+        except Exception:
+            continue
+        if str(typ) == "int64":
+            return "nanos_long"
+        if getattr(typ, "tz", None) is None and str(typ).startswith("timestamp"):
+            return "ntz"
+        return "utc"
+    return "utc"
 
 
 def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory (the
-    local stand-in for a Kafka topic; swap format for production)."""
+    local stand-in for a Kafka topic; swap format for production).
+    Output `ts` is always instant-typed TimestampType (UTC session),
+    regardless of the source file encoding — see _peek_ts_encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if path_dir.endswith(".parquet"):
         # the file-stream source wants a directory or a glob; a bare
         # file path trips its basePath inference — turn the file into
         # a single-match glob
         path_dir = path_dir[: -len("parquet")] + "parq*"
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(path_dir)
-    # integer `div` — see sources/tables.py: double division loses
-    # integer precision on epoch-nanos
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    kind = _peek_ts_encoding(path_dir)
+    if kind == "nanos_long":
+        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(path_dir)
+        # integer `div` — see sources/tables.py: double division loses
+        # integer precision on epoch-nanos
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if kind == "ntz":
+        raw = spark.readStream.schema(_events_schema(T.TimestampNTZType())).parquet(
+            path_dir
+        )
+        # naive-UTC on disk, UTC session tz -> pure re-tag to instant
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_dir)
 
 
 def streaming_tumbling_agg(
@@ -192,7 +244,9 @@ DOCUMENTS_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.IntegerType()),
+        # long, not int: the testdata stores int64 and a parquet file
+        # stream cannot downcast a declared narrower type
+        T.StructField("n_chars", T.LongType()),
     ]
 )
 
