@@ -152,12 +152,18 @@ def temperature_mix_rates(
     # which is the conservative direction for a size budget.
     w = F.pow(F.col("n_docs").cast("double"), F.lit(alpha - 1.0))
     weighted = counts.withColumn("__w", w)
-    totals = weighted.agg(
-        F.sum(F.col("n_docs") * F.col("__w")).alias("__mass"),
-        F.sum("n_docs").alias("__n"),
+    # whole-frame totals via an unpartitioned window rather than a
+    # 1-row-frame nested-loop join: the window input is the COUNTS
+    # frame (O(sources) rows, not the corpus), so the single-partition
+    # exchange is bytes, and the plan stays BNLJ-free (plan-shape gate)
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        weighted.join(F.broadcast(totals))
+        weighted.withColumn("__mass", F.sum(F.col("n_docs") * F.col("__w")).over(whole))
+        .withColumn("__n", F.sum("n_docs").over(whole))
         .withColumn(
             "rate",
             F.round(

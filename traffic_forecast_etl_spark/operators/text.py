@@ -46,12 +46,10 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic document quality: mean word length, punctuation
-    density, digit density, uppercase density, stopword fraction →
-    a [0,1] composite. Pure arithmetic over regexp counts; the
-    weights are the usual curation-filter shape (cf. C4/Gopher-style
-    rule filters in public corpus literature)."""
+def quality_columns(text_col: str) -> dict[str, Column]:
+    """The quality-signal expressions as named Columns, so composites
+    (curate_corpus) can fuse them into their own scan instead of
+    joining a second pass over the corpus."""
     c = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -75,14 +73,23 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         - F.least(upper_ratio, F.lit(0.2))
         + F.least(stop_ratio, F.lit(0.2))
     )
-    return df.select(
-        F.col(id_col),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
-    )
+    return {
+        "punct_ratio": F.round(punct_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_word_len": F.round(mean_wl, 6),
+        "quality": F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality: mean word length, punctuation
+    density, digit density, uppercase density, stopword fraction →
+    a [0,1] composite. Pure arithmetic over regexp counts; the
+    weights are the usual curation-filter shape (cf. C4/Gopher-style
+    rule filters in public corpus literature)."""
+    cols = quality_columns(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -127,16 +134,17 @@ def curate_corpus(
     removal. Returns the surviving rows of ``df`` with ``n_tokens``
     and ``quality`` attached.
 
-    Plan shape: the token/quality stages are map-only and fuse into
-    one scan; dedup adds the LSH pipeline on the (already reduced)
-    survivor set — filter-then-dedup ordering is deliberate: quality
-    filtering is O(corpus) cheap and shrinks the dedup input.
+    Plan shape: the token/quality stages are map-only COLUMN
+    expressions computed inline (quality_columns), so the whole
+    filter fuses into the parquet scan — zero joins, zero shuffles,
+    one pass over the text. Dedup then adds the LSH pipeline on the
+    (already reduced) survivor set — filter-then-dedup ordering is
+    deliberate: quality filtering is O(corpus) cheap and shrinks the
+    dedup input.
     """
-    stats = token_stats(df, text_col, id_col).select(id_col, "n_tokens")
-    q = quality_score(df, text_col, id_col).select(id_col, "quality")
     out = (
-        df.join(stats, id_col)
-        .join(q, id_col)
+        df.withColumn("n_tokens", F.size(tokens(text_col)))
+        .withColumn("quality", quality_columns(text_col)["quality"])
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("n_tokens") <= max_tokens)

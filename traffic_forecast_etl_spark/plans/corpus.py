@@ -70,12 +70,12 @@ def build_training_corpus(
     benchmark = docs.filter(F.col("source") == "src0")
     n_input = corpus.count()
 
-    # 1. quality gate (token bounds + composite score)
-    stats = TX.token_stats(corpus, "text", "doc_id").select("doc_id", "n_tokens")
-    quality = TX.quality_score(corpus, "text", "doc_id").select("doc_id", "quality")
+    # 1. quality gate (token bounds + composite score) — inline
+    # column expressions, so the gate fuses into the scan with zero
+    # joins/shuffles (see quality_columns)
     gated = (
-        corpus.join(stats, "doc_id")
-        .join(quality, "doc_id")
+        corpus.withColumn("n_tokens", F.size(TX.tokens("text")))
+        .withColumn("quality", TX.quality_columns("text")["quality"])
         .filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
     )
     n_quality = gated.count()
