@@ -75,6 +75,14 @@ def main() -> None:
     # where minutes of JIT amortize against hours of work.
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).collect()
+        # drop caches the query persisted: each bench invocation
+        # builds a fresh plan, so leaked persist() entries accumulate
+        # across the suite — dozens of live cache entries both hold
+        # memory and make every later plan compilation walk the
+        # CacheManager for canonical-subtree matches (measured: up to
+        # 2x inflation on the expression-heavy LSH plans). Queries are
+        # measured cache-isolated, like the driver runs them.
+        spark.catalog.clearCache()
     for name in HEADLINE:
         # min of three timed runs: a long-lived local[N] JVM shows
         # transient multi-second stalls (~1 in 5 runs) unrelated to the
@@ -87,6 +95,7 @@ def main() -> None:
             best = dt if best is None or dt < best else best
             assert rows is not None
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
