@@ -125,6 +125,11 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "o2_temporal_split",
     # deliberately tiny: ranks the 5-row distinct-agg output
     "a5_distinct_agg",
+    # whole-frame totals over the per-SOURCE counts frame (O(sources)
+    # rows — bytes through the single partition); chosen over the
+    # 1-row-frame BroadcastNestedLoopJoin alternative, see
+    # temperature_mix_rates
+    "c5_temperature_mix",
 }
 _CARTESIAN_OK = {
     # broadcast query-side × corpus is the documented exact baseline

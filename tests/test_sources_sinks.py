@@ -312,6 +312,80 @@ def test_streaming_checkpoint_resume_is_incremental(spark, tmp_path):
     assert spark.read.parquet(sink).count() == events.count()
 
 
+def test_streaming_rollup_maintenance_incremental(spark, tmp_path):
+    """Continuous-aggregate semantics across ticks: tick 2's events
+    land in windows tick 1 already wrote (the event_id split
+    interleaves timestamps), so the maintained rollup is only correct
+    if (a) window state carries across restarts via the checkpoint and
+    (b) the MERGE replaces the stale window rows. Final table must
+    equal the from-scratch batch aggregate; a no-new-files replay
+    changes nothing."""
+    import shutil
+
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        read_events_stream,
+        streaming_rollup_maintenance,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first = events.filter("event_id < 500")
+    second = events.filter("event_id >= 500")
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    for f in (tmp_path / "b1").glob("*.parquet"):
+        shutil.copy(f, src / "batch1.parquet")
+
+    rollup, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ck")
+    # watermark wide enough that the id-split's timestamp interleaving
+    # never crosses it — the test pins merge semantics, not lateness
+    # drops (those are w5/st1 territory)
+    def tick():
+        q = streaming_rollup_maintenance(
+            read_events_stream(spark, str(src)),
+            rollup,
+            watermark="3650 days",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    def rollup_rows():
+        return {
+            (r.event_type, r.win_start, r.n, r.sum_value)
+            for r in spark.read.parquet(rollup)
+            .select("event_type", "win_start", "n", "sum_value")
+            .collect()
+        }
+
+    def batch_agg(df):
+        return {
+            (r.event_type, r.win_start, r.n, r.sum_value)
+            for r in df.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("win_start")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .collect()
+        }
+
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    ev_norm = load_table(spark, "events", "/root/testdata/sf0.001")
+    tick()
+    assert rollup_rows() == batch_agg(ev_norm.filter("event_id < 500"))
+
+    # tick 2: remaining events update existing windows in place
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    for f in (tmp_path / "b2").glob("*.parquet"):
+        shutil.copy(f, src / "batch2.parquet")
+    tick()
+    full = batch_agg(ev_norm)
+    assert rollup_rows() == full
+
+    # replay with nothing new: the maintained table is untouched
+    tick()
+    assert rollup_rows() == full
+
+
 def test_merge_upsert_empty_batch_is_noop(spark, tmp_path):
     """An empty batch against an existing partitioned sink must be a
     clean no-op (a 12-h tick with zero rows), not a crash."""

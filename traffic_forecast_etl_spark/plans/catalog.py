@@ -3191,6 +3191,51 @@ def st5_stream_static_enrich(spark, sf_dir):
     )
 
 
+@query(
+    "st6_rollup_maintenance",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS win_start,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st6_rollup_maintenance(spark, sf_dir):
+    """Continuous-aggregate (hypertable-rollup) maintenance: an
+    update-mode windowed aggregate whose changed windows MERGE per
+    micro-batch into a date-partitioned parquet rollup table
+    (streaming/micro_batch.py streaming_rollup_maintenance). The
+    oracle is the full batch aggregate — after the stream drains, the
+    MAINTAINED TABLE must equal the from-scratch rollup exactly; the
+    incremental two-tick/late-data/replay semantics are pinned in
+    test_sources_sinks."""
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+    from ..streaming.micro_batch import (
+        read_events_stream,
+        streaming_rollup_maintenance,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st6_rollup_")
+    try:
+        q = streaming_rollup_maintenance(
+            read_events_stream(spark, f"{sf_dir}/events.parquet"),
+            rollup_path=f"{tmp}/rollup",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/rollup")
+            .select("event_type", "win_start", "n", "sum_value")
+            # detach the result from the temp dir before it is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry
 # ---------------------------------------------------------------------------
@@ -3218,6 +3263,7 @@ _SWEEP_PRIORITY = [
     "w9_rank_family", "w10_cohort_retention", "w11_time_range_rolling",
     "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
     "st4_stream_stream_join", "st5_stream_static_enrich",
+    "st6_rollup_maintenance",
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
     "d5_embedding_neardup", "d6_near_dedup_filter",
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "s4_quantize_embeddings",

@@ -202,6 +202,72 @@ def streaming_dedup_sink(
     return writer.start()
 
 
+def streaming_rollup_maintenance(
+    events: DataFrame,
+    rollup_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """CONTINUOUS AGGREGATE maintenance — the hypertable-rollup /
+    materialized-view pattern: a watermarked tumbling-window aggregate
+    in UPDATE output mode, whose changed windows are MERGEd per
+    micro-batch into a date-partitioned parquet rollup keyed by
+    (event_type, win_start).
+
+    Why this shape at 100 TB:
+      - update mode emits only windows whose aggregate CHANGED this
+        micro-batch (O(touched windows) rows, never the full history);
+      - the state store holds open windows only — the watermark closes
+        and evicts them, so state is O(windows within watermark), not
+        O(stream length);
+      - merge_upsert's partition-scoped rewrite (dt derived from
+        win_start, functionally determined by the key — its documented
+        contract) touches only the dates present in the batch: a
+        late-arriving correction rewrites one day-partition of the
+        rollup, not years of history;
+      - the rollup table is then a plain parquet table any engine
+        scans WITHOUT re-aggregating the raw stream — the read path
+        of every dashboard/downstream join at scale.
+
+    Late data inside the watermark folds in automatically (the window
+    re-emits with its corrected aggregate and the MERGE replaces that
+    row); data later than the watermark is dropped by the aggregate —
+    the documented streaming-semantics tradeoff.
+
+    Restart-safe: the checkpoint carries watermark + window state, so
+    an AvailableNow tick per scheduler run (R2's cadence) resumes
+    exactly; replaying a tick with no new files merges zero rows.
+    """
+    from ..sinks import merge_upsert
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.withColumn("dt", F.col("win_start").cast("date").cast("string"))
+        merge_upsert(
+            b.sparkSession,
+            b,
+            rollup_path,
+            keys=["event_type", "win_start"],
+            partition_by=["dt"],
+        )
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: Callable[[DataFrame, int], None] | None = None,
