@@ -412,6 +412,26 @@ def test_compact_refuses_partitioned_root(spark, tmp_path):
         compact_partition(spark, path)
 
 
+def test_expire_date_partitions(spark, tmp_path):
+    """Retention drops exactly the partitions below the cutoff as a
+    directory-level operation; survivors read back intact."""
+    from traffic_forecast_etl_spark.sources.writers import expire_date_partitions
+
+    path = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"])],
+        "id int, dt string",
+    )
+    df.write.partitionBy("dt").parquet(path)
+    dropped = expire_date_partitions(spark, path, older_than="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(path)
+    # partition discovery type-infers dt as date — compare stringified
+    assert [str(r.dt) for r in left.collect()] == ["2024-01-03"]
+    # idempotent: nothing below the cutoff remains
+    assert expire_date_partitions(spark, path, older_than="2024-01-03") == []
+
+
 def test_fresh_rows_nonkey_range_key(spark, tmp_path):
     """The traffic-sink shape: hash surrogate key, pruning on the
     timestamp the hash derives from — the non-key range column must

@@ -99,6 +99,47 @@ def compact_partition(
     )
 
 
+def expire_date_partitions(
+    spark: SparkSession,
+    path: str,
+    older_than: str,
+    dt_col: str = "dt",
+) -> list[str]:
+    """Retention/TTL maintenance for a date-partitioned sink: drop
+    every ``dt=<value>`` partition directory with value strictly below
+    ``older_than`` (ISO yyyy-MM-dd strings compare lexically =
+    chronologically). Returns the dropped partition values.
+
+    This is the data-lifecycle half of sink maintenance (compaction
+    is the other): an append-forever events sink at 100 TB needs
+    retention enforced at the PARTITION level — a metadata-only
+    directory drop, never a scan-and-rewrite DELETE. Readers see a
+    partition atomically vanish (directory rename-then-delete), which
+    is the same visibility contract the compactor documents;
+    Delta/Iceberg `DELETE WHERE dt < ...` + VACUUM is the
+    transactional form.
+    """
+    import os
+    import shutil
+    import uuid
+
+    prefix = f"{dt_col}="
+    dropped: list[str] = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(prefix) or not os.path.isdir(os.path.join(path, d)):
+            continue
+        val = d[len(prefix):]
+        if val < older_than:
+            live = os.path.join(path, d)
+            # rename first so a concurrent lister never sees a
+            # half-deleted partition, then delete the renamed dir
+            doomed = os.path.join(path, f"__expired_{uuid.uuid4().hex}")
+            os.rename(live, doomed)
+            shutil.rmtree(doomed, ignore_errors=True)
+            dropped.append(val)
+    return dropped
+
+
 def write_range_clustered(
     df: DataFrame,
     path: str,
