@@ -127,6 +127,35 @@ def test_asof_join_semantics(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
 
 
+def test_resample_interpolate_semantics(spark):
+    """Pinned example: a 2-hour interior gap fills linearly (1/3, 2/3
+    fractions), edges extend the nearest observation, observed rows
+    pass through untouched, and each series keeps its own grid."""
+    from datetime import datetime
+
+    from traffic_forecast_etl_spark.operators.timeseries import resample_interpolate
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    df = spark.createDataFrame(
+        [("a", t(0), 3.0), ("a", t(3), 9.0), ("a", t(4), 10.0), ("b", t(2), 5.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts.hour): (r.v, r.is_interpolated)
+        for r in resample_interpolate(df, "ts", ["k"], "v").collect()
+    }
+    assert out == {
+        ("a", 0): (3.0, False),
+        ("a", 1): (5.0, True),   # 3 + (9-3)*1/3
+        ("a", 2): (7.0, True),   # 3 + (9-3)*2/3
+        ("a", 3): (9.0, False),
+        ("a", 4): (10.0, False),
+        ("b", 2): (5.0, False),  # single-point series: grid is itself
+    }
+
+
 def test_temporal_split_is_deterministic_and_disjoint(spark, sf_dir):
     from traffic_forecast_etl_spark.operators.relational import temporal_split
 

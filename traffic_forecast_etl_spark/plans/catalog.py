@@ -2687,6 +2687,77 @@ def w12_zscore_anomaly(spark, sf_dir):
 
 
 @query(
+    "w13_resample_interpolate",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), gapped AS (
+      SELECT * FROM hourly WHERE hour(h) % 5 <> 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS t0, max(h) AS t1 FROM gapped GROUP BY 1
+    ), grid AS (
+      SELECT b.event_type, gs.g AS h
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS gs(g)
+    ), j AS (
+      SELECT g.event_type, g.h, ga.v
+      FROM grid g LEFT JOIN gapped ga USING (event_type, h)
+    ), f AS (
+      SELECT event_type, h, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pt,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT event_type, h AS ts,
+      -- floor(x*1e6+0.5)/1e6, not round(): a frac=1/2 interpolation
+      -- makes 7th-decimal midpoints STRUCTURAL, and round() conventions
+      -- (binary vs shortest-repr HALF_UP) disagree exactly there; the
+      -- floor form computes the identical double on both engines
+      floor((CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((epoch(h) - epoch(pt))
+                                         / (epoch(nt) - epoch(pt))) END)
+            * 1e6 + 0.5) / 1e6 AS value,
+      (v IS NULL) AS is_interpolated
+    FROM f
+    """,
+)
+def w13_resample_interpolate(spark, sf_dir):
+    """Gap-filling resample: per-event-type hourly means with a
+    deterministic 20% of hours knocked out (hour%5==2 — simulated
+    sensor outages), regularized back to the hourly grid with linear
+    interpolation and edge extension (operators/timeseries.py). The
+    repair the reference's dropna-based notebooks skip, distributed:
+    grid generation and both fill windows share one shuffle keyed by
+    the series key. Reference: Traffic-Prediction-Modelling.ipynb
+    drops missing hours outright (≈cell 7)."""
+    from ..operators.timeseries import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .filter(F.hour("ts") % 5 != 2)
+    )
+    out = resample_interpolate(hourly, "ts", ["event_type"], "value", step="1 hour")
+    # engine-agnostic presentation rounding — see the oracle comment
+    return out.withColumn(
+        "value", F.floor(F.col("value") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    )
+
+
+@query(
     "c2_decontaminate",
     """
     WITH toks AS (
@@ -3274,7 +3345,7 @@ _SWEEP_PRIORITY = [
     "t11_repetition", "t12_type_token_ratio", "c1_curate_corpus",
     "c2_decontaminate", "c3_pack_token_bins", "c4_source_quota",
     "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
-    "d9_incremental_near_dup", "w12_zscore_anomaly",
+    "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
