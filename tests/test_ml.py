@@ -108,3 +108,32 @@ def test_model_save_load_roundtrip(split, rf_model, tmp_path):
     a = ml.evaluate(rf_model, test).mae
     b = ml.evaluate(loaded, test).mae
     assert abs(a - b) < 1e-12
+
+
+def test_fit_per_group_matches_moment_aggregates(spark):
+    """The applyInPandas grouped-map fit and the pure-aggregate
+    linear_trend must produce the same line per group — the grouped
+    map is the swap-in point for arbitrary sklearn models, the
+    aggregate twin is the no-data-movement form."""
+    from pyspark.sql import functions as F
+
+    from traffic_forecast_etl_spark.ml import fit_per_group_linear
+    from traffic_forecast_etl_spark.operators.aggregates import linear_trend
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "x", F.unix_timestamp("ts") / F.lit(3600.0)
+    )
+    agg = {
+        r.event_type: (r.n, r.slope, r.intercept)
+        for r in linear_trend(ev, ["event_type"], "x", "value").collect()
+    }
+    gm = {
+        r.event_type: (r.n, r.slope, r.intercept)
+        for r in fit_per_group_linear(ev, ["event_type"], "x", "value").collect()
+    }
+    assert set(agg) == set(gm) and len(agg) >= 3
+    for k, (n, s, i) in agg.items():
+        n2, s2, i2 = gm[k]
+        assert n2 == n
+        assert abs(s2 - s) < 1e-6 and abs(i2 - i) < 1e-4, (k, (s, i), (s2, i2))

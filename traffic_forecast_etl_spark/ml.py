@@ -120,3 +120,49 @@ def save(model: PipelineModel, path: str) -> None:
 def load(path: str) -> PipelineModel:
     """S6: MLReader replaces pickle.load (dags/utils.py:231)."""
     return PipelineModel.load(path)
+
+
+def fit_per_group_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group model training via applyInPandas (grouped map) — the
+    pattern for training one small model PER ENTITY at scale (a model
+    per sensor/detector rather than the reference's single global
+    model): each group's rows arrive as one Arrow-backed pandas frame
+    in one task, models fit in parallel across groups, and only the
+    O(1) coefficients come back.
+
+    The fitted model here is closed-form OLS (numpy polyfit), so the
+    result is deterministic and pinned equal to the pure-aggregate
+    twin operators/aggregates.linear_trend in test_ml — the swap-in
+    point for any sklearn estimator is the body of ``_fit``.
+
+    Scale note: one shuffle keyed by the group; a group must fit one
+    task (true for per-sensor series; NOT for 'one group is half the
+    corpus' keying — that shape belongs to the moment-aggregate twin,
+    which never moves the rows).
+    """
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"{df.schema[k].name} {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + ["n bigint", "slope double", "intercept double"]
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        keys = {k: [pdf[k].iloc[0]] for k in key_cols}
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        if len(x) < 2 or np.ptp(x) == 0.0:
+            return pd.DataFrame({**keys, "n": [len(x)], "slope": [None], "intercept": [None]})
+        slope, intercept = np.polyfit(x, y, 1)
+        return pd.DataFrame(
+            {**keys, "n": [len(x)], "slope": [float(slope)], "intercept": [float(intercept)]}
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(_fit, schema=schema)

@@ -113,3 +113,33 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit — the trend-detection
+    aggregate (is this sensor's series drifting?): slope =
+    covar_pop(x,y)/var_pop(x), intercept = avg(y) - slope*avg(x).
+
+    Pure native aggregates, so the whole fit is ONE map-side-partial
+    groupBy shuffle carrying five moments per group — no per-group
+    data movement, no Python. Degenerate groups (var_pop(x)=0: a
+    single point or constant x) yield NULL slope/intercept.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    slope = F.covar_pop(x, y) / F.nullif(F.var_pop(x), F.lit(0.0))
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        slope.alias("__slope"),
+        (F.avg(y) - slope * F.avg(x)).alias("__intercept"),
+    ).select(
+        *key_cols,
+        "n",
+        F.round("__slope", 6).alias("slope"),
+        F.round("__intercept", 6).alias("intercept"),
+    )

@@ -2758,6 +2758,55 @@ def w13_resample_interpolate(spark, sf_dir):
 
 
 @query(
+    "a14_linear_trend",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(regr_slope(value, (epoch_us(ts) - 1704067200000000) / 3.6e9), 6) AS slope,
+             round(avg(value), 6) AS ry,
+             round(avg((epoch_us(ts) - 1704067200000000) / 3.6e9), 6) AS rx
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, slope,
+           floor((ry - slope * rx) * 1e6 + 0.5) / 1e6 AS intercept FROM g
+    """,
+)
+def a14_linear_trend(spark, sf_dir):
+    """Per-group OLS trend (slope per hour of the value series) via
+    pure moment aggregates — one map-side-partial shuffle carrying
+    five moments per group, no per-group data movement. x is hours
+    since 2024-01-01 (epoch 1704067200), NOT raw epoch-hours: with
+    x ~ 5e5 the intercept avg(y) - slope*avg(x) amplifies last-ulp
+    cross-engine slope differences ~5e5x (catastrophic cancellation,
+    observed at the 4th decimal); centered x keeps both engines
+    agreeing at 6 decimals AND gives the intercept a meaning (fitted
+    value at the epoch). Even centered, the intercept composes slope
+    with avg(x) — so for the cross-engine check it is assembled from
+    6-decimal-ROUNDED pieces (slope, avg(y), avg(x)) identically on
+    both engines: remaining last-ulp aggregation differences are
+    rounded away BEFORE the amplifying multiply. The full-precision
+    operator is operators/aggregates.linear_trend; its applyInPandas
+    grouped-map twin (ml.fit_per_group_linear, the per-entity-model
+    pattern) is pinned equal in test_ml."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3.6e9)
+    y = F.col("value")
+    slope = F.round(F.covar_pop(x, y) / F.nullif(F.var_pop(x), F.lit(0.0)), 6)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        slope.alias("slope"),
+        F.round(F.avg(y), 6).alias("ry"),
+        F.round(F.avg(x), 6).alias("rx"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "slope",
+        (F.floor((F.col("ry") - F.col("slope") * F.col("rx")) * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("intercept"),
+    )
+
+
+@query(
     "c2_decontaminate",
     """
     WITH toks AS (
@@ -3346,6 +3395,7 @@ _SWEEP_PRIORITY = [
     "c2_decontaminate", "c3_pack_token_bins", "c4_source_quota",
     "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
+    "a14_linear_trend",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
