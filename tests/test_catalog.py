@@ -127,6 +127,37 @@ def test_asof_join_semantics(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
 
 
+def test_asof_join_forward_nearest_tolerance(spark):
+    """Pinned: forward picks the earliest right ≥ ts; nearest picks
+    the closer side with ties breaking backward; tolerance nulls out
+    matches farther than the bound (per direction)."""
+    from traffic_forecast_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 12), (2, "u", 25), (3, "u", 95), (4, "v", 50)],
+        "lid int, k string, t int",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, 2.0), ("u", 30, 3.0)], "k string, t int, v double"
+    )
+
+    def run(**kw):
+        return {
+            r.lid: r.v_right
+            for r in asof_join(
+                left, right, on="t", by=["k"], right_cols=["v"], **kw
+            ).collect()
+        }
+
+    # forward: 12→20, 25→30, 95→none, v→none
+    assert run(direction="forward") == {1: 2.0, 2: 3.0, 3: None, 4: None}
+    # nearest: 12→10 (d2 vs d8), 25→20|30 tie → backward, 95→30
+    assert run(direction="nearest") == {1: 1.0, 2: 2.0, 3: 3.0, 4: None}
+    # tolerance bounds each direction: 95's nearest (30, d=65) nulls
+    assert run(direction="nearest", tolerance=10.0) == {1: 1.0, 2: 2.0, 3: None, 4: None}
+    assert run(direction="backward", tolerance=1.0) == {1: None, 2: None, 3: None, 4: None}
+
+
 def test_resample_interpolate_semantics(spark):
     """Pinned example: a 2-hour interior gap fills linearly (1/3, 2/3
     fractions), edges extend the nearest observation, observed rows

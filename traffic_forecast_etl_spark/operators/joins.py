@@ -111,61 +111,101 @@ def asof_join(
     right_cols: Sequence[str],
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` group (backward; or
-    the earliest ``>=`` for forward).
+    ``right.on <= left.on`` within the same ``by`` group (backward),
+    the earliest ``>=`` (forward), or whichever of the two is closer
+    (nearest; ties break backward). ``tolerance`` bounds the allowed
+    |right.on − left.on| in the column's double-cast units (seconds
+    for timestamps) — a match farther than that yields NULL, the
+    pandas ``merge_asof(tolerance=...)`` contract.
 
     Spark has no native as-of join. Scalable composition (one shuffle
     on ``by``, no per-row lookups, no crossJoin):
 
       1. tag and union both sides on (by, on);
       2. window-sort within ``by`` by (on, tag) and carry the last
-         non-null right payload forward with ``last(ignorenulls)``;
+         non-null right payload forward with ``last(ignorenulls)``
+         (and symmetrically ``first`` for the forward direction);
       3. keep left rows.
 
     This is the standard union-merge formulation of merge_asof; state
     per group is one row of payload, and the window never materializes
-    a group in memory (UnsafeExternalSorter spills).
+    a group in memory (UnsafeExternalSorter spills). ``nearest`` costs
+    one extra in-partition sort (both direction fills share the single
+    hash exchange on ``by``).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
     l_tagged = left.withColumn("__is_left", F.lit(True))
     for c in right_cols:
         l_tagged = l_tagged.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
-        *by,
-        F.col(on).alias(on),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-    ).withColumn("__is_left", F.lit(False))
+    l_tagged = l_tagged.withColumn("__r_on", F.lit(None).cast("double"))
+    r_tagged = (
+        right.select(
+            *by,
+            F.col(on).alias(on),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        )
+        .withColumn("__is_left", F.lit(False))
+        # matched-timestamp carrier: distance/tolerance need the right
+        # row's own `on`, not just its payload
+        .withColumn("__r_on", F.col(on).cast("double"))
+    )
     left_cols = [c for c in left.columns]
     for c in left_cols:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l_tagged.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], "__is_left").unionByName(
-        r_tagged.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], "__is_left")
-    )
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal timestamps so an
-        # exact-timestamp match is visible to the left row.
-        order = [F.col(on).asc(), F.col("__is_left").cast("int").asc()]
-        frame = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        filled = unioned.select(
+    sel = [*left_cols, *[f"{c}{suffix}" for c in right_cols], "__is_left", "__r_on"]
+    unioned = l_tagged.select(*sel).unionByName(r_tagged.select(*sel))
+
+    def _filled(df: DataFrame, which: str, pre: str) -> DataFrame:
+        if which == "backward":
+            # right rows sort BEFORE left rows at equal timestamps so
+            # an exact-timestamp match is visible to the left row.
+            order = [F.col(on).asc(), F.col("__is_left").cast("int").asc()]
+            frame = (
+                Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+            )
+            agg = lambda col: F.last(col, ignorenulls=True).over(frame)  # noqa: E731
+        else:
+            order = [F.col(on).asc(), F.col("__is_left").cast("int").desc()]
+            frame = (
+                Window.partitionBy(*by).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+            )
+            agg = lambda col: F.first(col, ignorenulls=True).over(frame)  # noqa: E731
+        return df.select(
             "*",
-            *[
-                F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(frame).alias(f"__f_{c}")
-                for c in right_cols
-            ],
+            *[agg(F.col(f"{c}{suffix}")).alias(f"{pre}{c}") for c in right_cols],
+            agg(F.col("__r_on")).alias(f"{pre}ts"),
         )
-    else:
-        order = [F.col(on).asc(), F.col("__is_left").cast("int").desc()]
-        frame = Window.partitionBy(*by).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-        filled = unioned.select(
-            "*",
-            *[
-                F.first(F.col(f"{c}{suffix}"), ignorenulls=True).over(frame).alias(f"__f_{c}")
-                for c in right_cols
-            ],
+
+    l_on = F.col(on).cast("double")
+    if direction in ("backward", "forward"):
+        filled = _filled(unioned, direction, "__f_")
+        dist = (
+            (l_on - F.col("__f_ts")) if direction == "backward" else (F.col("__f_ts") - l_on)
         )
-    out = filled.filter(F.col("__is_left")).select(
-        *left_cols, *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols]
+        ok = F.col("__f_ts").isNotNull()
+        if tolerance is not None:
+            ok = ok & (dist <= F.lit(float(tolerance)))
+        picked = {c: F.when(ok, F.col(f"__f_{c}")) for c in right_cols}
+    else:  # nearest: both fills share the one hash exchange on `by`
+        filled = _filled(_filled(unioned, "backward", "__b_"), "forward", "__w_")
+        bdist = l_on - F.col("__b_ts")
+        fdist = F.col("__w_ts") - l_on
+        b_ok = F.col("__b_ts").isNotNull() & (
+            F.lit(True) if tolerance is None else (bdist <= F.lit(float(tolerance)))
+        )
+        f_ok = F.col("__w_ts").isNotNull() & (
+            F.lit(True) if tolerance is None else (fdist <= F.lit(float(tolerance)))
+        )
+        use_b = b_ok & (~f_ok | (bdist <= fdist))  # tie breaks backward
+        picked = {
+            c: F.when(use_b, F.col(f"__b_{c}")).when(f_ok, F.col(f"__w_{c}"))
+            for c in right_cols
+        }
+    return filled.filter(F.col("__is_left")).select(
+        *left_cols, *[picked[c].alias(f"{c}{suffix}") for c in right_cols]
     )
-    return out

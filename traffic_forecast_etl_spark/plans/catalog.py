@@ -1216,6 +1216,43 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("value_right").alias("signup_value"))
 
 
+@query(
+    "j9_asof_nearest",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT c.value FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND abs(epoch(c.ts) - epoch(p.ts)) <= 3600
+            ORDER BY abs(epoch(c.ts) - epoch(p.ts)) ASC,
+                     (c.ts > p.ts) ASC LIMIT 1) AS click_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a tolerance bound: each
+    purchase picks the same user's click CLOSEST in time, either
+    side, within 1 hour (ties break backward) — the sensor-alignment
+    shape pandas merge_asof(direction='nearest', tolerance=...) runs
+    single-node. Composed as tagged-union + both direction fills over
+    ONE hash exchange on user_id (two in-partition sorts); the oracle
+    is the correlated min-|Δt| subquery."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = J.asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["value"],
+        direction="nearest",
+        tolerance=3600.0,
+    )
+    return out.select("event_id", "user_id", F.col("value_right").alias("click_value"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregates (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -3395,7 +3432,7 @@ _SWEEP_PRIORITY = [
     "c2_decontaminate", "c3_pack_token_bins", "c4_source_quota",
     "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
-    "a14_linear_trend",
+    "a14_linear_trend", "j9_asof_nearest",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
