@@ -112,3 +112,53 @@ def top_k(df: DataFrame, order_by: Sequence[Column | str], k: int) -> DataFrame:
     — per-partition partial top-k then a k-row merge on the driver; no
     global sort materialization even at 100 TB."""
     return df.orderBy(*order_by).limit(k)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table versions — the validation primitive for
+    migrations, replays, and incremental-pipeline checks: which keys
+    were ADDED (right only), REMOVED (left only), or CHANGED (present
+    in both, non-key payload differs). Unchanged keys are dropped.
+
+    Scale shape: each side collapses to (key, xxhash64(payload))
+    BEFORE the comparison join — the full-outer join moves 8-byte
+    fingerprints, never payload, so diffing two 100 TB table versions
+    shuffles O(rows x 8B). Hash collisions (~n^2 x 2^-64) would
+    misreport a changed row as unchanged — the standard fingerprint
+    tradeoff, same as d1/d8.
+
+    NULL-safe: payload hashing feeds column VALUES AND a null bitmap
+    (NULL vs 'null-as-string' collide otherwise); keys join with <=>
+    via the fingerprint equality.
+    """
+    keys = list(keys)
+    cmp_cols = list(compare_cols) if compare_cols is not None else [
+        c for c in left.columns if c not in keys
+    ]
+    missing = [c for c in cmp_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"compare_cols absent from right side: {missing}")
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        payload = F.xxhash64(
+            *[F.col(c).cast("string") for c in cmp_cols],
+            *[F.col(c).isNull().cast("int") for c in cmp_cols],
+        )
+        return df.select(*keys, payload.alias(f"__h_{side}"))
+
+    joined = fp(left, "l").join(fp(right, "r"), on=keys, how="full_outer")
+    status = (
+        F.when(F.col("__h_l").isNull(), F.lit("added"))
+        .when(F.col("__h_r").isNull(), F.lit("removed"))
+        .when(F.col("__h_l") != F.col("__h_r"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("diff_status", status)
+        .filter(F.col("diff_status").isNotNull())
+        .select(*keys, "diff_status")
+    )

@@ -2844,6 +2844,67 @@ def a14_linear_trend(spark, sf_dir):
 
 
 @query(
+    "d10_table_diff",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                WHEN (l.o_custkey      IS DISTINCT FROM r.o_custkey)
+                  OR (l.o_orderstatus  IS DISTINCT FROM r.o_orderstatus)
+                  OR (l.o_totalprice   IS DISTINCT FROM r.o_totalprice)
+                  OR (l.o_orderdate    IS DISTINCT FROM r.o_orderdate)
+                  OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
+                THEN 'changed' END AS diff_status
+    FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE (CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                WHEN (l.o_custkey      IS DISTINCT FROM r.o_custkey)
+                  OR (l.o_orderstatus  IS DISTINCT FROM r.o_orderstatus)
+                  OR (l.o_totalprice   IS DISTINCT FROM r.o_totalprice)
+                  OR (l.o_orderdate    IS DISTINCT FROM r.o_orderdate)
+                  OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
+                THEN 'changed' END) IS NOT NULL
+    """,
+)
+def d10_table_diff(spark, sf_dir):
+    """Keyed table-version diff (added/removed/changed) over a
+    deterministically mutated copy of orders (keys %97 dropped, %101
+    repriced, %103 re-added under new keys). The engine collapses
+    each side to (key, payload-fingerprint) BEFORE the full-outer
+    comparison join, so a 100 TB-vs-100 TB diff shuffles 8-byte
+    hashes, never payload — the oracle compares column values
+    directly, proving the fingerprint path reports identical
+    statuses."""
+    orders = _t(spark, sf_dir, "orders")
+    mutated = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    return R.table_diff(orders, mutated, ["o_orderkey"])
+
+
+@query(
     "c2_decontaminate",
     """
     WITH toks AS (
@@ -3432,7 +3493,7 @@ _SWEEP_PRIORITY = [
     "c2_decontaminate", "c3_pack_token_bins", "c4_source_quota",
     "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
-    "a14_linear_trend", "j9_asof_nearest",
+    "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
