@@ -48,6 +48,10 @@ HEADLINE = [
     "t10_char_entropy",
     "c2_decontaminate",
     "d7_stratified_sample",
+    "w13_resample_interpolate",
+    "a14_linear_trend",
+    "j9_asof_nearest",
+    "d10_table_diff",
 ]
 
 
