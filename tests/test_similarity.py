@@ -170,3 +170,32 @@ def test_quantize_embeddings_recovers_cosine(spark):
     # quantization error
     approx = (rows[1]["q_embedding"][0] * q2[0] + rows[1]["q_embedding"][1] * q2[1]) / 127**2
     assert abs(approx - 0.6) < 0.01
+
+
+def test_embedding_neardup_lsh_recall_and_precision(spark, emb):
+    """d11 vs d5 at the same threshold: every emitted pair must be in
+    the exact answer (precision 1 — pairs are exact-verified), and
+    LSH banding must recover most of it (recall floor with slack for
+    hash luck; theory ≈0.87 at cos=0.4 with 4 planes x 12 tables)."""
+    from traffic_forecast_etl_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+        embedding_neardup_pairs,
+    )
+
+    thr = 0.4
+    exact_pairs = {
+        (r.id1, r.id2)
+        for r in blocked_allpairs_cosine(
+            emb, "vec_id", "embedding", threshold=thr
+        ).collect()
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in embedding_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=thr, n_planes=4, n_tables=12
+        ).collect()
+    }
+    assert exact_pairs, "fixture corpus must contain pairs above threshold"
+    assert got <= exact_pairs, f"false positives: {sorted(got - exact_pairs)[:5]}"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"embedding LSH recall {recall:.2f}"

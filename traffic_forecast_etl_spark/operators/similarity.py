@@ -137,6 +137,122 @@ def lsh_bucket(
     return df.withColumn(out, bucket)
 
 
+def multitable_bucket_entries(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, __tab, lsh_bucket) bucket entries for MULTI-TABLE
+    hyperplane LSH — the shared indexing step of lsh_topk (query vs
+    corpus) and embedding_neardup_pairs (corpus self-join).
+
+    All tables' planes stack into ONE (tables·planes × dim) matrix;
+    buckets come from a single scan + one numpy matmul per Arrow
+    batch. The per-table lsh_bucket() expression form costs n_tables
+    scans × n_planes interpreted aggregate() lambdas per row —
+    measured ~7× slower at 2k×64."""
+    planes = np.array(
+        [row for t in range(n_tables) for row in _hyperplanes(dim, n_planes, seed + 7919 * t)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (V @ planes.T) >= 0  # (n, tables·planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        out = []
+        for t in range(n_tables):
+            chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+            out.append(chunk @ weights)
+        stacked = np.stack(out, axis=1)  # (n, tables)
+        return pd.Series(list(stacked))
+
+    return df.select(
+        F.col(id_col), F.posexplode(_buckets(F.col(vec_col))).alias("__tab", "lsh_bucket")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale — the sub-quadratic
+    path d5 (blocked_allpairs_cosine, the exact O(n²·d) oracle
+    baseline) explicitly defers to: multi-table hyperplane-LSH
+    banding → bucket equi-self-join → exact-cosine verification of
+    candidates only. The embedding twin of the text plane's
+    minhash_lsh_pairs (d2).
+
+    Returns (id1, id2, cosine) with cosine ≥ ``threshold`` — every
+    emitted pair is EXACT-verified (precision 1 vs d5 by
+    construction); LSH only bounds recall: a pair at angle θ
+    collides with prob 1-(1-(1-θ/π)^n_planes)^n_tables (defaults:
+    ≈0.94 at cos=0.9), pinned ≥0.8 against d5 in pytest.
+
+    Plan shape at 100 TB: bucket entries are map-only (one Arrow
+    matmul per batch); the self-join shuffles (table, bucket) keys —
+    uniform by construction; verification joins vectors back BY ID
+    for candidates only, so no task ever holds more than one
+    candidate pair's vectors. No cross product anywhere.
+    """
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    e = multitable_bucket_entries(
+        vecs, "__id", "__v", dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
+    cand = (
+        e.alias("l")
+        .join(e.alias("r"), on=["__tab", "lsh_bucket"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id1"), F.col("r.__id").alias("id2"))
+        .distinct()
+    )
+    # two-stage verification (the d2 shape): (a) an 8-byte 64-bit
+    # hyperplane sketch per id estimates the angle from a popcount —
+    # est_cos = cos(pi * hamming/64), sd of hamming/64 is
+    # sqrt(f(1-f)/64) <= 1/16, so a 2.5-sigma margin keeps true pairs;
+    # pruning joins 8 bytes per side, never vectors. (b) exact cosine
+    # on the survivors only, joined BY ID so a task holds one pair's
+    # vectors.
+    sketch_entries = multitable_bucket_entries(
+        vecs, "__id", "__v", dim=dim, n_planes=64, n_tables=1, seed=seed + 104729
+    ).select("__id", F.col("lsh_bucket").alias("__sk"))
+    margin = 2.5 * math.pi * (0.25 / 64) ** 0.5
+    est_ok = F.cos(
+        F.lit(math.pi / 64.0)
+        * F.bit_count(F.col("__sk1").bitwiseXOR(F.col("__sk2")))
+    ) >= F.lit(threshold) - F.lit(math.sin(math.acos(min(abs(threshold), 1.0))) * margin)
+    pruned = (
+        cand.join(sketch_entries.select(F.col("__id").alias("id1"), F.col("__sk").alias("__sk1")), "id1")
+        .join(sketch_entries.select(F.col("__id").alias("id2"), F.col("__sk").alias("__sk2")), "id2")
+        .filter(est_ok)
+        .select("id1", "id2")
+    )
+    v1 = vecs.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
+    v2 = vecs.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
+    return (
+        pruned.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__v1"), F.col("__v2"))
+            / (_norm(F.col("__v1")) * _norm(F.col("__v2"))),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,31 +277,9 @@ def lsh_topk(
     is an equi-join on (table, bucket): hash shuffle, no cross
     product, candidate count ≈ L · |bucket|."""
 
-    # all tables' planes stacked into ONE (tables·planes × dim) matrix;
-    # each side's buckets come from a single corpus scan + one numpy
-    # matmul per Arrow batch. The per-table lsh_bucket() expression
-    # form costs n_tables scans × n_planes interpreted aggregate()
-    # lambdas per row — measured ~7× slower at 2k×64.
-    planes = np.array(
-        [row for t in range(n_tables) for row in _hyperplanes(dim, n_planes, seed + 7919 * t)],
-        dtype=np.float64,
-    )
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _buckets(v: pd.Series) -> pd.Series:
-        V = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        bits = (V @ planes.T) >= 0  # (n, tables·planes)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        out = []
-        for t in range(n_tables):
-            chunk = bits[:, t * n_planes : (t + 1) * n_planes]
-            out.append(chunk @ weights)
-        stacked = np.stack(out, axis=1)  # (n, tables)
-        return pd.Series(list(stacked))
-
     def entries(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        return df.select(
-            F.col(idc), F.posexplode(_buckets(F.col(vc))).alias("__tab", "lsh_bucket")
+        return multitable_bucket_entries(
+            df, idc, vc, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
         )
 
     c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))

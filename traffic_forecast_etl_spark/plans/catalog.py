@@ -2161,6 +2161,24 @@ def d5_embedding_neardup(spark, sf_dir):
     return S.blocked_allpairs_cosine(emb, "vec_id", "embedding", threshold=0.3)
 
 
+@query("d11_embedding_neardup_lsh")
+def d11_embedding_neardup_lsh(spark, sf_dir):
+    """The SUB-QUADRATIC embedding near-dup path d5 defers to:
+    multi-table hyperplane-LSH banding → bucket equi-self-join →
+    exact-cosine verify of candidates only (the embedding twin of
+    d2's text LSH). Rows-only: every emitted pair is exact-verified
+    (precision 1 vs d5 by construction) but LSH bounds recall below
+    1, so no SQL oracle can match exactly — the recall floor (≥0.7
+    vs d5's exact pairs at the same threshold) is pinned in
+    test_similarity. Threshold 0.4 sits at the top of this isotropic
+    test corpus's cosine range (max ≈0.48); production near-dup runs
+    at 0.9+ where the same plan's buckets are far sparser."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, n_planes=4, n_tables=12
+    )
+
+
 @query("d6_near_dedup_filter")
 def d6_near_dedup_filter(spark, sf_dir):
     """End-to-end near-dup REMOVAL: LSH pairs → iterative
@@ -3483,7 +3501,7 @@ _SWEEP_PRIORITY = [
     "st4_stream_stream_join", "st5_stream_static_enrich",
     "st6_rollup_maintenance",
     "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
-    "d5_embedding_neardup", "d6_near_dedup_filter",
+    "d5_embedding_neardup", "d6_near_dedup_filter", "d11_embedding_neardup_lsh",
     "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "s4_quantize_embeddings",
     "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
