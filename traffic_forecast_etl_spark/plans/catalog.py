@@ -2923,6 +2923,110 @@ def d10_table_diff(spark, sf_dir):
 
 
 @query(
+    "c6_adaptive_quality_gate",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks,
+             greatest(length(text), 1) AS n_chars
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                   AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len
+      FROM base
+    ), t AS (SELECT quantile_cont(mean_word_len, 0.25) AS thr FROM q)
+    SELECT doc_id, mean_word_len, round(thr, 6) AS gate_threshold
+    FROM q, t WHERE mean_word_len >= thr
+    """,
+)
+def c6_adaptive_quality_gate(spark, sf_dir):
+    """PERCENTILE-adaptive curation gate: keep documents at or above
+    the corpus's own p25 mean-word-length (the composite quality
+    score is degenerate on this synthetic corpus — every doc scores
+    1.0 — so the gate runs on the length-quality signal, which is
+    continuous here) — the form a real curation run uses
+    when the quality distribution shifts corpus-to-corpus and a fixed
+    0.5 cutoff over- or under-prunes. The threshold is a 1-row exact-
+    percentile aggregate broadcast back onto the stream (the
+    minmax_normalize_expr shape: partial agg → 1-row exchange →
+    pass-through BNLJ — never a single-partition window). At 100 TB
+    swap percentile for approx_percentile(1e-4 accuracy): same plan,
+    sketch-sized partials; the exact form here keeps the oracle
+    byte-comparable."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", TX.quality_columns("text")["mean_word_len"].alias("mean_word_len")
+    )
+    thr = scored.agg(F.expr("percentile(mean_word_len, 0.25)").alias("__thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("mean_word_len") >= F.col("__thr"))
+        .select(
+            "doc_id", "mean_word_len", F.round("__thr", 6).alias("gate_threshold")
+        )
+    )
+
+
+@query(
+    "w14_seasonal_anomaly",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, event_type, value,
+             round(avg(value) OVER w, 6) AS season_mean,
+             round(stddev_pop(value) OVER w, 6) AS season_sd,
+             count(*) OVER w AS n_peers
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, isodow(ts), hour(ts))
+    )
+    SELECT event_id, user_id, season_mean,
+           CASE WHEN n_peers >= 30 AND season_sd > 0
+                THEN floor(((value - season_mean) / season_sd) * 1e6 + 0.5) / 1e6
+           END AS season_z,
+           CASE WHEN n_peers >= 30 AND season_sd > 0
+                THEN abs((value - season_mean) / season_sd) > 3.0
+           END AS is_anomaly
+    FROM p
+    """,
+)
+def w14_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-profile anomaly: each event scored against the mean/
+    stddev of its OWN seasonal slot (event_type x ISO-weekday x
+    hour-of-day) — the hour-of-week traffic-pattern baseline that is
+    the reference's central EDA structure
+    (Traffic-Prediction-Modelling.ipynb hourly-pattern cells),
+    productionized as an operator. One window shuffle keyed by the
+    seasonal slot; slots with <30 peers or zero variance yield NULL
+    (insufficient seasonal evidence), mirroring w12's guard. The
+    z-score composes from 6-decimal-rounded mean/sd with floor-form
+    final rounding (see a14's cancellation note)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.expr("extract(DAYOFWEEK_ISO FROM ts)"), F.hour("ts")
+    )
+    mean = F.round(F.avg("value").over(w), 6)
+    sd = F.round(F.stddev_pop("value").over(w), 6)
+    n = F.count(F.lit(1)).over(w)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        mean.alias("season_mean"),
+        sd.alias("season_sd"),
+        n.alias("n_peers"),
+    )
+    ok = (F.col("n_peers") >= 30) & (F.col("season_sd") > 0)
+    z = (F.col("value") - F.col("season_mean")) / F.col("season_sd")
+    return base.select(
+        "event_id",
+        "user_id",
+        "season_mean",
+        F.when(ok, F.floor(z * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("season_z"),
+        F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+@query(
     "c2_decontaminate",
     """
     WITH toks AS (
@@ -3512,6 +3616,7 @@ _SWEEP_PRIORITY = [
     "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
     "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
+    "w14_seasonal_anomaly", "c6_adaptive_quality_gate",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
