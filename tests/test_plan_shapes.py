@@ -144,6 +144,9 @@ _CARTESIAN_OK = {
     "q17_below_avg_parts", "p_const_first_row",
     # 1-row corpus-count (IDF denominator) broadcast onto the TF stream
     "t7_tfidf_topterms",
+    # 1-row exact-percentile threshold broadcast onto the corpus
+    # (minmax_normalize_expr shape)
+    "c6_adaptive_quality_gate",
     # 1-row global-revenue threshold joined by INEQUALITY (value >
     # 0.08% of total) — no equi-key for Catalyst to convert, stays a
     # 1-row broadcast nested loop by construction (q15's max-equality
