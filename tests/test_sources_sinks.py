@@ -449,3 +449,28 @@ def test_fresh_rows_nonkey_range_key(spark, tmp_path):
     out = fresh_rows(spark, batch, path, ["date_id"], range_key="datetime")
     assert sorted(out.columns) == ["date_id", "datetime", "v"]
     assert sorted(r.datetime for r in out.collect()) == [100, 101, 102, 103, 104]
+
+
+def test_clean_orphaned_staging(spark, tmp_path):
+    """The janitor removes aged crash leftovers (staging/old/expired
+    dirs) but never the sink itself or a fresh in-flight staging."""
+    import os
+
+    from traffic_forecast_etl_spark.sinks import clean_orphaned_staging
+
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    (sink / "part-0.parquet").write_bytes(b"x")
+    old_stage = tmp_path / "sink__staging_dead"
+    old_old = tmp_path / "sink__old_dead"
+    in_table = sink / "__expired_dead"
+    fresh = tmp_path / "sink__staging_live"
+    for d in (old_stage, old_old, in_table, fresh):
+        d.mkdir()
+    stale = 1_000_000
+    for d in (old_stage, old_old, in_table):
+        os.utime(d, (os.path.getmtime(d) - stale,) * 2)
+
+    removed = set(clean_orphaned_staging(str(sink), older_than_seconds=3600))
+    assert removed == {str(old_stage), str(old_old), str(in_table)}
+    assert sink.exists() and fresh.exists() and (sink / "part-0.parquet").exists()

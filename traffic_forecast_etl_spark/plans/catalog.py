@@ -2969,6 +2969,49 @@ def c6_adaptive_quality_gate(spark, sf_dir):
 
 
 @query(
+    "a15_equi_width_histogram",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             min(value) OVER (PARTITION BY event_type) AS mn,
+             max(value) OVER (PARTITION BY event_type) AS mx
+      FROM events
+    )
+    SELECT event_type,
+           CAST(least(floor((value - mn) * 20.0 / (mx - mn)), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b WHERE mx > mn
+    GROUP BY 1, 2
+    """,
+)
+def a15_equi_width_histogram(spark, sf_dir):
+    """Per-group equi-width histogram (20 bins over each group's own
+    [min, max]) — the distribution half of data profiling a12's
+    scalar stats don't carry. Two shuffles BOTH keyed by event_type:
+    a min/max aggregate joined back on the group key (plain
+    equi-join — no 1-row broadcast needed since bounds are
+    per-group), then the (group, bucket) count. The bucket expression
+    `(v-mn)*20/(mx-mn)` is association-matched with the oracle so
+    edge values bucket identically; the top edge folds into bin 19."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("__mn"), F.max("value").alias("__mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("__mn")) * F.lit(20.0) / (F.col("__mx") - F.col("__mn"))
+        ),
+        F.lit(19).cast("long"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("__mx") > F.col("__mn"))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "w14_seasonal_anomaly",
     """
     WITH p AS (
@@ -3616,7 +3659,7 @@ _SWEEP_PRIORITY = [
     "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
     "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
-    "w14_seasonal_anomaly", "c6_adaptive_quality_gate",
+    "w14_seasonal_anomaly", "c6_adaptive_quality_gate", "a15_equi_width_histogram",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",

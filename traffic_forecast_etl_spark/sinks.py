@@ -229,3 +229,45 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def clean_orphaned_staging(path: str, older_than_seconds: float = 3600.0) -> list[str]:
+    """Janitor for the non-transactional sink protocol: a crash
+    between merge_upsert's / compact_partition's rename pair leaves
+    `__staging_*` / `__old_*` / `__compact_*` / `__precompact_*`
+    siblings (and expire_date_partitions' in-table `__expired_*`
+    dirs) holding dead bytes forever. Remove those older than
+    ``older_than_seconds`` (mtime); age-gating keeps a CONCURRENT
+    in-flight merge's fresh staging dir safe — pick the gate above
+    the longest plausible write. Returns removed paths.
+
+    The Delta/Iceberg form of this janitor is VACUUM; same contract
+    (age-gated, safe against in-flight writers within the gate).
+    """
+    import time
+
+    markers = ("__staging_", "__old_", "__compact_", "__precompact_", "__expired_")
+    now = time.time()
+    removed: list[str] = []
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(os.path.abspath(path))
+    cands = [
+        os.path.join(parent, d)
+        for d in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if d.startswith(base + "__")
+    ]
+    if os.path.isdir(path):
+        cands.extend(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("__expired_")
+        )
+    for full in cands:
+        name = os.path.basename(full)
+        if not any(m in name for m in markers) or not os.path.isdir(full):
+            continue
+        if now - os.path.getmtime(full) < older_than_seconds:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
+    return removed
