@@ -52,6 +52,9 @@ HEADLINE = [
     "a14_linear_trend",
     "j9_asof_nearest",
     "d10_table_diff",
+    "w14_seasonal_anomaly",
+    "c6_adaptive_quality_gate",
+    "a15_equi_width_histogram",
 ]
 
 
