@@ -285,3 +285,27 @@ def test_chunk_documents_overlap_and_coverage(spark):
     merged = t0 + t1[16:] + t2[16:]
     assert merged == text.split(" ")  # full coverage, order preserved
     assert chunks[-1].n_chunk_tokens == 150 - 2 * 48
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    """A pair overlapping across several shared bins must emit exactly
+    once (first-overlap-bin guard, no distinct); touching endpoints
+    count (closed intervals); disjoint intervals don't."""
+    from pyspark.sql import functions as F
+
+    from traffic_forecast_etl_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("u", 1, 0.0, 350.0), ("u", 2, 500.0, 600.0)],
+        "k string, lid int, s double, e double",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0, 450.0), ("u", 11, 600.0, 700.0), ("u", 12, 460.0, 490.0)],
+        "k string, rid int, s double, e double",
+    )
+    rows = interval_overlap_join(
+        left, right, "lid", "s", "e", "rid", "s", "e", by=["k"], bin_width=100.0
+    ).collect()
+    got = {(r.lid, r.rid): r.overlap_seconds for r in rows}
+    # (1,10) overlaps bins 1-3 — exactly one row; (2,11) touch at 600
+    assert got == {(1, 10): 250.0, (2, 11): 0.0}

@@ -103,6 +103,81 @@ def range_join(
     return left.join(right, on=range_cond, how="inner")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    start_left,
+    end_left,
+    id_right: str,
+    start_right,
+    end_right,
+    by: Sequence[str] = (),
+    bin_width: float = 3600.0,
+) -> DataFrame:
+    """Interval-overlap pairs (closed intervals: l.s ≤ r.e AND
+    r.s ≤ l.e) WITHOUT a nested-loop join — the bucketized band-join
+    path range_join's docstring defers to. start/end accept Columns
+    or names; timestamps work via their double cast (epoch seconds).
+
+    Scale shape (the genomics/temporal-join standard):
+      1. each interval explodes to the fixed-width bins it covers
+         (map-only `explode(sequence)`);
+      2. candidates equi-join on (by…, bin) — a hash shuffle keyed by
+         bin, uniform when intervals are short relative to bin_width;
+      3. a pair overlapping k shared bins would emit k times — the
+         FIRST-OVERLAP-BIN guard (bin == floor(max(l.s, r.s)/width))
+         emits each pair exactly once, so there is NO distinct and no
+         re-shuffle;
+      4. exact overlap predicate + overlap length, post-join.
+
+    ``bin_width`` trades explode factor (long intervals × narrow
+    bins) against bucket density (short intervals × wide bins); size
+    it near the typical interval length. Returns
+    (by…, id_left, id_right, overlap_seconds).
+    """
+    w = float(bin_width)
+
+    def _prep(df: DataFrame, idc: str, s, e, side: str) -> DataFrame:
+        sc = (F.col(s) if isinstance(s, str) else s).cast("double")
+        ec = (F.col(e) if isinstance(e, str) else e).cast("double")
+        return df.select(
+            *by,
+            F.col(idc).alias(f"__id_{side}"),
+            sc.alias(f"__s_{side}"),
+            ec.alias(f"__e_{side}"),
+            F.explode(
+                F.sequence(
+                    F.floor(sc / F.lit(w)).cast("long"),
+                    F.floor(ec / F.lit(w)).cast("long"),
+                )
+            ).alias("__bin"),
+        )
+
+    l = _prep(left, id_left, start_left, end_left, "l")
+    r = _prep(right, id_right, start_right, end_right, "r")
+    first_overlap_bin = F.floor(
+        F.greatest(F.col("__s_l"), F.col("__s_r")) / F.lit(w)
+    ).cast("long")
+    return (
+        l.join(r, on=[*by, "__bin"])
+        .filter(
+            (F.col("__s_l") <= F.col("__e_r"))
+            & (F.col("__s_r") <= F.col("__e_l"))
+            & (F.col("__bin") == first_overlap_bin)
+        )
+        .select(
+            *by,
+            F.col("__id_l").alias(id_left),
+            F.col("__id_r").alias(id_right),
+            (
+                F.least(F.col("__e_l"), F.col("__e_r"))
+                - F.greatest(F.col("__s_l"), F.col("__s_r"))
+            ).alias("overlap_seconds"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

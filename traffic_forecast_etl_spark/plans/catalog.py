@@ -2969,6 +2969,45 @@ def c6_adaptive_quality_gate(spark, sf_dir):
 
 
 @query(
+    "j10_interval_overlap",
+    """
+    SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
+           round(least(epoch(l.ts) + 1800, epoch(r.ts) + 1800)
+                 - greatest(epoch(l.ts), epoch(r.ts)), 6) AS overlap_seconds
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+      AND epoch(l.ts) <= epoch(r.ts) + 1800
+      AND epoch(r.ts) <= epoch(l.ts) + 1800
+    """,
+)
+def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each view's 30-minute attention window
+    against each purchase's 30-minute window for the same user —
+    binned candidate generation + first-overlap-bin dedup guard
+    (operators/joins.py interval_overlap_join), never a nested-loop
+    inequality join. The oracle is the plain inequality join, safe at
+    oracle scale."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = J.interval_overlap_join(
+        views.select("user_id", F.col("event_id").alias("view_id"), "ts"),
+        purchases.select("user_id", F.col("event_id").alias("purchase_id"), "ts"),
+        "view_id",
+        F.col("ts").cast("double"),
+        F.col("ts").cast("double") + F.lit(1800.0),
+        "purchase_id",
+        F.col("ts").cast("double"),
+        F.col("ts").cast("double") + F.lit(1800.0),
+        by=["user_id"],
+        bin_width=1800.0,
+    )
+    return out.select(
+        "user_id", "view_id", "purchase_id", F.round("overlap_seconds", 6).alias("overlap_seconds")
+    )
+
+
+@query(
     "a15_equi_width_histogram",
     """
     WITH b AS (
@@ -3660,6 +3699,7 @@ _SWEEP_PRIORITY = [
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
     "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
     "w14_seasonal_anomaly", "c6_adaptive_quality_gate", "a15_equi_width_histogram",
+    "j10_interval_overlap",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
