@@ -55,6 +55,7 @@ HEADLINE = [
     "w14_seasonal_anomaly",
     "c6_adaptive_quality_gate",
     "a15_equi_width_histogram",
+    "j10_interval_overlap",
 ]
 
 
