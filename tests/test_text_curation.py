@@ -217,3 +217,36 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in again.select("doc_id").collect()} == {
         r["doc_id"] for r in out.select("doc_id").collect()
     }
+
+
+def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark):
+    """Same epoch → identical (shard, pos) under any partitioning;
+    different epochs → a genuinely different order (decorrelated);
+    positions are a contiguous 1..k per shard."""
+    from traffic_forecast_etl_spark.operators.sampling import epoch_shuffle
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+
+    def run(epoch, df):
+        return {
+            r.doc_id: (r.shard_id, r.pos_in_shard)
+            for r in epoch_shuffle(df, "doc_id", n_shards=4, epoch=epoch).select(
+                "doc_id", "shard_id", "pos_in_shard"
+            ).collect()
+        }
+
+    e1 = run(1, docs)
+    e1_repart = run(1, docs.repartition(13))
+    assert e1 == e1_repart  # layout-independent
+    e2 = run(2, docs)
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved / len(e1) > 0.9  # epochs decorrelate the order
+    # per-shard positions are contiguous 1..k
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in e1.values():
+        by_shard[shard].append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard

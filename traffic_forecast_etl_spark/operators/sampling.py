@@ -176,3 +176,48 @@ def temperature_mix_rates(
         )
         .select("source", "n_docs", "rate")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    salt: str = "epoch-shuffle",
+) -> DataFrame:
+    """Deterministic EPOCH-wise training-order assignment: every row
+    gets (shard_id, pos_in_shard) derived from md5(salt:epoch:key) —
+    a pseudorandom permutation of the corpus that is reproducible
+    across runs, engines, and physical layouts, and DIFFERENT (and
+    decorrelated) for each ``epoch`` value. The op a training stack
+    needs to re-shuffle data order between epochs without a
+    stateful shuffle service or a recorded permutation.
+
+    One hash shuffle keyed by shard + an in-shard sort: size
+    ``n_shards`` to O(cluster cores) so each sort fits a task (the
+    shard is also the natural write unit — feed to export_jsonl
+    with one file per shard). Ties cannot occur (the 60-bit hash
+    dedups by key order).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    c = F.col(key_col)
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(f"{salt}:{epoch}:"), c.cast("string")), "UTF-8"
+        )
+    )
+    # 15 hex digits = 60 bits: inside BIGINT, non-negative on both
+    # engines (same parity trick as hash_bucket / the d7 oracle)
+    ordkey = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    shard = F.pmod(ordkey, F.lit(n_shards))
+    pos = F.row_number().over(
+        Window.partitionBy(shard).orderBy(ordkey, c)
+    )
+    return df.select(
+        "*",
+        shard.alias("shard_id"),
+        pos.cast("long").alias("pos_in_shard"),
+    )

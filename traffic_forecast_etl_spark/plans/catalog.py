@@ -3008,6 +3008,33 @@ def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d12_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('es:1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      FROM documents
+    )
+    SELECT doc_id, hk % 8 AS shard_id,
+           CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+)
+def d12_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-wise training-order assignment (epoch 1,
+    8 shards): every document's (shard, position) is a pure function
+    of md5(salt:epoch:doc_id) — reproducible across runs/engines/
+    layouts, and a different decorrelated permutation per epoch. The
+    between-epochs re-shuffle a training stack needs without a
+    recorded permutation. One hash shuffle keyed by shard + in-shard
+    sort; the oracle replays the exact md5 arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SM.epoch_shuffle(docs, "doc_id", n_shards=8, epoch=1, salt="es")
+    return out.select("doc_id", "shard_id", "pos_in_shard")
+
+
+@query(
     "a15_equi_width_histogram",
     """
     WITH b AS (
@@ -3699,7 +3726,7 @@ _SWEEP_PRIORITY = [
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
     "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
     "w14_seasonal_anomaly", "c6_adaptive_quality_gate", "a15_equi_width_histogram",
-    "j10_interval_overlap",
+    "j10_interval_overlap", "d12_epoch_shuffle",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
