@@ -3008,6 +3008,34 @@ def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a16_mode_per_group",
+    """
+    SELECT user_id, event_type AS mode_event_type, n
+    FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def a16_mode_per_group(spark, sf_dir):
+    """Per-group MODE (most frequent categorical value) with a
+    DETERMINISTIC tie-break (count desc, then value asc) — native
+    mode()/F.mode break ties engine-specifically, so the portable
+    form is count + WindowGroupLimit top-1: two shuffles BOTH keyed
+    by the group, the second retaining one row per group per task."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
+@query(
     "d12_epoch_shuffle",
     """
     WITH h AS (
@@ -3726,7 +3754,7 @@ _SWEEP_PRIORITY = [
     "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
     "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
     "w14_seasonal_anomaly", "c6_adaptive_quality_gate", "a15_equi_width_histogram",
-    "j10_interval_overlap", "d12_epoch_shuffle",
+    "j10_interval_overlap", "d12_epoch_shuffle", "a16_mode_per_group",
     "m1_media_features", "m2_frame_sample", "m3_resize",
     # errored in round 1 (list-cell canonicalization) — re-verify the fix
     "f14_array_ops",
