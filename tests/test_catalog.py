@@ -160,6 +160,81 @@ def test_asof_join_forward_nearest_tolerance(spark):
     assert run(direction="backward", tolerance=1.0) == {1: None, 2: None, 3: None, 4: None}
 
 
+def test_asof_join_matched_row_null_payload(spark):
+    """The matched right row's values travel as one struct: a NULL in
+    one payload column of the matched row stays NULL (it must NOT be
+    back-filled from an older right row — pandas merge_asof returns
+    the matched row verbatim), and with a tolerance bound no value may
+    come from a right row outside the bound."""
+    from traffic_forecast_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 30)], "lid int, k string, t int")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0, 100.0), ("u", 29, None, 200.0)],
+        "k string, t int, v double, w double",
+    )
+    row = asof_join(
+        left, right, on="t", by=["k"], right_cols=["v", "w"]
+    ).collect()[0]
+    # matched row is t=29: its v is legitimately NULL, w=200; v must
+    # NOT leak 1.0 from the older t=10 row.
+    assert (row.v_right, row.w_right) == (None, 200.0)
+
+    # tolerance=5: t=29 within bound, t=10 outside — same answer, and
+    # never (1.0, ...) which would be an out-of-tolerance leak.
+    row = asof_join(
+        left, right, on="t", by=["k"], right_cols=["v", "w"], tolerance=5.0
+    ).collect()[0]
+    assert (row.v_right, row.w_right) == (None, 200.0)
+
+
+def test_resample_interpolate_bins_off_grid(spark):
+    """Off-phase observations bin to their floor-to-step slot instead
+    of being silently discarded; duplicates within a slot average."""
+    from datetime import datetime
+
+    from traffic_forecast_etl_spark.operators.timeseries import resample_interpolate
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 17), 2.0),   # → 00:00 slot
+            ("a", datetime(2024, 1, 1, 0, 45), 4.0),   # same slot → avg 3.0
+            ("a", datetime(2024, 1, 1, 2, 59), 9.0),   # → 02:00 slot
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts.hour, r.ts.minute): (r.v, r.is_interpolated)
+        for r in resample_interpolate(df, "ts", ["k"], "v").collect()
+    }
+    assert out == {
+        ("a", 0, 0): (3.0, False),  # (2+4)/2, binned not dropped
+        ("a", 1, 0): (6.0, True),   # midpoint of 3 and 9
+        ("a", 2, 0): (9.0, False),
+    }
+
+
+def test_table_diff_null_safe_keys(spark):
+    """A NULL-keyed row identical on both sides matches (no phantom
+    added+removed pair); a NULL-keyed changed row reports changed."""
+    from traffic_forecast_etl_spark.operators.relational import table_diff
+
+    left = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0), (2, 5.0)], "k int, v double"
+    )
+    right = spark.createDataFrame(
+        [(None, 1.0), (1, 3.0), (3, 7.0)], "k int, v double"
+    )
+    out = {(r.k, r.diff_status) for r in table_diff(left, right, ["k"]).collect()}
+    assert out == {(1, "changed"), (2, "removed"), (3, "added")}
+
+    # and a NULL-keyed payload change is still visible
+    right2 = spark.createDataFrame([(None, 9.0)], "k int, v double")
+    left2 = spark.createDataFrame([(None, 1.0)], "k int, v double")
+    out2 = {(r.k, r.diff_status) for r in table_diff(left2, right2, ["k"]).collect()}
+    assert out2 == {(None, "changed")}
+
+
 def test_resample_interpolate_semantics(spark):
     """Pinned example: a 2-hour interior gap fills linearly (1/3, 2/3
     fractions), edges extend the nearest observation, observed rows

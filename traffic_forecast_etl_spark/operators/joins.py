@@ -201,8 +201,13 @@ def asof_join(
 
       1. tag and union both sides on (by, on);
       2. window-sort within ``by`` by (on, tag) and carry the last
-         non-null right payload forward with ``last(ignorenulls)``
-         (and symmetrically ``first`` for the forward direction);
+         right ROW forward as a single struct(on, payload...) with
+         ``last(ignorenulls)`` (and symmetrically ``first`` for the
+         forward direction) — one struct per direction so the matched
+         timestamp and every payload column always come from the SAME
+         right row (a matched row's legitimate NULL payload stays
+         NULL; values can never leak from an older/newer row outside
+         the tolerance bound, matching pandas merge_asof);
       3. keep left rows.
 
     This is the standard union-merge formulation of merge_asof; state
@@ -234,6 +239,23 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     sel = [*left_cols, *[f"{c}{suffix}" for c in right_cols], "__is_left", "__r_on"]
     unioned = l_tagged.select(*sel).unionByName(r_tagged.select(*sel))
+    # the whole matched right row travels as ONE struct: NULL for left
+    # rows so last/first(ignorenulls) skips them, and atomic for right
+    # rows so ts + payload can never come from different right rows
+    # even when a payload column is NULL in the matched row.
+    unioned = unioned.withColumn(
+        "__r_row",
+        F.when(
+            # right rows with a NULL `on` can never be as-of matches
+            # (pandas merge_asof requires non-null keys) — exclude
+            # them so they don't occupy the fill slot.
+            ~F.col("__is_left") & F.col("__r_on").isNotNull(),
+            F.struct(
+                F.col("__r_on").alias("__match_on"),
+                *[F.col(f"{c}{suffix}").alias(c) for c in right_cols],
+            ),
+        ),
+    )
 
     def _filled(df: DataFrame, which: str, pre: str) -> DataFrame:
         if which == "backward":
@@ -243,42 +265,39 @@ def asof_join(
             frame = (
                 Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
             )
-            agg = lambda col: F.last(col, ignorenulls=True).over(frame)  # noqa: E731
+            agg = F.last(F.col("__r_row"), ignorenulls=True).over(frame)
         else:
             order = [F.col(on).asc(), F.col("__is_left").cast("int").desc()]
             frame = (
                 Window.partitionBy(*by).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
             )
-            agg = lambda col: F.first(col, ignorenulls=True).over(frame)  # noqa: E731
-        return df.select(
-            "*",
-            *[agg(F.col(f"{c}{suffix}")).alias(f"{pre}{c}") for c in right_cols],
-            agg(F.col("__r_on")).alias(f"{pre}ts"),
-        )
+            agg = F.first(F.col("__r_row"), ignorenulls=True).over(frame)
+        return df.select("*", agg.alias(f"{pre}row"))
 
     l_on = F.col(on).cast("double")
     if direction in ("backward", "forward"):
         filled = _filled(unioned, direction, "__f_")
-        dist = (
-            (l_on - F.col("__f_ts")) if direction == "backward" else (F.col("__f_ts") - l_on)
-        )
-        ok = F.col("__f_ts").isNotNull()
+        m_ts = F.col("__f_row.__match_on")
+        dist = (l_on - m_ts) if direction == "backward" else (m_ts - l_on)
+        ok = m_ts.isNotNull()
         if tolerance is not None:
             ok = ok & (dist <= F.lit(float(tolerance)))
-        picked = {c: F.when(ok, F.col(f"__f_{c}")) for c in right_cols}
+        picked = {c: F.when(ok, F.col(f"__f_row.{c}")) for c in right_cols}
     else:  # nearest: both fills share the one hash exchange on `by`
         filled = _filled(_filled(unioned, "backward", "__b_"), "forward", "__w_")
-        bdist = l_on - F.col("__b_ts")
-        fdist = F.col("__w_ts") - l_on
-        b_ok = F.col("__b_ts").isNotNull() & (
+        b_ts = F.col("__b_row.__match_on")
+        f_ts = F.col("__w_row.__match_on")
+        bdist = l_on - b_ts
+        fdist = f_ts - l_on
+        b_ok = b_ts.isNotNull() & (
             F.lit(True) if tolerance is None else (bdist <= F.lit(float(tolerance)))
         )
-        f_ok = F.col("__w_ts").isNotNull() & (
+        f_ok = f_ts.isNotNull() & (
             F.lit(True) if tolerance is None else (fdist <= F.lit(float(tolerance)))
         )
         use_b = b_ok & (~f_ok | (bdist <= fdist))  # tie breaks backward
         picked = {
-            c: F.when(use_b, F.col(f"__b_{c}")).when(f_ok, F.col(f"__w_{c}"))
+            c: F.when(use_b, F.col(f"__b_row.{c}")).when(f_ok, F.col(f"__w_row.{c}"))
             for c in right_cols
         }
     return filled.filter(F.col("__is_left")).select(

@@ -151,7 +151,18 @@ def table_diff(
         )
         return df.select(*keys, payload.alias(f"__h_{side}"))
 
-    joined = fp(left, "l").join(fp(right, "r"), on=keys, how="full_outer")
+    # keys join with <=> (eqNullSafe) so a NULL-keyed row present on
+    # both sides matches instead of reporting as added+removed; still
+    # plannable as a hash join (EqualNullSafe is a valid equi-key).
+    lf = fp(left, "l")
+    rf = fp(right, "r").select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys], "__h_r"
+    )
+    cond = None
+    for k in keys:
+        c = lf[k].eqNullSafe(F.col(f"__rk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = lf.join(rf, on=cond, how="full_outer")
     status = (
         F.when(F.col("__h_l").isNull(), F.lit("added"))
         .when(F.col("__h_r").isNull(), F.lit("removed"))
@@ -160,5 +171,8 @@ def table_diff(
     return (
         joined.withColumn("diff_status", status)
         .filter(F.col("diff_status").isNotNull())
-        .select(*keys, "diff_status")
+        .select(
+            *[F.coalesce(lf[k], F.col(f"__rk_{k}")).alias(k) for k in keys],
+            "diff_status",
+        )
     )

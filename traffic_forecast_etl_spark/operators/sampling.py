@@ -196,8 +196,15 @@ def epoch_shuffle(
     One hash shuffle keyed by shard + an in-shard sort: size
     ``n_shards`` to O(cluster cores) so each sort fits a task (the
     shard is also the natural write unit — feed to export_jsonl
-    with one file per shard). Ties cannot occur (the 60-bit hash
-    dedups by key order).
+    with one file per shard).
+
+    PRECONDITION: ``key_col`` must be unique per row. Duplicate keys
+    hash identically, and the (ordkey, key) sort then cannot order
+    them deterministically — pos_in_shard among duplicates would vary
+    across runs, defeating the reproducibility this operator exists
+    for. With unique keys, ties cannot occur (distinct keys tie on
+    the 60-bit hash only with ~2^-60 probability, and the key column
+    itself breaks even those).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")

@@ -14,6 +14,26 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _step_seconds(step: str) -> int:
+    """Parse '1 hour' / '15 minutes' / '2 days' into seconds."""
+    parts = step.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<n> <unit>', got {step!r}")
+    n = int(parts[0])
+    unit = parts[1].lower().rstrip("s")
+    if unit not in _UNIT_SECONDS or n <= 0:
+        raise ValueError(f"unsupported step {step!r}; units: {sorted(_UNIT_SECONDS)}")
+    return n * _UNIT_SECONDS[unit]
+
 
 def resample_interpolate(
     df: DataFrame,
@@ -22,11 +42,18 @@ def resample_interpolate(
     value_col: str,
     step: str = "1 hour",
 ) -> DataFrame:
-    """Regularize each series to a fixed-step grid from its own min
-    to max timestamp, linearly interpolating interior gaps and
-    extending the edge values outward (the pandas
-    ``resample().interpolate(limit_direction='both')`` contract,
-    re-expressed distributed).
+    """Regularize each series to a fixed-step grid, linearly
+    interpolating interior gaps and extending the edge values outward
+    (the pandas ``resample().mean().interpolate(
+    limit_direction='both')`` contract, re-expressed distributed).
+
+    Observations are first BINNED to the grid: each timestamp floors
+    to its epoch-anchored ``step`` slot (so 10:17 lands in the 10:00
+    hourly slot — off-phase and irregular feeds are aggregated, never
+    silently discarded), and duplicates within a slot average. The
+    grid then runs from each key's min to max occupied slot. A slot
+    counts as observed (``is_interpolated = false``) iff it received
+    at least one non-null value.
 
     Output: (key_cols..., ts, value, is_interpolated).
 
@@ -47,8 +74,21 @@ def resample_interpolate(
     iterative fill would cap the gap length).
     """
     keys = list(key_cols)
-    obs = df.select(
-        *keys, F.col(ts_col).alias("__ts"), F.col(value_col).cast("double").alias("__v")
+    step_s = _step_seconds(step)
+    ts_type = df.schema[ts_col].dataType
+    # floor-to-step binning, epoch-anchored (pandas resample bins on
+    # fixed wall-clock boundaries, not each key's first observation);
+    # cast back so the grid keeps the input's timestamp flavor (NTZ
+    # stays NTZ) and the (key, slot) join types line up.
+    slot = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step_s)) * F.lit(step_s)
+    ).cast(ts_type)
+    obs = (
+        df.select(
+            *keys, slot.alias("__ts"), F.col(value_col).cast("double").alias("__v")
+        )
+        .groupBy(*keys, "__ts")
+        .agg(F.avg("__v").alias("__v"))
     )
     bounds = obs.groupBy(*keys).agg(
         F.min("__ts").alias("__t0"), F.max("__ts").alias("__t1")

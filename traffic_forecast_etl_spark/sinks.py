@@ -269,5 +269,8 @@ def clean_orphaned_staging(path: str, older_than_seconds: float = 3600.0) -> lis
         if now - os.path.getmtime(full) < older_than_seconds:
             continue
         shutil.rmtree(full, ignore_errors=True)
-        removed.append(full)
+        # only report dirs that are actually gone — a failed delete
+        # (permissions, concurrent access) must not read as removed
+        if not os.path.exists(full):
+            removed.append(full)
     return removed
