@@ -3735,40 +3735,53 @@ def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # extension operators: zero correctness rows in round 1 — verify first
-    "w5_tumbling_window", "w6_sliding_window", "w7_sessionize", "w8_funnel",
-    "w9_rank_family", "w10_cohort_retention", "w11_time_range_rolling",
-    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
-    "st4_stream_stream_join", "st5_stream_static_enrich",
-    "st6_rollup_maintenance",
-    "d1_exact_dedup", "d4_ngram_jaccard", "d2_minhash_lsh", "d3_simhash_pairs",
-    "d5_embedding_neardup", "d6_near_dedup_filter", "d11_embedding_neardup_lsh",
-    "s1_cosine_topk", "s2_lsh_ann", "s3_ivf_ann", "s4_quantize_embeddings",
-    "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
-    "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
-    "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
-    "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
-    "t11_repetition", "t12_type_token_ratio", "c1_curate_corpus",
-    "c2_decontaminate", "c3_pack_token_bins", "c4_source_quota",
-    "c5_temperature_mix", "d7_stratified_sample", "d8_incremental_dedup",
-    "d9_incremental_near_dup", "w12_zscore_anomaly", "w13_resample_interpolate",
-    "a14_linear_trend", "j9_asof_nearest", "d10_table_diff",
-    "w14_seasonal_anomaly", "c6_adaptive_quality_gate", "a15_equi_width_histogram",
-    "j10_interval_overlap", "d12_epoch_shuffle", "a16_mode_per_group",
+    # round 3: the 21 keys with no driver CORRECTNESS row in r1 or r2
+    # lead (the driver samples the first ~50 registered keys per round;
+    # rounds 1-2 covered everything else), so after this sweep every
+    # catalog key has a driver-recorded verdict.
+    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "j9_asof_nearest", "j10_interval_overlap", "a15_equi_width_histogram",
+    "a16_mode_per_group", "w14_seasonal_anomaly", "c6_adaptive_quality_gate",
+    "d10_table_diff", "d12_epoch_shuffle",
     "m1_media_features", "m2_frame_sample", "m3_resize",
-    # errored in round 1 (list-cell canonicalization) — re-verify the fix
+    # r1-errored (fixed in r2, judge-verified) — needs a green driver row
     "f14_array_ops",
-    # core families, one block each: headline spine, joins, aggregates
+    # semantics changed this round (matched-row-atomic asof fill;
+    # floor-to-step binning in resample) — re-verify under the driver
+    "j6_asof_join", "w13_resample_interpolate",
+    # remaining slots inside the ~50-key window: one representative per
+    # family so a regression anywhere surfaces in the same sweep
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
     "q6_forecast_revenue",
     "j1_composite_key_join", "j2_fk_lookup", "j3_semi_membership",
-    "j4_anti_join", "j5_range_join", "j6_asof_join", "j7_null_safe_join",
-    "j8_full_outer",
+    "j4_anti_join", "j5_range_join", "j7_null_safe_join", "j8_full_outer",
     "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
     "a9_rollup",
-    # ---- entry 50 boundary: everything below was green in round 1 and
-    # re-tests shapes the blocks above already cover (a10's rows-only
-    # record is covered by its pytest error-bound + the exact twin a5)
+    "w5_tumbling_window", "w7_sessionize", "w12_zscore_anomaly",
+    "a14_linear_trend",
+    "d1_exact_dedup", "d4_ngram_jaccard", "s1_cosine_topk",
+    "s4_quantize_embeddings", "t1_token_stats", "c2_decontaminate",
+    "d7_stratified_sample",
+    # ---- entry 50 boundary: everything below holds a green r1/r2
+    # driver row and re-tests shapes the blocks above already cover
+    "w6_sliding_window", "w8_funnel", "w9_rank_family",
+    "w10_cohort_retention", "w11_time_range_rolling",
+    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
+    "st4_stream_stream_join", "st5_stream_static_enrich",
+    "st6_rollup_maintenance",
+    "d2_minhash_lsh", "d3_simhash_pairs",
+    "d5_embedding_neardup", "d6_near_dedup_filter", "d11_embedding_neardup_lsh",
+    "s2_lsh_ann", "s3_ivf_ann",
+    "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
+    "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
+    "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
+    "t11_repetition", "t12_type_token_ratio", "c1_curate_corpus",
+    "c3_pack_token_bins", "c4_source_quota",
+    "c5_temperature_mix", "d8_incremental_dedup", "d9_incremental_near_dup",
     "a5_distinct_agg", "a10_approx_distinct", "a6_pivot",
     "a8_median_stats", "a7_unpivot",
     "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
@@ -3780,16 +3793,6 @@ _SWEEP_PRIORITY = [
     "q4_order_priority", "q21_waiting_supplier", "q22_dormant_customers",
     "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
     "q17_below_avg_parts", "q18_large_orders",
-    # round-2 additions: the remaining TPC-H plan shapes (multi-role
-    # dimension joins, conditional-agg ratio, global-share HAVING,
-    # outer-join histogram, scalar-max view, distinct-count grouping,
-    # cross-side disjunction, correlated-min) — registered last, they
-    # broaden shape coverage but the extension operators above matter
-    # more under any sweep cap
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_count", "q19_disjunctive_revenue", "q2_min_cost_supplier",
-    "q20_dominant_suppliers",
 ]
 
 
