@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from traffic_forecast_etl_spark.operators.dedup import (
     connected_components,
@@ -51,14 +52,37 @@ def test_connected_components_deep_chain_converges_log_rounds(spark):
     assert len(comp) == 40
 
 
-def test_connected_components_raises_on_non_convergence(spark):
-    """A fixpoint not reached must RAISE, not silently return split
-    components that would leak duplicates through near_dedup_filter."""
+def test_connected_components_auto_extends_past_max_iter(spark):
+    """max_iter is a floor, not an abort trigger: a graph deeper than
+    max_iter rounds auto-extends to the pointer-jumping bound
+    ceil(log2(n_nodes)) + 4 and converges instead of killing the job
+    (the r2-verdict operational-harshness fix). max_iter=1 on a
+    40-node chain previously raised; now it must converge correctly."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "id1 long, id2 long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2, driver_threshold=0)
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iter=1, driver_threshold=0).collect()
+    }
+    assert set(comp.values()) == {1}
+    assert len(comp) == 40
+
+
+def test_connected_components_2pow16_chain_converges(spark):
+    """A 2^16-hop chain — deeper than any real near-dup cluster —
+    converges on the distributed path without raising (needs ~17
+    pointer-jumping rounds; the default max_iter=15 alone would have
+    aborted before the auto-extend)."""
+    n = 1 << 16
+    pairs = spark.range(1, n).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    labels = connected_components(pairs, driver_threshold=0)
+    agg = labels.agg(
+        F.countDistinct("component").alias("ncomp"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (agg.ncomp, agg.n) == (1, n)
 
 
 def test_near_dedup_filter_keeps_min_per_cluster(spark):

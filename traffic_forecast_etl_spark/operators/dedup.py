@@ -21,6 +21,8 @@ not.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -599,12 +601,16 @@ def connected_components(
     component's component). The shortcut halves label-chain depth per
     round, so convergence is O(log diameter) rounds — the same bound
     the alternating large-star/small-star formulation (Kiveris et
-    al.) gives — and ``max_iter`` = 15 covers diameters beyond any
-    real near-dup cluster (2^15 chain hops).
+    al.) gives.
 
-    If the fixpoint is still not reached at ``max_iter`` the function
-    RAISES rather than silently returning split components (a
-    chain-shaped cluster split in two would leak duplicates through
+    NEVER aborts on a deep graph: if the fixpoint is not reached at
+    ``max_iter``, rounds auto-extend up to ceil(log2(n_nodes)) + 4 —
+    with pointer jumping that bound is sufficient for ANY graph
+    (diameter <= n_nodes), so a pathological chain converges instead
+    of killing a 100 TB job at hour N. Only if even the proven bound
+    is exhausted (i.e. a logic error, not a deep graph) does it RAISE
+    rather than silently return split components (a chain-shaped
+    cluster split in two would leak duplicates through
     near_dedup_filter downstream).
 
     Iterative algorithms are where lazy plans explode — each round
@@ -643,8 +649,14 @@ def connected_components(
     ).unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
     nodes = edges.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # pointer jumping converges in <= ceil(log2(diameter)) + O(1)
+    # rounds and diameter <= n_nodes, so this bound is sufficient for
+    # any input — max_iter is a floor, not a ceiling that can abort a
+    # long-running job on a legitimately deep graph.
+    n_nodes = labels.count()
+    hard_cap = max(max_iter, math.ceil(math.log2(max(n_nodes, 2))) + 4)
     changed = -1
-    for _ in range(max_iter):
+    for _ in range(hard_cap):
         neigh = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -684,9 +696,11 @@ def connected_components(
             break
     if changed != 0:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the graph is deeper than "
-            "2^max_iter chain hops; raise max_iter."
+            f"connected_components did not converge in {hard_cap} rounds "
+            f"({changed} labels still changing) — with pointer jumping "
+            f"ceil(log2(n_nodes)) + 4 = {hard_cap} rounds suffice for any "
+            "graph, so this indicates a label-propagation logic error, "
+            "not a deep graph."
         )
     return labels
 
@@ -700,11 +714,18 @@ def near_dedup_filter(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    release_cache: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate REMOVAL: LSH pairs → connected
     components → keep the minimum-id document per duplicate cluster.
     Returns the deduplicated corpus (all original columns) — the
-    operator a training-data pipeline actually calls."""
+    operator a training-data pipeline actually calls.
+
+    ``release_cache=False`` keeps the LSH pipeline's persisted
+    intermediates alive for the session (bench warm-path measurement,
+    or callers that run further dedup passes over the same corpus);
+    the default releases them as soon as components are materialized.
+    """
     tracker: list = []
     pairs = minhash_lsh_pairs(
         df,
@@ -722,8 +743,9 @@ def near_dedup_filter(
     # union-find collect, or checkpointed propagation rounds) — the LSH
     # pipeline's cached intermediates are dead weight from here on;
     # release them instead of waiting on the JVM context cleaner.
-    for cached in tracker:
-        cached.unpersist()
+    if release_cache:
+        for cached in tracker:
+            cached.unpersist()
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
