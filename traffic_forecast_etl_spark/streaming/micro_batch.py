@@ -317,6 +317,33 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+def _expire_sig_store(sig_store_path: str, retention_days: int) -> list[str]:
+    """Drop signature-store partitions older than the dedup horizon:
+    cutoff = (max sig_dt present) - retention_days. The watermark is
+    the store's own max date — pure data, no wall clock — so replayed
+    ticks recompute the identical cutoff and expiry stays idempotent.
+    Partition values come from a directory listing (no scan)."""
+    import datetime
+    import os
+
+    from ..sources.writers import expire_date_partitions
+
+    prefix = "sig_dt="
+    dts = sorted(
+        d[len(prefix):]
+        for d in os.listdir(sig_store_path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(sig_store_path, d))
+    )
+    if not dts:
+        return []
+    horizon = datetime.date.fromisoformat(dts[-1]) - datetime.timedelta(
+        days=retention_days
+    )
+    return expire_date_partitions(
+        None, sig_store_path, horizon.isoformat(), dt_col="sig_dt"
+    )
+
+
 def streaming_near_dedup(
     docs_stream: DataFrame,
     corpus_path: str,
@@ -329,6 +356,8 @@ def streaming_near_dedup(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     checkpoint: str | None = None,
+    store_retention_days: int | None = None,
+    ingest_dt_col: str | None = None,
 ) -> StreamingQuery:
     """CONTINUOUS-INGESTION near-dedup — the composition a crawl
     pipeline runs on every ingest tick, as one foreachBatch plane:
@@ -352,7 +381,22 @@ def streaming_near_dedup(
     (same convention as near_dedup_filter); batch docs near-duplicate
     to the store are dropped outright. ``seed``/``num_hashes``/
     ``shingle_k`` are store parameters — changing them invalidates
-    the store (documented on minhash_signatures)."""
+    the store (documented on minhash_signatures).
+
+    BOUNDED STATE: with ``store_retention_days`` set, each signature
+    is stamped with its document's ingest date (``ingest_dt_col``,
+    required — a data column, not wall clock, so replays are
+    deterministic), the store is PARTITIONED by that date, and after
+    each tick every ``sig_dt`` partition older than
+    ``max(store dt) - retention`` days is dropped as a metadata-only
+    directory expiry (expire_date_partitions — never a
+    scan-and-rewrite). The store therefore holds O(retention-window
+    ingest), not O(ingest lifetime): the dedup HORIZON — a doc
+    re-crawled after the horizon is admitted as new, which is the
+    retention contract (exact-duplicate re-ingest is still caught
+    forever via the corpus-fingerprint anti-join in step 1). The
+    expiry cutoff derives from the store's own max date (a data
+    watermark), so a replayed tick recomputes the same cutoff."""
     from ..operators.dedup import (
         incremental_exact_dedup,
         incremental_near_dup_pairs,
@@ -360,6 +404,13 @@ def streaming_near_dedup(
         minhash_signatures,
     )
     from ..sinks import insert_if_absent
+
+    if store_retention_days is not None and not ingest_dt_col:
+        raise ValueError(
+            "store_retention_days requires ingest_dt_col (a data column "
+            "stamping each doc's ingest date — wall clock would make "
+            "replays nondeterministic)"
+        )
 
     def tick(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -400,7 +451,23 @@ def streaming_near_dedup(
         # 3. corpus + signature store appends (idempotent, keyed by id)
         insert_if_absent(spark, kept, corpus_path, [id_col])
         sigs = minhash_signatures(kept, text_col, id_col, num_hashes, shingle_k, seed)
-        insert_if_absent(spark, sigs, sig_store_path, [id_col])
+        if store_retention_days is None:
+            insert_if_absent(spark, sigs, sig_store_path, [id_col])
+            return
+        # bounded store: stamp each signature with its doc's ingest
+        # date, write date-partitioned, then expire partitions past
+        # the dedup horizon (metadata-only directory drops)
+        stamped = sigs.join(
+            kept.select(
+                id_col,
+                F.date_format(F.col(ingest_dt_col), "yyyy-MM-dd").alias("sig_dt"),
+            ),
+            id_col,
+        )
+        insert_if_absent(
+            spark, stamped, sig_store_path, [id_col], partition_by=["sig_dt"]
+        )
+        _expire_sig_store(sig_store_path, store_retention_days)
 
     writer = docs_stream.writeStream.foreachBatch(tick).trigger(availableNow=True)
     if checkpoint:
