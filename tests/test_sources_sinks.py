@@ -474,3 +474,112 @@ def test_clean_orphaned_staging(spark, tmp_path):
     removed = set(clean_orphaned_staging(str(sink), older_than_seconds=3600))
     assert removed == {str(old_stage), str(old_old), str(in_table)}
     assert sink.exists() and fresh.exists() and (sink / "part-0.parquet").exists()
+
+
+def test_merge_upsert_crash_recovery(spark, tmp_path):
+    """Kill the writer at every point of the marker-protected swap and
+    assert a reader still sees a complete table — old or new, never a
+    gap — and that recovery rolls the recorded intent forward."""
+    import os
+
+    from traffic_forecast_etl_spark.sinks import (
+        _marker_path,
+        _write_commit_marker,
+        read_sink,
+        recover_sink,
+    )
+
+    path = str(tmp_path / "crash_sink")
+    v1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "A"), (2, "b")], "id int, v string")
+    token = "deadbeef"
+    staging = f"{path}__staging_{token}"
+    old = f"{path}__old_{token}"
+
+    def fresh_v1():
+        import shutil
+
+        for p in (path, staging, old):
+            shutil.rmtree(p, ignore_errors=True)
+        if os.path.exists(_marker_path(path, token)):
+            os.remove(_marker_path(path, token))
+        merge_upsert(spark, v1, path, ["id"])
+
+    def read(expect):
+        got = {
+            r.id: r.v
+            for r in read_sink(spark, path, swap_grace_seconds=0).collect()
+        }
+        assert got == expect
+
+    # crash A: marker written, no rename yet — path is still the old
+    # complete copy; a reader sees it, recovery rolls forward to v2
+    fresh_v1()
+    v2.write.mode("overwrite").parquet(staging)
+    _write_commit_marker(path, token, existed=True)
+    read({1: "a"})  # complete OLD copy, not a gap
+    assert recover_sink(path) == "rolled_forward"
+    read({1: "A", 2: "b"})
+    assert not os.path.exists(staging) and not os.path.exists(_marker_path(path, token))
+
+    # crash B: between the two renames — path is GONE; the reader
+    # itself resolves the marker and lands on the new copy
+    fresh_v1()
+    v2.write.mode("overwrite").parquet(staging)
+    _write_commit_marker(path, token, existed=True)
+    os.rename(path, old)
+    read({1: "A", 2: "b"})
+    assert not os.path.exists(old) and not os.path.exists(_marker_path(path, token))
+
+    # crash C: swap done, cleanup died — reader sees v2; recovery
+    # drops the old copy and the marker
+    fresh_v1()
+    os.rename(path, old)
+    v2.write.mode("overwrite").parquet(path)
+    _write_commit_marker(path, token, existed=True)
+    read({1: "A", 2: "b"})
+    assert recover_sink(path) == "cleaned"
+    assert not os.path.exists(old) and not os.path.exists(_marker_path(path, token))
+
+    # crash D: staging lost externally (janitor raced a dead writer),
+    # path gone — recovery rolls BACK to the old complete copy
+    fresh_v1()
+    _write_commit_marker(path, token, existed=True)
+    os.rename(path, old)
+    assert recover_sink(path) == "rolled_back"
+    read({1: "a"})
+
+    # and a live writer entering on top of crash state B first
+    # recovers, then merges on the recovered v2
+    fresh_v1()
+    v2.write.mode("overwrite").parquet(staging)
+    _write_commit_marker(path, token, existed=True)
+    os.rename(path, old)
+    merge_upsert(
+        spark, spark.createDataFrame([(3, "c")], "id int, v string"), path, ["id"]
+    )
+    read({1: "A", 2: "b", 3: "c"})
+
+
+def test_recover_sink_age_gate_protects_live_writer(spark, tmp_path):
+    """A fresh marker (an in-flight swap) is skipped by age-gated
+    recovery — the janitor/reader must never hijack a live writer's
+    rename pair."""
+    import os
+
+    from traffic_forecast_etl_spark.sinks import (
+        _marker_path,
+        _write_commit_marker,
+        recover_sink,
+    )
+
+    path = str(tmp_path / "live_sink")
+    merge_upsert(spark, spark.createDataFrame([(1, "a")], "id int, v string"), path, ["id"])
+    token = "feedface"
+    staging = f"{path}__staging_{token}"
+    spark.createDataFrame([(2, "b")], "id int, v string").write.parquet(staging)
+    _write_commit_marker(path, token, existed=True)
+    assert recover_sink(path, min_marker_age_seconds=3600) is None
+    assert os.path.exists(staging) and os.path.exists(_marker_path(path, token))
+    # ungated (the writer's own entry path) resolves it
+    assert recover_sink(path) == "rolled_forward"

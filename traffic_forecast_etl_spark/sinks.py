@@ -138,15 +138,23 @@ def merge_upsert(
     rewrites (unavoidable for an unpartitioned parquet dir) through a
     unique staging dir swapped in by rename.
 
-    Not transactional, single-writer: unique staging means merges
-    never collide on a shared staging dir and a complete copy exists
-    until the swap, but the rename swap itself is not safe against a
-    CONCURRENT merge or reader of the same sink (a reader can observe
-    the gap between the two renames), and a crash between renames
-    leaves the sink under the ``__old`` name. The real 100 TB answer
-    is Delta/Iceberg `MERGE INTO` — jars absent here, same call
-    shape.
+    CRASH-SAFE publish, single-writer: the unpartitioned rewrite
+    follows a commit-marker protocol — (1) write the complete staging
+    dir, (2) atomically create a ``__commit_<token>`` marker naming
+    it, (3) rename the old copy aside, (4) rename staging into place,
+    (5) remove marker + old. A crash at ANY point leaves either the
+    old or the new complete copy recoverable: ``recover_sink``
+    (called here on entry, and by ``read_sink``) rolls the recorded
+    intent forward — the marker is only ever written AFTER staging is
+    complete, so roll-forward is always safe. What this protocol does
+    NOT give is isolation against a CONCURRENT merge or a reader
+    racing the rename pair (single-writer contract; a reader can
+    still observe the sub-second gap between renames — use
+    ``read_sink`` which retries through recovery). The transactional
+    100 TB answer is Delta/Iceberg `MERGE INTO` — jars absent here,
+    same call shape.
     """
+    recover_sink(path)
     deduped = batch.dropDuplicates(list(keys))
     exists = _sink_exists(spark, path)
 
@@ -183,8 +191,8 @@ def merge_upsert(
     else:
         out = deduped
     # unique staging dir (concurrent merges can't collide), then a
-    # rename swap: the previous complete copy survives until the new
-    # one is in place
+    # marker-protected rename swap: the marker is written only once
+    # staging is COMPLETE, so recovery can always roll forward
     token = uuid.uuid4().hex
     tmp = f"{path}__staging_{token}"
     writer = out.write.mode("overwrite")
@@ -192,10 +200,121 @@ def merge_upsert(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     old = f"{path}__old_{token}"
+    _write_commit_marker(path, token, existed=exists)
     if exists:
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    os.remove(_marker_path(path, token))
+
+
+def _marker_path(path: str, token: str) -> str:
+    return f"{path}__commit_{token}"
+
+
+def _write_commit_marker(path: str, token: str, existed: bool) -> None:
+    """Atomically publish commit intent: a ``__commit_<token>`` file
+    recording whether the sink existed pre-swap. Created via
+    write-tmp + os.replace (atomic on POSIX), and ONLY after the
+    staging dir is complete — the invariant recover_sink relies on."""
+    import json
+
+    marker = _marker_path(path, token)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"token": token, "existed": existed}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+
+
+def recover_sink(path: str, min_marker_age_seconds: float = 0.0) -> str | None:
+    """Roll an interrupted merge_upsert swap forward (or, if the
+    staging copy is gone, back) so ``path`` is always a complete,
+    readable table. Safe to call any time under the single-writer
+    contract; called by merge_upsert on entry and by read_sink.
+
+    Crash-state resolution per ``__commit_<token>`` marker (the
+    marker exists only when staging was complete at write time):
+
+    - staging present            → finish the swap: move any current
+      ``path`` aside, rename staging into place  (crash between
+      marker write and swap, or mid-swap before the final rename)
+    - staging gone, path present → swap finished, cleanup died: drop
+      the ``__old`` copy and the marker
+    - staging gone, path gone    → roll back: restore the ``__old``
+      copy (staging lost externally, e.g. janitor raced a dead
+      writer)
+
+    ``min_marker_age_seconds`` skips markers younger than the gate —
+    callers that may run CONCURRENTLY with a live writer (the janitor,
+    readers) pass a gate so an in-flight swap is never hijacked;
+    the writer itself recovers its dead predecessor ungated.
+
+    Returns the action taken ('rolled_forward', 'cleaned',
+    'rolled_back') or None if no marker was found.
+    """
+    import json
+    import time
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(os.path.abspath(path))
+    action = None
+    if not os.path.isdir(parent):
+        return None
+    now = time.time()
+    for name in sorted(os.listdir(parent)):
+        if not name.startswith(base + "__commit_") or name.endswith(".tmp"):
+            continue
+        marker = os.path.join(parent, name)
+        try:
+            if now - os.path.getmtime(marker) < min_marker_age_seconds:
+                continue  # plausibly a live writer's in-flight swap
+            with open(marker) as f:
+                token = json.load(f)["token"]
+        except (OSError, ValueError, KeyError):
+            continue  # torn marker file: .tmp never replaced — ignore
+        staging = f"{path}__staging_{token}"
+        old = f"{path}__old_{token}"
+        if os.path.isdir(staging):
+            if os.path.isdir(path):
+                if os.path.isdir(old):  # defensive: not an in-protocol state
+                    shutil.rmtree(path)
+                else:
+                    os.rename(path, old)
+            os.rename(staging, path)
+            action = "rolled_forward"
+        elif os.path.isdir(path):
+            action = "cleaned"
+        elif os.path.isdir(old):
+            os.rename(old, path)
+            action = "rolled_back"
+        else:  # nothing left to recover from; drop the stale marker
+            action = "cleaned"
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(marker)
+    return action
+
+
+def read_sink(
+    spark: SparkSession, path: str, swap_grace_seconds: float = 2.0
+) -> DataFrame:
+    """Read a merge_upsert-managed parquet sink, riding through the
+    swap protocol: if ``path`` exists it is always a complete copy
+    (old or new) — read it directly. If it is missing, either a live
+    writer is inside the sub-second rename gap (wait it out) or the
+    writer died mid-swap (age-gated recover_sink rolls the recorded
+    intent forward). Either way the reader sees a complete table."""
+    import time
+
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    deadline = time.time() + swap_grace_seconds
+    while time.time() < deadline and not os.path.isdir(path):
+        time.sleep(0.1)
+    if not os.path.isdir(path):
+        recover_sink(path, min_marker_age_seconds=swap_grace_seconds)
+    return spark.read.parquet(path)
 
 
 def write_bucketed(
@@ -243,9 +362,15 @@ def clean_orphaned_staging(path: str, older_than_seconds: float = 3600.0) -> lis
 
     The Delta/Iceberg form of this janitor is VACUUM; same contract
     (age-gated, safe against in-flight writers within the gate).
+
+    Commit-marker aware: resolves any interrupted swap FIRST
+    (recover_sink consumes the ``__commit_`` markers and the staging/
+    old dirs they reference), so the sweep below can never delete a
+    staging copy that an unresolved marker still needs.
     """
     import time
 
+    recover_sink(path, min_marker_age_seconds=older_than_seconds)
     markers = ("__staging_", "__old_", "__compact_", "__precompact_", "__expired_")
     now = time.time()
     removed: list[str] = []
