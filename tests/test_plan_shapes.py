@@ -43,6 +43,25 @@ def test_plan_contains(spark, sf_dir, query, needle):
     assert needle in plan_of(spark, query, sf_dir), f"{query} lost {needle!r}"
 
 
+def test_j1_plan_shape_and_ts_encoding(spark, sf_dir):
+    """j1's 100x plan, pinned: two pruned 2-column event scans (the
+    purchase filter pushed into the second), one hash exchange per
+    aggregate side, small side broadcast — and the ts column read as
+    timestamp_ntz. The ReadSchema pin exists because a testdata
+    re-encoding (us-NTZ <-> INT64-nanos, r2 commit 17b82ab) changes
+    the decode path silently; if this gate trips, re-baseline j1's
+    steady-state number in SCALE.md alongside the encoding."""
+    import re
+
+    plan = plan_of(spark, "j1_composite_key_join", sf_dir)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2  # one per agg side
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+
 def test_q5_has_no_sort_merge_join(spark, sf_dir):
     """All five dims broadcast; a SortMergeJoin appearing means a dim
     grew past the broadcast path or a hint was dropped."""
