@@ -1,0 +1,86 @@
+"""Measured scaling slopes for the dedup/ANN/text family.
+
+Times each family query at sf0.01 / sf0.1 (driver testdata) and the
+derived sf1 point (tools/make_scale_data.py — run it first), then
+reports the per-decade scaling exponent
+``log10(t_big / t_small)`` between adjacent points. A linear operator
+shows exponent → 1 once past fixed overhead; a quadratic one → 2.
+Writes SCALING.json and prints a markdown table for SCALE.md.
+
+Usage:  python tools/scale_bench.py [runs_per_point]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from traffic_forecast_etl_spark.plans.catalog import QUERIES
+from traffic_forecast_etl_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+POINTS = [
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", os.path.join(REPO, ".scaledata", "sf1")),
+]
+# d5 (exact O(n^2) baseline, guarded) is excluded by design; d1/d4 et
+# al. cover the family's linear / skew-guarded members.
+KEYS = [
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "d4_ngram_jaccard",
+    "d6_near_dedup_filter",
+    "d11_embedding_neardup_lsh",
+    "s2_lsh_ann",
+    "s3_ivf_ann",
+    "t1_token_stats",
+    "t2_quality_score",
+    "c2_decontaminate",
+]
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark("scale-bench")
+    pts = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
+    out: dict[str, dict] = {}
+    for key in KEYS:
+        out[key] = {"sec": {}, "exponent": {}}
+        for sf, d in pts:
+            QUERIES[key](spark, d).collect()  # warm this plan
+            spark.catalog.clearCache()
+            best = math.inf
+            for _ in range(runs):
+                t0 = time.time()
+                QUERIES[key](spark, d).collect()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            out[key]["sec"][sf] = round(best, 3)
+            print(f"{key} @ sf{sf}: {best:.3f}s", file=sys.stderr)
+        for (sf_a, _), (sf_b, _) in zip(pts, pts[1:]):
+            ta, tb = out[key]["sec"][sf_a], out[key]["sec"][sf_b]
+            decades = math.log10(float(sf_b) / float(sf_a))
+            out[key]["exponent"][f"{sf_a}->{sf_b}"] = round(
+                math.log10(tb / ta) / decades, 2
+            )
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    # markdown table for SCALE.md
+    hdr = [k for k, _ in pts]
+    print("\n| query | " + " | ".join(f"sf{h} (s)" for h in hdr) + " | exponents |")
+    print("|---|" + "---|" * (len(hdr) + 1))
+    for key, rec in out.items():
+        cells = " | ".join(f"{rec['sec'][h]:.2f}" for h in hdr)
+        exps = ", ".join(f"{k}: {v}" for k, v in rec["exponent"].items())
+        print(f"| {key} | {cells} | {exps} |")
+
+
+if __name__ == "__main__":
+    main()

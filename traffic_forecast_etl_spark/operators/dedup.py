@@ -624,9 +624,22 @@ def connected_components(
     edges, a driver-side union-find is exact and ~1000× cheaper than
     30 Spark jobs of propagation rounds; above it, the distributed
     path kicks in. Both produce identical labels.
+
+    The pair list is persisted and sized with a full-parallelism
+    ``count()`` — NOT ``limit(N).collect()``: CollectLimit executes
+    incrementally (1 partition, then scaled-up waves), which serializes
+    an expensive upstream pipeline; measured 2× the whole LSH pipeline
+    cost at the 50k-doc scale point. The persist also keeps the
+    distributed path from re-running that pipeline every propagation
+    round.
     """
-    sample = pairs.limit(driver_threshold + 1).collect()
-    if len(sample) <= driver_threshold:
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        sample = pairs.collect()
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -644,9 +657,15 @@ def connected_components(
         rows = [(n, find(n)) for n in sorted(nodes)]
         return pairs.sparkSession.createDataFrame(rows, "node long, component long")
 
-    edges = pairs.select(
-        F.col("id1").alias("a"), F.col("id2").alias("b")
-    ).unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    # materialize the (persisted) edge list once — every propagation
+    # round joins it, and without the checkpoint each round's join
+    # would re-derive it through the full upstream pipeline
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
     nodes = edges.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
     # pointer jumping converges in <= ceil(log2(diameter)) + O(1)
