@@ -62,6 +62,33 @@ def test_j1_plan_shape_and_ts_encoding(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_d1_text_never_shuffles(spark, sf_dir):
+    """Exact dedup's scale contract: the doc text collapses to an
+    8-byte xxhash64 fingerprint BELOW the one exchange (map-side
+    partial min/count on __fp), so the shuffle carries 16 bytes/row
+    regardless of document size."""
+    import re
+
+    plan = plan_of(spark, "d1_exact_dedup", sf_dir, mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Exchange hashpartitioning(__fp" in plan
+    assert "partial_min" in plan  # map-side combine before the exchange
+
+
+def test_d10_diff_shuffles_hashes_not_payload(spark, sf_dir):
+    """table_diff's scale contract: each side collapses its payload to
+    one xxhash64 BEFORE the full-outer join, so the two shuffles move
+    (key, 8-byte hash), never the row payload; null-safe keys stay
+    hash-partitionable (coalesce/isnull equi-keys, no nested loop)."""
+    import re
+
+    plan = plan_of(spark, "d10_table_diff", sf_dir, mode="simple")
+    assert "FullOuter" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "__h_l" in plan and "__h_r" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_q5_has_no_sort_merge_join(spark, sf_dir):
     """All five dims broadcast; a SortMergeJoin appearing means a dim
     grew past the broadcast path or a hint was dropped."""
