@@ -199,3 +199,64 @@ def test_embedding_neardup_lsh_recall_and_precision(spark, emb):
     assert got <= exact_pairs, f"false positives: {sorted(got - exact_pairs)[:5]}"
     recall = len(got & exact_pairs) / len(exact_pairs)
     assert recall >= 0.7, f"embedding LSH recall {recall:.2f}"
+
+
+def test_auto_lsh_params_scaling_law():
+    """auto_lsh_params must grow planes with log2(n) (so expected
+    candidate count stays ~n^(1+rho), never quadratic), re-amplify
+    recall with tables, and degrade gracefully when the recall target
+    is unreachable within the table budget."""
+    import math
+
+    from traffic_forecast_etl_spark.operators.similarity import auto_lsh_params
+
+    thr, recall = 0.9, 0.85
+    c = 1.0 - math.acos(thr) / math.pi
+    prev_p = 0
+    cand_per_row = {}
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        p, L = auto_lsh_params(n, thr, target_recall=recall)
+        assert p >= prev_p, f"planes must be nondecreasing in n (n={n})"
+        prev_p = p
+        # the chosen pair must actually meet the recall target
+        achieved = 1.0 - (1.0 - c**p) ** L
+        assert achieved >= recall - 1e-9, f"n={n}: recall {achieved:.3f}"
+        cand_per_row[n] = L * n * 2.0**-p
+    # the anti-quadratic property: expected RANDOM-pair candidates per
+    # row must grow FAR slower than n (fixed planes would grow it
+    # linearly in n, i.e. 1e6x over these six decades; sqrt(n) is a
+    # generous ceiling over the n^rho theory optimum, rho ~ 0.22)
+    growth = cand_per_row[1_000_000_000] / cand_per_row[1_000]
+    assert growth < (1_000_000_000 / 1_000) ** 0.5, f"cand/row grew {growth:.0f}x"
+    # six decades of growth must raise planes materially
+    assert prev_p >= auto_lsh_params(1_000, thr, target_recall=recall)[0] + 4
+
+    # unreachable corner: threshold so low that no p fits the budget
+    p, L = auto_lsh_params(10_000, 0.05, target_recall=0.999, max_tables=4)
+    assert (p, L) == (3, 4)
+
+
+def test_embedding_neardup_auto_params_recall(spark, emb):
+    """The auto-tuned path (n_planes=None) must keep the d11 recall
+    floor and precision-1 contract at this corpus size."""
+    from traffic_forecast_etl_spark.operators.similarity import (
+        blocked_allpairs_cosine,
+        embedding_neardup_pairs,
+    )
+
+    thr = 0.4
+    exact_pairs = {
+        (r.id1, r.id2)
+        for r in blocked_allpairs_cosine(
+            emb, "vec_id", "embedding", threshold=thr
+        ).collect()
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in embedding_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=thr, n_planes=None, n_tables=None
+        ).collect()
+    }
+    assert got <= exact_pairs, f"false positives: {sorted(got - exact_pairs)[:5]}"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"auto-params embedding LSH recall {recall:.2f}"

@@ -177,15 +177,75 @@ def multitable_bucket_entries(
     )
 
 
+def auto_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.85,
+    max_tables: int = 256,
+    dim: int = 64,
+) -> tuple[int, int]:
+    """Corpus-size-aware (n_planes, n_tables) for multi-table
+    hyperplane LSH — the tuning rule `embedding_neardup_pairs`
+    documents ("n_planes scales with log(corpus) to hold bucket
+    occupancy flat"), implemented instead of asserted.
+
+    Theory (Charikar sign-LSH): a pair at the threshold angle
+    θ = acos(threshold) collides in one table with prob
+    p1 = (1 - θ/π)^p; an unrelated (near-orthogonal) pair with
+    p2 ≈ (1/2)^p. Holding p FIXED while the corpus grows makes the
+    expected candidate count L·n²·p2 quadratic — the superlinear bend
+    the r3 scale measurement caught (exponent 1.10 → 2.0 asymptote).
+    Growing p with log₂(n) and re-amplifying recall with
+    L = ln(1-R)/ln(1-p1^p) recovers the Indyk–Motwani bound: total
+    candidate work ∝ n^(1+ρ), ρ = ln(1/p1')/ln(1/p2') per plane —
+    sublinear-in-n per row for any threshold > 0.
+
+    Selection: enumerate p, keep those whose recall target is
+    reachable within ``max_tables``, and pick the one minimizing
+    estimated FLOPs = bucketing (n·L·p·dim) + expected candidate
+    handling (L·n²·2^-p/2 · sketch-prune weight). If no p reaches the
+    target (threshold too low for the table budget), fall back to the
+    max-recall corner (smallest p, max_tables) — recall degrades
+    gracefully instead of the job blowing up.
+
+    The p2 = 2^-p estimate assumes near-isotropic unrelated pairs
+    (true for embedding corpora after the usual whitening/centering);
+    heavily clustered corpora collide more and should lower
+    ``max_tables`` or raise ``threshold`` accordingly.
+    """
+    c = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best: tuple[float, int, int] | None = None
+    p_hi = max(25, int(math.log2(max(n_rows, 8))) + 8)
+    for p in range(3, p_hi):
+        p1 = c**p
+        if p1 >= 1.0:  # threshold ~1: one table always suffices
+            cand = (p, 1)
+            return cand
+        need = math.log(1.0 - target_recall) / math.log(1.0 - p1)
+        if need > max_tables:
+            continue  # recall target unreachable at this p
+        L = max(1, math.ceil(need))
+        bucket_flops = float(n_rows) * L * p * dim
+        cand_flops = L * float(n_rows) * n_rows * (2.0**-p) / 2.0 * 16.0
+        cost = bucket_flops + cand_flops
+        if best is None or cost < best[0]:
+            best = (cost, p, L)
+    if best is None:
+        # graceful corner: cheapest-to-amplify p with the full budget
+        return 3, max_tables
+    return best[1], best[2]
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int | None = 8,
+    n_tables: int | None = 8,
     seed: int = 42,
+    target_recall: float = 0.85,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale — the sub-quadratic
     path d5 (blocked_allpairs_cosine, the exact O(n²·d) oracle
@@ -205,8 +265,21 @@ def embedding_neardup_pairs(
     uniform by construction; verification joins vectors back BY ID
     for candidates only, so no task ever holds more than one
     candidate pair's vectors. No cross product anywhere.
+
+    ``n_planes=None`` / ``n_tables=None`` auto-tunes both from the
+    corpus row count via ``auto_lsh_params`` (one column-pruned count
+    — at scale, pass the known count explicitly instead): planes grow
+    with log₂(n) so bucket occupancy — and with it the candidate
+    count — stays ~linear in n, and tables re-amplify recall to
+    ``target_recall``. Fixed planes at a growing corpus is the one
+    configuration that silently bends this operator quadratic.
     """
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if n_planes is None or n_tables is None:
+        n_rows = vecs.count()
+        n_planes, n_tables = auto_lsh_params(
+            n_rows, threshold, target_recall=target_recall, dim=dim
+        )
     e = multitable_bucket_entries(
         vecs, "__id", "__v", dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
     )

@@ -2172,10 +2172,16 @@ def d11_embedding_neardup_lsh(spark, sf_dir):
     vs d5's exact pairs at the same threshold) is pinned in
     test_similarity. Threshold 0.4 sits at the top of this isotropic
     test corpus's cosine range (max ≈0.48); production near-dup runs
-    at 0.9+ where the same plan's buckets are far sparser."""
+    at 0.9+ where the same plan's buckets are far sparser.
+
+    Planes/tables AUTO-TUNE from the corpus count (auto_lsh_params):
+    planes grow with log₂(n) so candidate count stays ~n^(1+ρ)
+    instead of bending quadratic at fixed planes — the r3 scale
+    measurement read exponent 1.10 with hand-picked (4, 12); the
+    auto-tuner is the fix, not a bigger hand-picked constant."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, n_planes=4, n_tables=12
+        emb, "embedding", "vec_id", threshold=0.4, n_planes=None, n_tables=None
     )
 
 
