@@ -343,27 +343,51 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     persist_tracker: list | None = None,
+    est_hashes: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Pipeline (each stage a narrow map except the two keyed shuffles):
-      1. shingle + 64-hash minhash signature per doc (map-only);
-      2. split the signature into ``bands`` bands, hash each band →
-         explode to (band_idx, band_hash, id) — docs agreeing on any
-         band collide (prob 1-(1-j^r)^b, r=num_hashes/bands);
-      3. self-join on (band_idx, band_hash) with id1 < id2 → candidate
-         pairs (shuffle keyed by band hash — uniform by construction);
-      4. verify candidates with exact Jaccard over shingle sets and
-         filter by threshold.
+      1. shingle + minhash per doc (map-only): ``est_hashes`` mins
+         (default = num_hashes; same coefficient stream, so the first
+         num_hashes coincide) kept as 8-bit residues PACKED 8-per-long
+         — the per-doc similarity sketch. Raising est_hashes sharpens
+         the estimate filter (sd ∝ 1/sqrt(est_hashes)) at the price of
+         proportionally more min-aggregates in the signature pass —
+         measured break-even AGAINST on this corpus (the 4× agg cost
+         of 256 outweighed the verify savings), so the default stays
+         at num_hashes;
+      2. split the first num_hashes byte-mins into ``bands`` bands →
+         explode to (band_idx, band_val, id, sketch…) — docs agreeing
+         on any band collide (prob 1-(1-j^r)^b, r=num_hashes/bands;
+         byte truncation adds a 2⁻⁸ʳ false-collision floor, which only
+         ADDS candidates — the estimate filter removes them);
+      3. self-join on (band_idx, band_val) with id1 < id2 — shuffle
+         keyed by band value, uniform by construction. Each joined row
+         already carries BOTH packed sketches, so the Jaccard estimate
+         (fraction of agreeing byte-mins, unbiased up to a +(1-j)/256
+         collision bias, sd ≈ sqrt(j(1-j)/est_hashes)) is computed
+         INLINE with word-parallel bitwise ops — XOR + nibble-fold +
+         bit_count per 8-byte word, all whole-stage codegen — and
+         candidates more than ~2.5σ below the threshold die before
+         they are ever materialized as a pair set. (The previous
+         shape — distinct the raw candidate pairs, then re-join
+         per-doc tag arrays and array_intersect per pair — paid a
+         full shuffle of the raw pair stream plus two id-keyed joins
+         and a 2·num_hashes hash-set probe per pair; inlining removes
+         all three and the distinct then runs on estimate survivors
+         only.)
+      4. exact-Jaccard verification over shingle sets for the
+         survivors only.
 
     Returns (id1, id2, jaccard). Candidate verification re-joins the
     shingle arrays by id, so memory per task is O(one doc), never
     O(corpus).
 
     ``persist_tracker``: the pipeline persists two intermediate frames
-    (signatures, estimate-filtered pairs). They stay cached until the
-    JVM's context cleaner notices the dropped references — in a
-    long-lived session running many queries that lag accumulates
+    (packed signatures, estimate-filtered pairs). They stay cached
+    until the JVM's context cleaner notices the dropped references —
+    in a long-lived session running many queries that lag accumulates
     storage memory. Callers that fully consume the result (e.g.
     near_dedup_filter, whose connected-components step materializes
     the pairs eagerly) pass a list here and unpersist its entries as
@@ -371,17 +395,23 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    if est_hashes is None:
+        est_hashes = num_hashes
+    if est_hashes < num_hashes or est_hashes % 8:
+        raise ValueError("est_hashes must be a multiple of 8 and >= num_hashes")
     r = num_hashes // bands
+    if r * 8 > 64:
+        raise ValueError("a band must fit one packed word (num_hashes/bands <= 8)")
     # signature path: NO distinct — min over a multiset equals min
     # over its set, so the raw exploded shingle stream feeds the
     # aggregate directly (saves a full shuffle of every shingle).
     raw_sh = exploded_char_shingles(df, text_col, id_col, shingle_k, distinct=False)
-    # signature via explode + num_hashes scalar min-aggregates: each
+    # signature via explode + est_hashes scalar min-aggregates: each
     # shingle is hashed once, the per-hash permutations are flat
     # scalar expressions (small codegen), and the agg is a standard
     # map-side-partial hash aggregate keyed by doc id.
     hashed = raw_sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
-    coeffs = _coeffs(num_hashes, seed)
+    coeffs = _coeffs(est_hashes, seed)
     # F.expr strings, not Column algebra: one py4j round trip per
     # aggregate instead of ~6 (the 64-expression build was measurable
     # driver time; the parsed plans are identical)
@@ -391,69 +421,82 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
+    # pack the low byte of each min into 8-byte words: the whole
+    # est_hashes-component sketch is est_hashes/8 longs — 8× smaller
+    # than the full-value array, and byte agreement is computable with
+    # word-parallel bitwise ops instead of per-element set probes.
+    n_words = est_hashes // 8
     with_sig = sig_rows.select(
-        "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
+        "__id",
+        *[
+            F.expr(
+                " | ".join(
+                    f"(shiftleft(__m{8 * w + j} & 255L, {8 * j}))" for j in range(8)
+                )
+            ).alias(f"__w{w}")
+            for w in range(n_words)
+        ],
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the band self-join
     if persist_tracker is not None:
         persist_tracker.append(with_sig)
 
-    band_entries = _band_entries(with_sig, "__id", "__sig", bands, r)
+    # band entries: band bi = bytes [bi*r, (bi+1)*r) of the sketch —
+    # a shifted mask of one packed word, no re-hash needed. The packed
+    # words ride along so the self-join output carries both sketches.
+    band_mask = (1 << (8 * r)) - 1
+    entries = with_sig.select(
+        "__id",
+        *[F.col(f"__w{w}") for w in range(n_words)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.expr(
+                            f"shiftrightunsigned(__w{(bi * r) // 8}, "
+                            f"{8 * ((bi * r) % 8)}) & {band_mask}L"
+                        ).alias("band_val"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", *[f"__w{w}" for w in range(n_words)], "b.band_idx", "b.band_val")
 
-    cand = (
-        band_entries.alias("l")
+    # inline byte-agreement estimate, word-parallel: for each word,
+    # XOR → fold each byte's 8 bits into its bit 0 (3 shift-ors, byte
+    # boundaries don't leak because only bit 8k survives the mask) →
+    # mask 0x0101… → bit_count = number of DISAGREEING bytes.
+    def _word_disagree(w: int) -> str:
+        z = f"(l.__w{w} ^ rr.__w{w})"
+        return (
+            f"bit_count((({z} | shiftrightunsigned({z}, 4) "
+            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4)), 2) "
+            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4) "
+            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4)), 2)), 1)) "
+            f"& {0x0101010101010101}L))"
+        )
+
+    sig_margin = 2.5 * (0.25 / est_hashes) ** 0.5  # j(1-j) ≤ 0.25
+    min_agree = max(0, math.ceil(est_hashes * (jaccard_threshold - sig_margin)))
+    agree_expr = f"{est_hashes} - (" + " + ".join(
+        _word_disagree(w) for w in range(n_words)
+    ) + ")"
+    est = (
+        entries.alias("l")
         .join(
-            band_entries.alias("rr"),
+            entries.alias("rr"),
             on=[
                 F.col("l.band_idx") == F.col("rr.band_idx"),
-                F.col("l.band_hash") == F.col("rr.band_hash"),
+                F.col("l.band_val") == F.col("rr.band_val"),
                 F.col("l.__id") < F.col("rr.__id"),
             ],
         )
+        .filter(F.expr(agree_expr) >= F.lit(min_agree))
         .select(F.col("l.__id").alias("id1"), F.col("rr.__id").alias("id2"))
-        .distinct()
-    )
-
-    # two-stage verification (the textbook LSH shape):
-    #   (a) cheap signature-estimate filter — fraction of agreeing
-    #       minhash components is an unbiased Jaccard estimator with
-    #       sd ≈ sqrt(j(1-j)/H); prune candidates more than ~2.5σ
-    #       below the threshold. Corpora with a shared vocabulary
-    #       (like this one) produce 10-100× more band collisions than
-    #       true near-dups.
-    #   (b) exact-Jaccard set comparison on the survivors only.
-    #
-    # Both stages compare PER-DOC ARRAYS with array_intersect (a
-    # regular codegen expression, O(n+m) hash-set probe per pair) —
-    # NOT per-component/per-shingle posexplode joins, which shuffled
-    # |pairs|·num_hashes and |docs|·|shingles| rows and were 3× the
-    # pipeline's wall time; and NOT zip_with/filter lambdas, which
-    # are interpreted (CodegenFallback). Position is folded into the
-    # component value by hashing (i, x) pairs — done once per DOC, so
-    # the only per-pair work is the intersect itself. The tag table
-    # derives from the persisted signature frame and joins the pair
-    # stream keyed by id — a plain equi-join that AQE broadcasts when
-    # it fits and leaves as an id-keyed shuffle join at 100 TB (never
-    # an explicit corpus-wide broadcast hint).
-    sig_margin = 2.5 * (0.25 / num_hashes) ** 0.5  # j(1-j) ≤ 0.25
-    tagged = _tagged_sigs(with_sig, "__id", "__sig")
-    n_agree = (
-        cand.join(
-            tagged.select(F.col("__id").alias("id1"), F.col("__tag").alias("__t1")),
-            "id1",
-        )
-        .join(
-            tagged.select(F.col("__id").alias("id2"), F.col("__tag").alias("__t2")),
-            "id2",
-        )
-        .select(
-            "id1",
-            "id2",
-            F.size(F.array_intersect("__t1", "__t2")).alias("__agree"),
-        )
-    )
-    est = (
-        n_agree.filter(F.col("__agree") / num_hashes >= jaccard_threshold - sig_margin)
-        .select("id1", "id2")
+        .distinct()  # dedup AFTER the estimate filter: multi-band
+        # collisions re-test cheaply instead of paying a full shuffle
+        # of the raw candidate stream
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds id-restriction + 2 verify joins
     )
     if persist_tracker is not None:
