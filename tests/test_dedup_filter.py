@@ -197,3 +197,46 @@ def test_incremental_near_dup_against_signature_store(spark, tmp_path):
     again = minhash_signatures(seen, "text", "doc_id").collect()
     stored = {r["doc_id"]: r["minhash_sig"] for r in store.collect()}
     assert all(stored[r["doc_id"]] == r["minhash_sig"] for r in again)
+
+
+def test_segment_dedup_semantics(spark):
+    """Segment dedup removes a cross-document repeated window from
+    EVERY document containing it, keeps within-document-only repeats
+    (df counts distinct docs), respects min_df, and rebuilds the
+    cleaned text in original segment order."""
+    from traffic_forecast_etl_spark.operators.dedup import segment_dedup
+
+    boiler = "x" + " x" * 3  # 4-word boilerplate segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            # within-doc repeat only: segment appears twice in doc 3
+            # but in no other doc -> df=1 -> kept
+            (3, "r r r r r r r r iota kappa mu nu"),
+            (4, "unique words only here nothing shared at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in segment_dedup(
+            docs, "text", "doc_id", segment_words=4, min_df=2
+        ).collect()
+    }
+    # boilerplate removed from both docs 1 and 2, suffixes kept intact
+    assert out[1] == ("alpha beta gamma delta", 1)
+    assert out[2] == ("epsilon zeta eta theta", 1)
+    # doc 3: "r r r r" appears twice WITHIN the doc but df(distinct
+    # docs)=1 -> kept whole
+    assert out[3] == ("r r r r r r r r iota kappa mu nu", 0)
+    assert out[4] == ("unique words only here nothing shared at all ok", 0)
+
+    # min_df=3: nothing reaches 3 distinct docs -> no-op
+    untouched = {
+        r["doc_id"]: r["n_removed"]
+        for r in segment_dedup(
+            docs, "text", "doc_id", segment_words=4, min_df=3
+        ).collect()
+    }
+    assert untouched == {1: 0, 2: 0, 3: 0, 4: 0}

@@ -814,6 +814,89 @@ def near_dedup_filter(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    segment_words: int = 16,
+    min_df: int = 2,
+) -> DataFrame:
+    """SEGMENT-level duplicate removal — the corpus-curation stage
+    document-level dedup (d1/d2) cannot express: boilerplate
+    paragraphs (headers, navigation, license blocks) repeat across
+    otherwise-distinct documents, and the fix is to drop the
+    REPEATED SEGMENT from every document while keeping the documents
+    (the CCNet / RefinedWeb line-dedup pass). Segments here are
+    fixed ``segment_words``-word windows (a delimiter-free corpus has
+    no line structure; swap the segmenter for a split on newlines
+    when the data has one — the plan shape is identical).
+
+    A segment is removed from ALL documents containing it when its
+    document frequency (DISTINCT documents, so a within-document
+    repeat alone does not trigger) reaches ``min_df``.
+
+    Plan shape at 100 TB (the d1 property, extended): segment TEXT
+    never shuffles —
+      1. map-only: explode each doc to (id, seg_idx, xxhash64(seg))
+         — 24 bytes per segment;
+      2. document frequency per fingerprint: one hash-partitioned
+         aggregate over those 24-byte rows (map-side partial
+         count_distinct collapse);
+      3. dup fingerprints (df >= min_df) semi-join back onto the
+         (id, seg_idx, fp) stream — fingerprint-keyed, uniform;
+      4. per-doc removed-index lists (small int arrays) join the
+         ORIGINAL table by id, and the cleaned text is rebuilt
+         in place by re-slicing the token array and skipping removed
+         indices — per-row array lambdas, the acceptable HOF case
+         (one pass per ROW, cf. quantize_embeddings).
+
+    Returns (id, clean_text, n_removed) with n_removed the count of
+    removed segments. Fingerprint collisions (~n_segments²·2⁻⁶⁴)
+    follow the d1 convention: the 64-bit hash stands in for the
+    segment text.
+    """
+    w = segment_words
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(w))).cast("long"), F.lit(1).cast("long")
+    )
+    seg_of = lambda gi: F.concat_ws(" ", F.slice(toks, gi * w + 1, w))  # noqa: E731
+    segs = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("__gi"),
+    ).select(
+        "__id",
+        "__gi",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("__t", F.col("__gi") * w + 1, w))
+        ).alias("__fp"),
+    )
+    dup_fp = (
+        segs.groupBy("__fp")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__fp")
+    )
+    rm_lists = (
+        segs.join(dup_fp, "__fp", "left_semi")
+        .groupBy("__id")
+        .agg(F.collect_list("__gi").alias("__rm"))
+    )
+    joined = df.join(rm_lists, df[id_col] == rm_lists["__id"], "left")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<bigint>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0).cast("long"), nseg - 1),
+        lambda i: ~F.array_contains(rm, i),
+    )
+    clean = F.concat_ws(" ", F.transform(kept_idx, seg_of))
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(rm).cast("long").alias("n_removed"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

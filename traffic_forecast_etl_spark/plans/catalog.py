@@ -3069,6 +3069,47 @@ def d12_epoch_shuffle(spark, sf_dir):
 
 
 @query(
+    "d13_segment_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(0, GREATEST(CAST(ceil(len(w)/16.0) AS BIGINT), 1)))
+               AS seg_idx
+      FROM t
+    ),
+    seg AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(list_slice(w, seg_idx*16 + 1, (seg_idx+1)*16), ' ')
+               AS seg
+      FROM idx
+    ),
+    dup AS (SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (d.seg IS NOT NULL) AS is_dup
+      FROM seg s LEFT JOIN dup d USING (seg)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE NOT is_dup), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def d13_segment_dedup(spark, sf_dir):
+    """SEGMENT-level dedup (the CCNet / RefinedWeb line-dedup pass):
+    drop every 16-word segment whose document frequency is >= 2 from
+    ALL documents containing it, keeping the documents. The curation
+    stage document-level dedup cannot express — boilerplate repeats
+    across otherwise-distinct documents. Segment text never shuffles:
+    df-counting and the dup semi-join move 24-byte (id, idx,
+    fingerprint) rows only; cleaned text is rebuilt in place from the
+    per-doc removed-index list."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.segment_dedup(docs, "text", "doc_id", segment_words=16, min_df=2)
+
+
+@query(
     "a15_equi_width_histogram",
     """
     WITH b AS (
@@ -3758,6 +3799,8 @@ _SWEEP_PRIORITY = [
     # semantics changed this round (matched-row-atomic asof fill;
     # floor-to-step binning in resample) — re-verify under the driver
     "j6_asof_join", "w13_resample_interpolate",
+    # new this round — needs its first driver row
+    "d13_segment_dedup",
     # remaining slots inside the ~50-key window: one representative per
     # family so a regression anywhere surfaces in the same sweep
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
