@@ -61,6 +61,8 @@ HEADLINE = [
     # section below has big-sf numbers for the whole family
     "d11_embedding_neardup_lsh",
     "s3_ivf_ann",
+    # round-3 addition: segment-level boilerplate removal
+    "d13_segment_dedup",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —
@@ -88,6 +90,18 @@ _SMALL_SF = {
 }
 
 
+def _settle(spark) -> None:
+    """Quiesce between measurements: dropping a query's persisted
+    intermediates (clearCache) is ASYNC — block removal and context-
+    cleaner churn otherwise bleed into the NEXT run's stopwatch
+    (measured: d4 read 10x its isolated time when timed right after
+    the cache-heavy d2 runs). Force the JVM GC and run a barrier job
+    so cleanup completes first."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    spark.range(1000).count()
+
+
 def _timed(spark, fn, sf_dir: str) -> tuple[float, float]:
     """Min + spread of repeated runs, outlier-robust: 3 runs, and
     while the max/min spread exceeds 2x (a transient JVM stall, not
@@ -100,7 +114,7 @@ def _timed(spark, fn, sf_dir: str) -> tuple[float, float]:
         rows = fn(spark, sf_dir).collect()
         runs.append(time.time() - t0)
         assert rows is not None
-        spark.catalog.clearCache()
+        _settle(spark)
         if len(runs) >= 3 and (max(runs) <= 2 * min(runs) or len(runs) >= 6):
             break
     best = min(runs)
