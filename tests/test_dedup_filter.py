@@ -240,3 +240,57 @@ def test_segment_dedup_semantics(spark):
         ).collect()
     }
     assert untouched == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_byte_agreement_expr_matches_per_byte_reference(spark):
+    """The word-parallel byte-agreement expression (minhash_lsh_pairs'
+    estimate-filter inner loop) must count agreeing bytes exactly —
+    pinned against a per-byte Python reference over adversarial and
+    random packed words (sign bits, 0x00/0xFF bytes, single-bit
+    diffs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from traffic_forecast_etl_spark.operators.dedup import byte_agreement_expr
+
+    rnd = random.Random(7)
+
+    def to_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    cases = []
+    for _ in range(200):
+        a = [rnd.getrandbits(64) for _ in range(2)]
+        b = []
+        for w in a:
+            # mutate a random subset of bytes, including single-bit flips
+            out = w
+            for byte in range(8):
+                r = rnd.random()
+                if r < 0.3:
+                    out ^= 1 << (byte * 8 + rnd.randrange(8))
+                elif r < 0.4:
+                    out = (out & ~(0xFF << (byte * 8))) | (
+                        rnd.getrandbits(8) << (byte * 8)
+                    )
+            b.append(out)
+        expect = sum(
+            1
+            for wa, wb in zip(a, b)
+            for k in range(8)
+            if (wa >> (8 * k)) & 0xFF == (wb >> (8 * k)) & 0xFF
+        )
+        cases.append((*map(to_signed, a), *map(to_signed, b), expect))
+    # edge rows: all-equal, all-different-in-every-byte
+    cases.append((0, -1, 0, -1, 16))
+    cases.append((0, 0, to_signed(0x0101010101010101), to_signed((1 << 64) - 1), 0))
+    df = spark.createDataFrame(
+        cases, "a0 long, a1 long, b0 long, b1 long, expect int"
+    )
+    got = df.select(
+        "expect",
+        F.expr(byte_agreement_expr(2, "a{}", "b{}")).alias("got"),
+    ).collect()
+    bad = [(r["expect"], r["got"]) for r in got if r["expect"] != r["got"]]
+    assert not bad, f"mismatches: {bad[:5]}"

@@ -333,6 +333,36 @@ def incremental_near_dup_pairs(
     )
 
 
+def byte_agreement_expr(n_words: int, left_fmt: str, right_fmt: str) -> str:
+    """SQL expression counting AGREEING bytes between two packed
+    byte-sketch column sets (``n_words`` longs per side, 8 bytes
+    each; ``left_fmt``/``right_fmt`` are format strings producing the
+    word-w column reference, e.g. ``"l.__w{}"``).
+
+    Word-parallel, all whole-stage codegen: per word XOR → fold each
+    byte's 8 bits into its bit 0 (3 shift-ors; byte boundaries don't
+    leak because only bit 8k survives the final mask) → mask 0x0101…
+    → bit_count = disagreeing bytes; agreement = 8·n_words − Σ.
+    Equivalent to comparing the 8·n_words bytes one by one, at ~9 long
+    ops per word instead of ~6 per byte — the estimate-filter inner
+    loop of minhash_lsh_pairs, pinned against a per-byte reference in
+    test_dedup_filter."""
+
+    def word_disagree(w: int) -> str:
+        z = f"({left_fmt.format(w)} ^ {right_fmt.format(w)})"
+        return (
+            f"bit_count((({z} | shiftrightunsigned({z}, 4) "
+            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4)), 2) "
+            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4) "
+            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4)), 2)), 1)) "
+            f"& {0x0101010101010101}L))"
+        )
+
+    return f"{8 * n_words} - (" + " + ".join(
+        word_disagree(w) for w in range(n_words)
+    ) + ")"
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -463,25 +493,9 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select("__id", *[f"__w{w}" for w in range(n_words)], "b.band_idx", "b.band_val")
 
-    # inline byte-agreement estimate, word-parallel: for each word,
-    # XOR → fold each byte's 8 bits into its bit 0 (3 shift-ors, byte
-    # boundaries don't leak because only bit 8k survives the mask) →
-    # mask 0x0101… → bit_count = number of DISAGREEING bytes.
-    def _word_disagree(w: int) -> str:
-        z = f"(l.__w{w} ^ rr.__w{w})"
-        return (
-            f"bit_count((({z} | shiftrightunsigned({z}, 4) "
-            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4)), 2) "
-            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4) "
-            f"| shiftrightunsigned(({z} | shiftrightunsigned({z}, 4)), 2)), 1)) "
-            f"& {0x0101010101010101}L))"
-        )
-
     sig_margin = 2.5 * (0.25 / est_hashes) ** 0.5  # j(1-j) ≤ 0.25
     min_agree = max(0, math.ceil(est_hashes * (jaccard_threshold - sig_margin)))
-    agree_expr = f"{est_hashes} - (" + " + ".join(
-        _word_disagree(w) for w in range(n_words)
-    ) + ")"
+    agree_expr = byte_agreement_expr(n_words, "l.__w{}", "rr.__w{}")
     est = (
         entries.alias("l")
         .join(
