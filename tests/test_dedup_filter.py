@@ -294,3 +294,54 @@ def test_byte_agreement_expr_matches_per_byte_reference(spark):
     ).collect()
     bad = [(r["expect"], r["got"]) for r in got if r["expect"] != r["got"]]
     assert not bad, f"mismatches: {bad[:5]}"
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    """Random corpora (with planted cross-doc repeats): the operator
+    must match an exact Python reference implementation of the
+    semantics — segment by fixed word windows, remove every segment
+    whose DISTINCT-document frequency reaches min_df, reassemble in
+    order."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from traffic_forecast_etl_spark.operators.dedup import segment_dedup
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(rnd.choice(vocab) for _ in range(16))
+    rows = []
+    for i in range(40):
+        body = " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 60)))
+        # plant the shared block at a word-aligned offset in some docs
+        rows.append((i, f"{boiler} {body}" if i % 5 == 0 else body))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for w, min_df in ((16, 2), (3, 2), (16, 3)):
+        def segments(text):
+            toks = text.split(" ")
+            nseg = max(math.ceil(len(toks) / w), 1)
+            return [" ".join(toks[k * w : (k + 1) * w]) for k in range(nseg)]
+
+        df_count = defaultdict(set)
+        for doc_id, text in rows:
+            for seg in segments(text):
+                df_count[seg].add(doc_id)
+        dup = {s for s, d in df_count.items() if len(d) >= min_df}
+        expected = {}
+        for doc_id, text in rows:
+            segs = segments(text)
+            kept = [s for s in segs if s not in dup]
+            expected[doc_id] = (" ".join(kept), len(segs) - len(kept))
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in segment_dedup(
+                docs, "text", "doc_id", segment_words=w, min_df=min_df
+            ).collect()
+        }
+        assert got == expected, (w, min_df)
+        if min_df == 2 and w == 16:
+            # the planted boilerplate must actually have been removed
+            assert all(got[i][1] >= 1 for i, _ in rows if i % 5 == 0)
