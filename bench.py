@@ -61,8 +61,10 @@ HEADLINE = [
     # section below has big-sf numbers for the whole family
     "d11_embedding_neardup_lsh",
     "s3_ivf_ann",
-    # round-3 addition: segment-level boilerplate removal
+    # round-3 additions: segment-level boilerplate removal +
+    # content-defined duplicated-span detection
     "d13_segment_dedup",
+    "d14_duplicate_spans",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

@@ -345,3 +345,63 @@ def test_segment_dedup_matches_python_reference(spark):
         if min_df == 2 and w == 16:
             # the planted boilerplate must actually have been removed
             assert all(got[i][1] >= 1 for i, _ in rows if i % 5 == 0)
+
+
+def test_duplicate_spans_planted_passage_misaligned(spark):
+    """A verbatim passage planted at offsets that do NOT agree modulo
+    any stride must still surface as one merged span per doc (the
+    content-defined-anchor property — a fixed-stride grid misses
+    this case by construction); a doc without the passage reports
+    nothing; a within-doc-only repeat does not count (df is distinct
+    docs). Anchors are a deterministic function of the fixed texts,
+    so this is not flaky."""
+    import random
+
+    from traffic_forecast_etl_spark.operators.dedup import duplicate_spans
+
+    rnd = random.Random(3)
+
+    def noise(n):
+        return "".join(rnd.choice("abcdefghij ") for _ in range(n))
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while rain fell "
+        "softly on the quiet village roofs and the river ran east past "
+        "the old mill where children played on warm summer evenings ok"
+    )  # ~185 chars: ~11 expected anchors, miss prob < 1e-3 per corpus
+    d1 = noise(101) + passage + noise(50)  # passage at offset 102
+    d2 = noise(38) + passage + noise(120)  # offset 39 — 102-39=63, coprime-ish
+    d3 = noise(180)                        # unrelated
+    block = noise(120)
+    d4 = block + block                     # within-doc repeat only
+
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+    )
+    for mode in ("xxhash64", "md5"):
+        out = duplicate_spans(
+            docs, "text", "doc_id", window_chars=48, anchor_every=16,
+            anchor_gram=8, min_df=2, anchor_hash=mode,
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["n_windows"])
+            )
+        assert 3 not in by_doc and 4 not in by_doc, mode
+        spans1 = sorted(by_doc.get(1, []))
+        spans2 = sorted(by_doc.get(2, []))
+        assert spans1 and spans2, mode
+        # every span must lie inside the planted passage region
+        for s, e, _ in spans1:
+            assert 102 <= s and e <= 101 + len(passage), mode
+        for s, e, _ in spans2:
+            assert 39 <= s and e <= 38 + len(passage), mode
+        # the content-defined property: the span structure, shifted to
+        # in-passage coordinates, is IDENTICAL on both copies even
+        # though the document offsets disagree mod every stride
+        norm1 = [(s - 102, e - 102, nw) for s, e, nw in spans1]
+        norm2 = [(s - 39, e - 39, nw) for s, e, nw in spans2]
+        assert norm1 == norm2, mode
+        # and detection is substantial: at least one full window
+        assert max(e - s + 1 for s, e, _ in spans1) >= 48, mode

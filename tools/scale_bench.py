@@ -43,6 +43,7 @@ KEYS = [
     "t2_quality_score",
     "c2_decontaminate",
     "d13_segment_dedup",
+    "d14_duplicate_spans",
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Modulus for the universal-hash family h_i(x) = (a_i*x + b_i) mod p
@@ -908,6 +908,124 @@ def segment_dedup(
         F.col(id_col),
         clean.alias("clean_text"),
         F.size(rm).cast("long").alias("n_removed"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_chars: int = 48,
+    anchor_every: int = 16,
+    anchor_gram: int = 8,
+    min_df: int = 2,
+    anchor_hash: str = "xxhash64",
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-dedup stage
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): find character ranges that occur verbatim in ≥
+    ``min_df`` distinct documents, so callers can cut the span (not
+    the document, not a fixed segment grid) out of the training set.
+    Complements d1 (whole-doc), d13 (aligned segment grid): a
+    duplicated passage at an ARBITRARY offset is invisible to both.
+
+    Suffix arrays make this O(corpus log corpus) single-node; the
+    Spark-native equivalent samples windows at CONTENT-DEFINED
+    anchors: position p anchors a window iff
+    hash(text[p, p+anchor_gram)) ≡ 0 (mod ``anchor_every``) — the
+    rsync/CDC trick. Anchors are a function of the TEXT, not the
+    offset, so the two copies of a duplicated run anchor at the SAME
+    in-run positions no matter where each copy sits in its document
+    (a fixed-stride grid only catches copies whose offsets agree mod
+    stride — the flaw this formulation exists to avoid). Expected
+    window density is 1/anchor_every; a duplicated run of length L
+    is missed with prob ≈ (1-1/a)^(L-w), negligible for real
+    boilerplate (L ≳ 150 at the defaults → <0.2%).
+
+      1. map-only: slide the anchor test over every position (an
+         O(chars) hash each, no shuffle — the t6/winnowing cost
+         class), emit (id, start, window-hash) for anchored windows —
+         ~len/anchor_every rows of 24 bytes per doc, text never
+         shuffles;
+      2. cross-document frequency per window hash (one partial-agg
+         shuffle) → duplicated hashes (df ≥ min_df on DISTINCT docs);
+      3. semi-join hits, then merge OVERLAPPING hits per doc into
+         maximal spans with the classic window trick: break where
+         start > max(prev end) over the per-doc start-ordered frame,
+         running-sum the breaks into span ids, aggregate.
+
+    ``anchor_hash``: "xxhash64" (default — fastest) or "md5" (the
+    d7/d12 engine-reproducibility convention: any engine with md5
+    reproduces the anchor set bit-for-bit; the DuckDB oracle uses
+    this mode). Window identity always uses xxhash64 internally —
+    only spans are returned, so the df key never crosses engines.
+
+    Returns (id, span_start, span_end, n_windows) — 1-based inclusive
+    character range per merged span. Within-doc-only repeats don't
+    count (df is distinct docs, the d13 convention)."""
+    if anchor_hash not in ("xxhash64", "md5"):
+        raise ValueError("anchor_hash must be xxhash64 or md5")
+    n = F.length(F.col(text_col))
+    n_pos = n - window_chars + 1
+    # sequence(1, 0) is DESCENDING in Spark — emit an empty array for
+    # docs shorter than one window instead.
+    ps = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.explode(ps).alias("__s"),
+    )
+    gram = F.substring(F.col("__t"), F.col("__s"), anchor_gram)
+    if anchor_hash == "md5":
+        hv = F.conv(
+            F.substring(F.md5(F.encode(gram, "UTF-8")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        hv = F.xxhash64(gram)
+    win = pos.filter(F.pmod(hv, F.lit(anchor_every)) == 0).select(
+        "__id",
+        "__s",
+        F.xxhash64(F.substring(F.col("__t"), F.col("__s"), window_chars)).alias(
+            "__h"
+        ),
+    )
+    dup = (
+        win.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h")
+    )
+    hits = win.join(dup, "__h", "left_semi").select(
+        "__id", "__s", (F.col("__s") + (window_chars - 1)).alias("__e")
+    )
+    prev = (
+        Window.partitionBy("__id")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = (
+        Window.partitionBy("__id")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        hits.withColumn(
+            "__brk",
+            (F.col("__s") > F.coalesce(F.max("__e").over(prev), F.lit(-1)))
+            .cast("int"),
+        )
+        .withColumn("__span", F.sum("__brk").over(cur))
+        .groupBy("__id", "__span")
+        .agg(
+            F.min("__s").cast("long").alias("span_start"),
+            F.max("__e").cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    )
+    return spans.select(
+        F.col("__id").alias(id_col), "span_start", "span_end", "n_windows"
     )
 
 

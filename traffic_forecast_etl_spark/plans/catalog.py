@@ -3110,6 +3110,62 @@ def d13_segment_dedup(spark, sf_dir):
 
 
 @query(
+    "d14_duplicate_spans",
+    """
+    WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, CASE WHEN n >= 48 THEN n - 48 + 2 ELSE 1 END)) AS s
+      FROM t
+    ),
+    anch AS (
+      SELECT doc_id, s, substr(text, s, 48) AS wtext, s + 47 AS e
+      FROM pos
+      WHERE ('0x' || substr(md5(substr(text, s, 8)), 1, 15))::BIGINT % 16 = 0
+    ),
+    dup AS (SELECT wtext FROM anch GROUP BY wtext
+            HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT anch.doc_id, s, e FROM anch JOIN dup USING (wtext)),
+    m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM h
+    ),
+    sp AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM m
+    )
+    SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def d14_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-span detection (the Lee-et-al. substring-
+    dedup stage): character ranges occurring verbatim in >= 2
+    distinct documents. Windows sample at CONTENT-DEFINED anchors
+    (md5 of the 8-gram at p ≡ 0 mod 16 — the rsync/CDC trick, and
+    the d7/d12 md5 engine-reproducibility convention), so the two
+    copies of a shared passage anchor at the same in-run positions
+    regardless of where each copy sits — a fixed-stride grid only
+    catches offset-aligned copies. Hash df-count over distinct docs,
+    then per-doc merge of overlapping hits into maximal spans.
+    Complements d1 (whole doc) and d13 (aligned segment grid). Text
+    never shuffles — the df aggregate moves 24-byte rows and the span
+    merge only duplicated hits."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(
+        docs, "text", "doc_id", window_chars=48, anchor_every=16,
+        anchor_gram=8, min_df=2, anchor_hash="md5",
+    )
+
+
+@query(
     "a15_equi_width_histogram",
     """
     WITH b AS (
@@ -3800,7 +3856,7 @@ _SWEEP_PRIORITY = [
     # floor-to-step binning in resample) — re-verify under the driver
     "j6_asof_join", "w13_resample_interpolate",
     # new this round — needs its first driver row
-    "d13_segment_dedup",
+    "d13_segment_dedup", "d14_duplicate_spans",
     # remaining slots inside the ~50-key window: one representative per
     # family so a regression anywhere surfaces in the same sweep
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
