@@ -81,6 +81,8 @@ SCALING_KEYS = [
     "t1_token_stats",
     "t2_quality_score",
     "c2_decontaminate",
+    "d13_segment_dedup",
+    "d14_duplicate_spans",
 ]
 
 # the second scale point for each primary sf dir (one decade down —

@@ -63,6 +63,25 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def spread_small_scan(df: DataFrame, max_parts: int = 4) -> DataFrame:
+    """Local-parallelism guard for the CPU-dense map stages of the
+    dedup plane (a hash per shingle / character position): a small
+    table that arrives as ONE input split — one parquet file with one
+    row group, the shape of the local test data — serializes the
+    entire map stage onto one core, measured 5-10× the parallel time
+    on the anchor and signature scans. If (and only if) the scan is
+    degenerately under-split (≤ ``max_parts`` partitions against a
+    much larger default parallelism), spread it once with a round-
+    robin repartition — by the gate's construction the shuffled input
+    is tiny. A production-scale scan has thousands of splits, so the
+    gate never fires and no shuffle is ever added at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if target >= 2 * max_parts and df.rdd.getNumPartitions() <= max_parts:
+        return df.repartition(target)
+    return df
+
+
 def exploded_char_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, distinct: bool = True
 ) -> DataFrame:
@@ -76,7 +95,9 @@ def exploded_char_shingles(
     shingles) regexp evaluations, measured 50× slower. Same trap for
     word shingles below.
     """
-    norm = df.select(F.col(id_col).alias("__id"), normalize_text(text_col).alias("__n"))
+    norm = spread_small_scan(df).select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__n")
+    )
     pos = norm.select(
         "__id",
         "__n",
@@ -95,7 +116,7 @@ def exploded_word_shingles(
 ) -> DataFrame:
     """(__id, __s) rows: one per DISTINCT word n-gram per doc (same
     explode-not-transform rationale as exploded_char_shingles)."""
-    toks = df.select(
+    toks = spread_small_scan(df).select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), r"\s+").alias("__t"),
     )
@@ -972,7 +993,7 @@ def duplicate_spans(
     ps = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
         F.array().cast("array<int>")
     )
-    pos = df.select(
+    pos = spread_small_scan(df).select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__t"),
         F.explode(ps).alias("__s"),
