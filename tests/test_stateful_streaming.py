@@ -301,3 +301,74 @@ def test_streaming_near_dedup_bounded_store(spark, tmp_path):
     run_tick()
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(sigs).count() == 2
+
+
+def test_watermark_drops_late_data_after_window_eviction(spark, tmp_path):
+    """The late-data contract of the streaming plane, pinned at the
+    boundary Structured Streaming actually GUARANTEES: an event
+    arriving after its window's state has been EVICTED (watermark
+    passed the window end in an earlier, committed batch) must be
+    dropped — append mode emits each window exactly once, with the
+    on-time count, and a too-late straggler can neither resurrect the
+    window nor append a duplicate row for it. (Within the same batch
+    that evicts the state, Spark documents that late-but-not-yet-
+    evicted data MAY still be aggregated — so the straggler here
+    arrives a full batch after eviction, where dropping is
+    guaranteed, not best-effort.)"""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        run_available_now,
+        streaming_tumbling_agg,
+    )
+
+    def ev(eid, hh, mm):
+        return (eid, datetime(2024, 3, 1, hh, mm), 1, "click", 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "late_src")
+    # batch 0: five events in [10:00, 11:00) plus one at 11:45 that
+    # advances the watermark (delay 30m) to 11:15 > window end
+    spark.createDataFrame(
+        [ev(1, 10, 5), ev(2, 10, 10), ev(3, 10, 20), ev(4, 10, 30),
+         ev(5, 10, 40), ev(6, 11, 45)],
+        schema,
+    ).coalesce(1).write.parquet(src + "/p1")
+    # batch 1: on-time event at 12:30 — [10:00,11:00) is emitted with
+    # n=5 and its state evicted during this batch; watermark -> 12:00
+    spark.createDataFrame([ev(7, 12, 30)], schema).coalesce(1).write.parquet(
+        src + "/p2"
+    )
+    # batch 2: the too-late straggler at 10:15 (its window was evicted
+    # a batch ago — MUST be dropped) plus 13:45 to push the
+    # watermark (13:15) past 12:00-window end, closing [12:00,13:00)
+    spark.createDataFrame([ev(8, 10, 15), ev(9, 13, 45)], schema).coalesce(
+        1
+    ).write.parquet(src + "/p3")
+    # FileStreamSource orders files by modification time — force the
+    # three writes (milliseconds apart) into distinct, ordered batches
+    now = _time.time()
+    for d, t in (("/p1", now - 120), ("/p2", now - 60), ("/p3", now)):
+        for f in os.listdir(src + d):
+            os.utime(os.path.join(src + d, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+    out = run_available_now(
+        streaming_tumbling_agg(stream, window="1 hour", watermark="30 minutes"),
+        query_name="late_append",
+        output_mode="append",
+    )
+    rows = [(r["win_start"].hour, r["n"]) for r in out.collect()]
+    # exactly one row per closed window; the straggler neither bumped
+    # [10:00,11:00) past its on-time 5 nor appended a duplicate row;
+    # [13:00,14:00) is still open and must not have been emitted.
+    assert sorted(rows) == [(10, 5), (11, 1), (12, 1)], rows
