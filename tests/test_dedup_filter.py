@@ -405,3 +405,161 @@ def test_duplicate_spans_planted_passage_misaligned(spark):
         assert norm1 == norm2, mode
         # and detection is substantial: at least one full window
         assert max(e - s + 1 for s, e, _ in spans1) >= 48, mode
+
+
+# ---------------------------------------------------------------------------
+# round 4: band-extraction byte parity, r-unrestricted banding, and the
+# exact-first pre-pass that keeps duplicate-heavy corpora from flooding
+# an LSH band bucket into N²/2 candidates.
+
+
+def _py_band_bytes(words: list[int], b0: int, r: int) -> bytes:
+    allb = b"".join((w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in words)
+    return allb[b0 : b0 + r]
+
+
+def test_band_val_exprs_match_byte_reference(spark):
+    """Aligned AND word-straddling bands must extract exactly the
+    band's r bytes from the packed sketch (ADVICE r3: the single-word
+    form silently zeroed the straddling bytes)."""
+    from traffic_forecast_etl_spark.operators.dedup import _band_val_exprs
+
+    rows = [
+        (-0x123456789ABCDF0, 0x0FEDCBA987654321),
+        (0x1111111122222222, -0x7FFFFFFFFFFFFFF0),
+        (0, -1),
+    ]
+    df = spark.createDataFrame(rows, "__w0 long, __w1 long")
+    for bands, r in [(4, 4), (2, 8), (2, 6)]:  # (2,6): band 1 straddles
+        exprs = _band_val_exprs(bands, r)
+        got = df.select(
+            *[F.expr(e).alias(f"b{i}") for i, e in enumerate(exprs)]
+        ).collect()
+        for row, (w0, w1) in zip(got, rows):
+            for bi in range(bands):
+                want = int.from_bytes(_py_band_bytes([w0, w1], bi * r, r), "little")
+                if want >= 1 << 63:
+                    want -= 1 << 64
+                assert row[f"b{bi}"] == want, (bands, r, bi, w0, w1)
+
+
+def test_band_val_exprs_wide_band_hash_identity(spark):
+    """r > 8 bands hash their chunk words: equal band bytes → equal
+    band_val even when OTHER bands differ; different band bytes →
+    different band_val (w.h.p.)."""
+    from traffic_forecast_etl_spark.operators.dedup import _band_val_exprs
+
+    exprs = _band_val_exprs(bands=2, r=16)  # band 0 = words 0-1, band 1 = words 2-3
+    rows = [
+        (10, 20, 30, 40),
+        (10, 20, 99, 98),  # band 0 equal, band 1 differs
+        (11, 20, 30, 40),  # band 0 differs, band 1 equal
+    ]
+    df = spark.createDataFrame(rows, "__w0 long, __w1 long, __w2 long, __w3 long")
+    got = df.select(
+        *[F.expr(e).alias(f"b{i}") for i, e in enumerate(exprs)]
+    ).collect()
+    assert got[0]["b0"] == got[1]["b0"] and got[0]["b0"] != got[2]["b0"]
+    assert got[0]["b1"] == got[2]["b1"] and got[0]["b1"] != got[1]["b1"]
+
+
+def test_high_precision_banding_accepted_again(spark):
+    """num_hashes/bands > 8 (r=16 here) is a legal config again
+    (ADVICE r3: the r3 packed-word rework rejected it at plan time);
+    an exact duplicate must collide on every band and surface."""
+    from traffic_forecast_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, text), (2, text), (3, "entirely different content about engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=4, jaccard_threshold=0.9
+    ).collect()
+    assert [(r.id1, r.id2) for r in got] == [(1, 2)]
+    assert got[0].jaccard == 1.0
+
+
+def test_straddling_band_config_finds_pairs(spark):
+    """A config whose bands straddle packed-word boundaries
+    (num_hashes=48, bands=8 → r=6) still bands correctly."""
+    from traffic_forecast_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    text = "pack my box with five dozen liquor jugs while the band plays on"
+    rows = [(1, text), (2, text), (3, "unrelated text about parquet row groups")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=48, bands=8, jaccard_threshold=0.9
+    ).collect()
+    assert [(r.id1, r.id2) for r in got] == [(1, 2)]
+
+
+def test_exact_first_survivor_parity(spark):
+    """exact_first=True must return EXACTLY the survivor set of the
+    LSH-over-everything path on a corpus mixing exact-dup groups,
+    near-dups, and distinct docs."""
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    base_b = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(i, base_a) for i in range(40)]  # exact-dup group, rep=0
+    rows += [(100, base_a + " nu"), (101, base_b), (102, base_b + " ok")]
+    rows += [(103, base_b), (104, "totally different text about spark shuffles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5)
+    fast = {r.doc_id for r in near_dedup_filter(df, "text", "doc_id", exact_first=True, **kw).collect()}
+    slow = {r.doc_id for r in near_dedup_filter(df, "text", "doc_id", exact_first=False, **kw).collect()}
+    assert fast == slow == {0, 101, 104}
+
+
+def test_exact_first_collapses_bucket_flood(spark):
+    """10k byte-identical copies + distinct docs: the pre-pass hands
+    the band join only the distinct representatives, so candidate
+    volume stays O(distinct²), not O(10k²) — and the survivor set is
+    the min id per cluster, identical to the unguarded semantics."""
+    from traffic_forecast_etl_spark.operators.dedup import (
+        exact_dup_edges,
+        minhash_lsh_pairs,
+    )
+
+    flood = "repeated boilerplate navigation header licensed under creative commons"
+    distinct = [
+        (100_000 + i, f"document number {i} holds words w{i}a w{i}b w{i}c w{i}d unique")
+        for i in range(50)
+    ]
+    near = [(200_000, distinct[0][1] + " extra")]  # near-dup of 100000
+    rows = [(i, flood) for i in range(10_000)] + distinct + near
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    rep_ids, edges = exact_dup_edges(df, "text", "doc_id")
+    assert rep_ids.count() == 52  # 1 flood rep + 50 distinct + 1 near-dup
+    assert edges.count() == 9_999
+    assert edges.agg(F.min("id1"), F.max("id1")).collect()[0] == (0, 0)
+
+    # the band join's input is the restricted signature set: candidate
+    # pairs are bounded by 52², three orders below 10k²/2
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", jaccard_threshold=0.5, restrict_ids=rep_ids
+    )
+    assert pairs.count() <= 52 * 51 // 2
+
+    kept = {r.doc_id for r in near_dedup_filter(df, "text", "doc_id").collect()}
+    expected = {0} | {i for i, _ in distinct}  # 200000 loses to 100000's cluster
+    assert kept == expected
+
+
+def test_max_band_width_cap_drops_flooded_buckets_only(spark):
+    """The bucket-width backstop: pairs carried only by a flooded
+    bucket disappear; pairs in narrow buckets survive."""
+    from traffic_forecast_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    flood = "identical template content repeated across the entire crawl corpus"
+    pair_text = "a genuinely distinct near duplicate pair lives happily here today"
+    rows = [(i, flood) for i in range(50)]
+    rows += [(1000, pair_text), (1001, pair_text + " yes")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", jaccard_threshold=0.5, max_band_width=5
+        ).collect()
+    }
+    assert (1000, 1001) in got
+    assert all(i1 >= 1000 for i1, _ in got)

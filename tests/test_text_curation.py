@@ -250,3 +250,32 @@ def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark):
         by_shard[shard].append(pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_corpus_quality_stage_executes_once(spark, sf_dir, monkeypatch):
+    """Each pipeline stage must run EXACTLY once per build (VERDICT
+    r3: the unpersisted stage chain re-ran the quality gate ~5× via
+    recomputed lineage — 4-5 extra full corpus passes at 100 TB).
+    Instrumented by splicing a row-counting accumulator UDF into the
+    quality column: with per-stage persists the scorer fires once per
+    input row; the old recompute-the-lineage shape fired ~5×."""
+    from traffic_forecast_etl_spark.operators import text as TX
+    from traffic_forecast_etl_spark.plans.corpus import build_training_corpus
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = TX.quality_columns
+
+    def counting_quality_columns(text_col):
+        def tick(_s):
+            acc.add(1)
+            return 0.0
+
+        cols = dict(orig(text_col))
+        cols["quality"] = cols["quality"] + F.udf(tick, "double")(
+            F.col(text_col) if isinstance(text_col, str) else text_col
+        )
+        return cols
+
+    monkeypatch.setattr(TX, "quality_columns", counting_quality_columns)
+    _, st = build_training_corpus(spark, sf_dir)
+    assert acc.value == st.n_input

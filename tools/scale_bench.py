@@ -47,6 +47,27 @@ KEYS = [
 ]
 
 
+def _code_fingerprint() -> str:
+    """Hash of every operator/plan module the family queries execute
+    through. Prior campaigns' minima are only merged when this
+    fingerprint matches — an operator rewrite would otherwise leave
+    stale minima from the OLD implementation in SCALING.json, silently
+    corrupting the recomputed exponents the 100 TB claims rest on
+    (ADVICE r3: the manual delete-the-file convention was the only
+    safeguard)."""
+    import hashlib
+
+    pkg = os.path.join(REPO, "traffic_forecast_etl_spark")
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(pkg)):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                with open(os.path.join(root, name), "rb") as f:
+                    h.update(name.encode())
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def settle(spark) -> None:
     """Quiesce between measurements: dropping a query's persisted
     intermediates (clearCache) is ASYNC — block removal and context-
@@ -82,20 +103,25 @@ def main() -> None:
     # process). The noise is strictly one-sided — a run can only be
     # slowed, never sped up — so the steady-state estimator is the MIN
     # across measurement campaigns: merge with the existing
-    # SCALING.json (same code) instead of overwriting, and recompute
-    # exponents from the merged floor. Delete the file to re-baseline
-    # after a code change.
+    # SCALING.json instead of overwriting, and recompute exponents
+    # from the merged floor. Merging is gated on the engine-code
+    # fingerprint: minima measured against a different implementation
+    # are dropped, not merged.
     path = os.path.join(REPO, "SCALING.json")
+    fingerprint = _code_fingerprint()
     campaigns = 1
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        campaigns = prior.pop("_campaigns", 1) + 1
-        for key, rec in prior.items():
-            if key in out:
-                for sf, sec in rec.get("sec", {}).items():
-                    if sf in out[key]["sec"]:
-                        out[key]["sec"][sf] = min(out[key]["sec"][sf], sec)
+        if prior.pop("_code_fingerprint", None) == fingerprint:
+            campaigns = prior.pop("_campaigns", 1) + 1
+            for key, rec in prior.items():
+                if key in out:
+                    for sf, sec in rec.get("sec", {}).items():
+                        if sf in out[key]["sec"]:
+                            out[key]["sec"][sf] = min(out[key]["sec"][sf], sec)
+        else:
+            print("code fingerprint changed: re-baselining", file=sys.stderr)
     for key in KEYS:
         for (sf_a, _), (sf_b, _) in zip(pts, pts[1:]):
             ta, tb = out[key]["sec"][sf_a], out[key]["sec"][sf_b]
@@ -104,9 +130,11 @@ def main() -> None:
                 math.log10(tb / ta) / decades, 2
             )
     out["_campaigns"] = campaigns
+    out["_code_fingerprint"] = fingerprint
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     out.pop("_campaigns")
+    out.pop("_code_fingerprint")
     print(json.dumps(out))
     # markdown table for SCALE.md
     hdr = [k for k, _ in pts]

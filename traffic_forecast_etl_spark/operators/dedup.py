@@ -83,7 +83,12 @@ def spread_small_scan(df: DataFrame, max_parts: int = 4) -> DataFrame:
 
 
 def exploded_char_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    distinct: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """(__id, __s) rows: one per DISTINCT character k-gram per doc.
 
@@ -94,8 +99,16 @@ def exploded_char_shingles(
     inlines the normalization into every lambda invocation — O(docs ×
     shingles) regexp evaluations, measured 50× slower. Same trap for
     word shingles below.
+
+    ``spread`` applies the under-split scan gate (spread_small_scan)
+    and must be True ONLY when ``df`` is a true scan entry point: the
+    gate probes ``df.rdd``, and under AQE that materializes any query
+    stages (joins, broadcasts) inside the plan — on a derived frame
+    it would eagerly execute the upstream pipeline at plan-build
+    time. Derived callers (the LSH verify path) pass False.
     """
-    norm = spread_small_scan(df).select(
+    base = spread_small_scan(df) if spread else df
+    norm = base.select(
         F.col(id_col).alias("__id"), normalize_text(text_col).alias("__n")
     )
     pos = norm.select(
@@ -112,11 +125,13 @@ def exploded_char_shingles(
 
 
 def exploded_word_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, spread: bool = True
 ) -> DataFrame:
     """(__id, __s) rows: one per DISTINCT word n-gram per doc (same
-    explode-not-transform rationale as exploded_char_shingles)."""
-    toks = spread_small_scan(df).select(
+    explode-not-transform rationale and ``spread`` scan-entry-only
+    contract as exploded_char_shingles)."""
+    base = spread_small_scan(df) if spread else df
+    toks = base.select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), r"\s+").alias("__t"),
     )
@@ -354,6 +369,46 @@ def incremental_near_dup_pairs(
     )
 
 
+def _band_val_exprs(bands: int, r: int, word_fmt: str = "__w{}") -> list[str]:
+    """SQL expressions extracting band ``bi``'s ``r`` bytes from the
+    packed 8-byte sketch words (``word_fmt`` produces the word-w
+    column reference), for bi in range(bands).
+
+    Three shapes, all byte-exact:
+    - band inside one word → shifted mask of that word (no hash);
+    - band straddling a word boundary (8 % r != 0) → both words'
+      bytes combined with shift+or — the r3 single-word form silently
+      dropped the bytes in the second word, shrinking the effective
+      band and inflating candidate volume up to 256× per lost byte;
+    - band wider than 8 bytes (r > 8, i.e. high-precision banding) →
+      xxhash64 over the band's word chunks as the 64-bit band
+      identity. Hash collisions only ADD candidates and the estimate
+      filter removes them; this restores the r-unrestricted parameter
+      domain (any bands dividing num_hashes).
+    """
+    out = []
+    for bi in range(bands):
+        b0, b1 = bi * r, bi * r + r
+        chunks: list[tuple[str, int]] = []
+        for w in range(b0 // 8, (b1 - 1) // 8 + 1):
+            lo, hi = max(b0, 8 * w), min(b1, 8 * w + 8)
+            off, nbytes = lo - 8 * w, hi - lo
+            e = word_fmt.format(w)
+            if off:
+                e = f"shiftrightunsigned({e}, {8 * off})"
+            if nbytes < 8:
+                e = f"({e} & {(1 << (8 * nbytes)) - 1}L)"
+            chunks.append((e, nbytes))
+        if len(chunks) == 1:
+            out.append(chunks[0][0])
+        elif r <= 8:
+            (e0, n0), (e1, _) = chunks
+            out.append(f"({e0} | shiftleft({e1}, {8 * n0}))")
+        else:
+            out.append("xxhash64(" + ", ".join(e for e, _ in chunks) + ")")
+    return out
+
+
 def byte_agreement_expr(n_words: int, left_fmt: str, right_fmt: str) -> str:
     """SQL expression counting AGREEING bytes between two packed
     byte-sketch column sets (``n_words`` longs per side, 8 bytes
@@ -395,6 +450,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     persist_tracker: list | None = None,
     est_hashes: int | None = None,
+    restrict_ids: DataFrame | None = None,
+    max_band_width: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -435,6 +492,29 @@ def minhash_lsh_pairs(
     shingle arrays by id, so memory per task is O(one doc), never
     O(corpus).
 
+    ``restrict_ids``: optional single-column frame of document ids;
+    when given, only those documents enter banding and candidate
+    generation. Signatures are still computed for EVERY input doc —
+    that is map-side CPU, and restricting afterwards via a semi-join
+    on the (slim, 8·est_hashes/8-byte) signature rows is what keeps
+    document TEXT out of every shuffle; restricting ``df`` itself
+    before the call would shuffle the text. This is the hook
+    near_dedup_filter's exact-duplicate pre-pass uses to keep
+    byte-identical documents out of the band self-join.
+
+    ``max_band_width``: optional cap on band-bucket width (the d4
+    ``max_postings`` pattern). A bucket with more than this many
+    entries is dropped from candidate generation ENTIRELY: without a
+    cap, N documents agreeing on a band produce N²/2 candidate rows,
+    and when the N documents are true duplicates the estimate filter
+    cannot kill them (estimate ≈ 1) — the LSH bucket-flood failure
+    mode on duplicate-heavy corpora. Recall loss is confined to pairs
+    carried ONLY by flooded buckets, i.e. the highest-duplication
+    content — which the exact-first pre-pass (near_dedup_filter)
+    should have collapsed before this operator runs; the cap is the
+    backstop for skewed non-identical floods (template spam). Default
+    None = exact banding.
+
     ``persist_tracker``: the pipeline persists two intermediate frames
     (packed signatures, estimate-filtered pairs). They stay cached
     until the JVM's context cleaner notices the dropped references —
@@ -451,8 +531,8 @@ def minhash_lsh_pairs(
     if est_hashes < num_hashes or est_hashes % 8:
         raise ValueError("est_hashes must be a multiple of 8 and >= num_hashes")
     r = num_hashes // bands
-    if r * 8 > 64:
-        raise ValueError("a band must fit one packed word (num_hashes/bands <= 8)")
+    if r < 1:
+        raise ValueError("bands must be <= num_hashes")
     # signature path: NO distinct — min over a multiset equals min
     # over its set, so the raw exploded shingle stream feeds the
     # aggregate directly (saves a full shuffle of every shingle).
@@ -487,14 +567,23 @@ def minhash_lsh_pairs(
             ).alias(f"__w{w}")
             for w in range(n_words)
         ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the band self-join
+    )
+    if restrict_ids is not None:
+        keep = restrict_ids.select(
+            F.col(restrict_ids.columns[0]).alias("__id")
+        )
+        with_sig = with_sig.join(keep, "__id", "left_semi")
+    with_sig = with_sig.persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # feeds both sides of the band self-join
     if persist_tracker is not None:
         persist_tracker.append(with_sig)
 
     # band entries: band bi = bytes [bi*r, (bi+1)*r) of the sketch —
-    # a shifted mask of one packed word, no re-hash needed. The packed
-    # words ride along so the self-join output carries both sketches.
-    band_mask = (1 << (8 * r)) - 1
+    # shifted masks of the packed words (hashed only when r > 8; see
+    # _band_val_exprs). The packed words ride along so the self-join
+    # output carries both sketches.
+    band_exprs = _band_val_exprs(bands, r)
     entries = with_sig.select(
         "__id",
         *[F.col(f"__w{w}") for w in range(n_words)],
@@ -503,16 +592,24 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.expr(
-                            f"shiftrightunsigned(__w{(bi * r) // 8}, "
-                            f"{8 * ((bi * r) % 8)}) & {band_mask}L"
-                        ).alias("band_val"),
+                        F.expr(band_exprs[bi]).alias("band_val"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("b"),
     ).select("__id", *[f"__w{w}" for w in range(n_words)], "b.band_idx", "b.band_val")
+    if max_band_width is not None:
+        # bucket-width guard: count entries per (band_idx, band_val)
+        # — a partial-agg shuffle of 24-byte rows — and drop flooded
+        # buckets before the self-join can square them.
+        narrow = (
+            entries.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bw"))
+            .filter(F.col("__bw") <= max_band_width)
+            .select("band_idx", "band_val")
+        )
+        entries = entries.join(narrow, ["band_idx", "band_val"], "left_semi")
 
     sig_margin = 2.5 * (0.25 / est_hashes) ** 0.5  # j(1-j) ≤ 0.25
     min_agree = max(0, math.ceil(est_hashes * (jaccard_threshold - sig_margin)))
@@ -559,7 +656,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__did"), F.col(text_col).alias("__txt")
     ).join(F.broadcast(ids_needed), F.col("__did") == F.col("__id"), "left_semi")
     sh_sets = (
-        exploded_char_shingles(docs_needed, "__txt", "__did", shingle_k, distinct=False)
+        # spread=False: docs_needed is a broadcast-join output, not a
+        # scan — probing its partition count would eagerly execute
+        # the whole candidate pipeline at plan-build time (the
+        # broadcast side is derived from `est`). The verify stage's
+        # parallelism comes from the shuffle into collect_set anyway.
+        exploded_char_shingles(
+            docs_needed, "__txt", "__did", shingle_k, distinct=False, spread=False
+        )
         .groupBy("__id")
         .agg(F.collect_set(F.xxhash64("__s")).alias("__set"))
     )
@@ -802,6 +906,31 @@ def connected_components(
     return labels
 
 
+def exact_dup_edges(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate group structure for the near-dedup pre-pass:
+    returns (rep_ids, edges) where ``rep_ids`` is the single-column
+    frame of minimum-id representatives (one per distinct normalized
+    text) and ``edges`` is (id1=rep, id2=member) for every non-rep
+    member.
+
+    Everything is keyed by the 64-bit text fingerprint (the d1
+    convention): the groupBy and the fp join shuffle 16-byte rows;
+    document text never moves."""
+    fps = df.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(normalize_text(text_col)).alias("__fp"),
+    )
+    reps = fps.groupBy("__fp").agg(F.min("__id").alias("__rep"))
+    edges = (
+        fps.join(reps, "__fp")
+        .filter(F.col("__id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id1"), F.col("__id").alias("id2"))
+    )
+    return reps.select(F.col("__rep").alias("__id")), edges
+
+
 def near_dedup_filter(
     df: DataFrame,
     text_col: str,
@@ -812,11 +941,34 @@ def near_dedup_filter(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     release_cache: bool = True,
+    exact_first: bool = True,
 ) -> DataFrame:
-    """End-to-end near-duplicate REMOVAL: LSH pairs → connected
+    """End-to-end near-duplicate REMOVAL: exact-duplicate collapse →
+    LSH pairs over the distinct representatives → connected
     components → keep the minimum-id document per duplicate cluster.
     Returns the deduplicated corpus (all original columns) — the
     operator a training-data pipeline actually calls.
+
+    ``exact_first`` (default True) is the duplicate-heavy-corpus
+    guard, mirroring the streaming plane's ordering
+    (streaming/micro_batch.py: exact fingerprint anti-join BEFORE
+    LSH; reference anchor for the exact-first contract: the
+    ON-CONFLICT dedup at dags/utils.py:210): N byte-identical
+    documents — the dominant duplicate mode in real crawls — agree on
+    every band, so without the pre-pass one bucket holds N entries
+    and the self-join emits N²/2 candidate rows the estimate filter
+    cannot kill (estimate = 1, they ARE duplicates). Collapsing
+    exact-duplicate groups to their min-id representative first keeps
+    the band join O(distinct²_bucket); the (rep, member) fingerprint
+    edges are unioned into the component edge list afterwards, so the
+    cluster structure — and therefore the survivor set (min id per
+    component; a member's Jaccard to any third doc equals its rep's,
+    its text being identical, so no cross-group edge is lost) — is
+    IDENTICAL to running LSH over the full corpus. Signatures are
+    still computed for all docs and restricted via a slim semi-join
+    (see minhash_lsh_pairs ``restrict_ids``) so text stays out of
+    every shuffle; the only text-carrying operation remains the final
+    anti-join, same as before.
 
     ``release_cache=False`` keeps the LSH pipeline's persisted
     intermediates alive for the session (bench warm-path measurement,
@@ -824,6 +976,9 @@ def near_dedup_filter(
     the default releases them as soon as components are materialized.
     """
     tracker: list = []
+    rep_ids = exact_edges = None
+    if exact_first:
+        rep_ids, exact_edges = exact_dup_edges(df, text_col, id_col)
     pairs = minhash_lsh_pairs(
         df,
         text_col,
@@ -834,8 +989,12 @@ def near_dedup_filter(
         jaccard_threshold,
         seed,
         persist_tracker=tracker,
+        restrict_ids=rep_ids,
     )
-    comp = connected_components(pairs)
+    edge_list = pairs.select("id1", "id2")
+    if exact_edges is not None:
+        edge_list = edge_list.unionByName(exact_edges)
+    comp = connected_components(edge_list)
     # connected_components materializes the pair list eagerly (driver
     # union-find collect, or checkpointed propagation rounds) — the LSH
     # pipeline's cached intermediates are dead weight from here on;

@@ -30,11 +30,12 @@ DEFAULT_CONF: dict[str, str] = {
     # Pushdown is on by default; pinned here as load-bearing policy.
     "spark.sql.parquet.filterPushdown": "true",
     # Whole-stage codegen silently disables for plans with >100 fields
-    # (spark.sql.codegen.maxFields default). The minhash sketch
-    # aggregation (dedup.minhash_lsh_pairs: est_hashes=256 min
-    # columns) sits far above that; interpreted evaluation measured
-    # ~13x slower on the signature pass. Janino splits the generated
-    # methods, so a higher ceiling costs nothing elsewhere.
+    # (spark.sql.codegen.maxFields default). The shipped minhash
+    # default (64 min-aggregate columns) fits under 100; this ceiling
+    # exists so callers RAISING dedup.minhash_lsh_pairs est_hashes (up
+    # to 600/8 packed words) keep codegen on — interpreted evaluation
+    # measured ~13x slower on the signature pass. Janino splits the
+    # generated methods, so a higher ceiling costs nothing elsewhere.
     "spark.sql.codegen.maxFields": "600",
     # Some sources write INT64 TIMESTAMP(NANOS) parquet (pandas
     # datetime64[ns]); Spark has no nanos timestamp — read as long and
