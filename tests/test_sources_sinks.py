@@ -583,3 +583,54 @@ def test_recover_sink_age_gate_protects_live_writer(spark, tmp_path):
     assert os.path.exists(staging) and os.path.exists(_marker_path(path, token))
     # ungated (the writer's own entry path) resolves it
     assert recover_sink(path) == "rolled_forward"
+
+
+def test_merge_upsert_concurrent_writer_aborts(spark, tmp_path):
+    """Two interleaved merges: the second aborts cleanly (explicit
+    ConcurrentWriterError, sink untouched) instead of last-rename-wins
+    silently dropping the first writer's merge; after the winner
+    releases, the loser's retry lands normally."""
+    import os
+    import time
+
+    import pytest
+
+    from traffic_forecast_etl_spark.sinks import (
+        ConcurrentWriterError,
+        acquire_writer_lease,
+        merge_upsert,
+        release_writer_lease,
+    )
+
+    path = str(tmp_path / "sink")
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    merge_upsert(spark, seed, path, ["id"])
+
+    # writer A is mid-merge (holds the lease) when writer B arrives
+    holder_a = acquire_writer_lease(path)
+    batch_b = spark.createDataFrame([(2, "B!"), (3, "c")], "id int, v string")
+    with pytest.raises(ConcurrentWriterError):
+        merge_upsert(spark, batch_b, path, ["id"])
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b")}  # B left no trace
+
+    release_writer_lease(path, holder_a)
+    merge_upsert(spark, batch_b, path, ["id"])  # loser retries, lands
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B!"), (3, "c")}
+
+    # a dead writer's lease (older than ttl) is broken, not honored
+    holder_dead = acquire_writer_lease(path)
+    lease = path + "__lease"
+    old = time.time() - 3600
+    os.utime(lease, (old, old))
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(4, "d")], "id int, v string"),
+        path,
+        ["id"],
+        lease_ttl_seconds=60,
+    )
+    assert spark.read.parquet(path).count() == 4
+    assert not os.path.exists(lease)  # new holder released its (stolen) lease
+    release_writer_lease(path, holder_dead)  # no-op: not ours anymore

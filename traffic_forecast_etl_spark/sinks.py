@@ -34,6 +34,82 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another live writer holds the sink's merge lease."""
+
+
+def _lease_path(path: str) -> str:
+    return f"{path}__lease"
+
+
+def acquire_writer_lease(
+    path: str, holder: str | None = None, ttl_seconds: float = 600.0
+) -> str:
+    """Serialize concurrent ``merge_upsert`` writers on one sink: an
+    atomically-created ``__lease`` file (O_CREAT|O_EXCL — the POSIX
+    lock primitive) naming the holder. A second writer arriving while
+    the lease is live ABORTS with ConcurrentWriterError instead of
+    entering the read-modify-write race (last-rename-wins would
+    silently drop the other writer's merge). A lease older than
+    ``ttl_seconds`` belongs to a dead writer — the commit-marker
+    recovery generalized — and is broken; the O_EXCL re-create
+    decides between two simultaneous breakers.
+
+    Returns the holder token; pass it to ``release_writer_lease``.
+    Genuine multi-writer ISOLATION (concurrent merges that both
+    commit) remains Delta/Iceberg territory; this lease makes the
+    failure mode an explicit abort instead of silent lost updates.
+    """
+    import json
+    import socket
+    import time
+
+    lease = _lease_path(path)
+    holder = holder or f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+    for attempt in range(2):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"holder": holder, "acquired_at": time.time()}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            return holder
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lease)
+                with open(lease) as f:
+                    current = json.load(f).get("holder", "<unknown>")
+            except (OSError, ValueError):
+                current, age = "<torn>", ttl_seconds + 1  # torn lease: break it
+            if age <= ttl_seconds:
+                raise ConcurrentWriterError(
+                    f"sink {path} is being merged by {current} "
+                    f"(lease age {age:.0f}s <= ttl {ttl_seconds:.0f}s); "
+                    "retry after it finishes or raise ttl_seconds if the "
+                    "holder is known dead"
+                ) from None
+            try:  # stale: break and re-contend via O_EXCL
+                os.remove(lease)
+            except FileNotFoundError:
+                pass
+    raise ConcurrentWriterError(f"could not acquire lease on {path}")
+
+
+def release_writer_lease(path: str, holder: str) -> None:
+    """Release ``holder``'s lease; a lease stolen after TTL expiry
+    (no longer ours) is left for its new owner."""
+    import json
+
+    lease = _lease_path(path)
+    try:
+        with open(lease) as f:
+            if json.load(f).get("holder") != holder:
+                return
+        os.remove(lease)
+    except (OSError, ValueError):
+        pass
+
+
 def _sink_exists(spark: SparkSession, path: str) -> bool:
     # local-fs check is fine for this environment; on HDFS/S3 use the
     # Hadoop FileSystem API via spark._jvm (same semantics).
@@ -119,6 +195,7 @@ def merge_upsert(
     path: str,
     keys: Sequence[str],
     partition_by: Sequence[str] | None = None,
+    lease_ttl_seconds: float = 600.0,
 ) -> None:
     """MERGE (upsert) emulation on a parquet sink: keep existing rows
     whose key is absent from the batch, union the batch, rewrite.
@@ -153,7 +230,29 @@ def merge_upsert(
     ``read_sink`` which retries through recovery). The transactional
     100 TB answer is Delta/Iceberg `MERGE INTO` — jars absent here,
     same call shape.
+
+    CONCURRENT writers serialize on a TTL'd lease
+    (``acquire_writer_lease``): the second merge to arrive while one
+    is in flight raises ConcurrentWriterError and leaves the sink
+    untouched — an explicit abort instead of last-rename-wins losing
+    a merge. A crashed holder's lease expires after
+    ``lease_ttl_seconds`` and the next writer breaks it (then rolls
+    the crashed swap forward via recover_sink as before).
     """
+    holder = acquire_writer_lease(path, ttl_seconds=lease_ttl_seconds)
+    try:
+        _merge_upsert_locked(spark, batch, path, keys, partition_by)
+    finally:
+        release_writer_lease(path, holder)
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None,
+) -> None:
     recover_sink(path)
     deduped = batch.dropDuplicates(list(keys))
     exists = _sink_exists(spark, path)
