@@ -273,3 +273,21 @@ def test_no_unjustified_cartesian_products(spark, sf_dir):
         ):
             offenders.append(name)
     assert not offenders, f"unjustified cartesian/nested-loop in: {offenders}"
+
+
+def test_exact_dup_edges_text_never_shuffles(spark, sf_dir):
+    """The near-dedup exact-first pre-pass inherits d1's scale
+    contract: both its shuffles (fingerprint groupBy, rep join) carry
+    the 8-byte fingerprint / ids — the document text collapses to
+    xxhash64 below every exchange."""
+    import re
+
+    from traffic_forecast_etl_spark.operators.dedup import exact_dup_edges
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    _, edges = exact_dup_edges(docs, "text", "doc_id")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text" not in ex, ex
+    assert "partial_min" in plan  # map-side combine on the fingerprint agg

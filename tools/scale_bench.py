@@ -46,6 +46,17 @@ KEYS = [
     "d14_duplicate_spans",
 ]
 
+# duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py
+# derive_dup): near-uniform data is the shape LSH banding likes, so
+# the uniform series alone cannot show whether the exact-first
+# pre-pass / bucket guards hold the slope on the duplicate-heavy
+# corpora near-dedup exists for. Recorded as "<key>_dup".
+DUP_POINTS = [
+    ("0.1", os.path.join(REPO, ".scaledata", "sf0.1_dup")),
+    ("1", os.path.join(REPO, ".scaledata", "sf1_dup")),
+]
+DUP_KEYS = ["d2_minhash_lsh", "d6_near_dedup_filter"]
+
 
 def _code_fingerprint() -> str:
     """Hash of every operator/plan module the family queries execute
@@ -84,20 +95,25 @@ def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spark = get_spark("scale-bench")
     pts = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
+    dup_pts = [(sf, d) for sf, d in DUP_POINTS if os.path.isdir(d)]
+    plan = [(key, key, pts) for key in KEYS] + [
+        (key + "_dup", key, dup_pts) for key in DUP_KEYS
+    ]
+    key_pts = {name: p for name, _, p in plan}
     out: dict[str, dict] = {}
-    for key in KEYS:
-        out[key] = {"sec": {}, "exponent": {}}
-        for sf, d in pts:
-            QUERIES[key](spark, d).collect()  # warm this plan
+    for name, qkey, kpts in plan:
+        out[name] = {"sec": {}, "exponent": {}}
+        for sf, d in kpts:
+            QUERIES[qkey](spark, d).collect()  # warm this plan
             settle(spark)
             best = math.inf
             for _ in range(runs):
                 t0 = time.time()
-                QUERIES[key](spark, d).collect()
+                QUERIES[qkey](spark, d).collect()
                 best = min(best, time.time() - t0)
                 settle(spark)
-            out[key]["sec"][sf] = round(best, 3)
-            print(f"{key} @ sf{sf}: {best:.3f}s", file=sys.stderr)
+            out[name]["sec"][sf] = round(best, 3)
+            print(f"{name} @ sf{sf}: {best:.3f}s", file=sys.stderr)
     # Wall-clock on this host swings up to 2x run-to-run (co-tenant
     # contention: identical d2 plans measured 37.8-67.6s at sf1 in ONE
     # process). The noise is strictly one-sided — a run can only be
@@ -122,8 +138,8 @@ def main() -> None:
                             out[key]["sec"][sf] = min(out[key]["sec"][sf], sec)
         else:
             print("code fingerprint changed: re-baselining", file=sys.stderr)
-    for key in KEYS:
-        for (sf_a, _), (sf_b, _) in zip(pts, pts[1:]):
+    for key, kpts in key_pts.items():
+        for (sf_a, _), (sf_b, _) in zip(kpts, kpts[1:]):
             ta, tb = out[key]["sec"][sf_a], out[key]["sec"][sf_b]
             decades = math.log10(float(sf_b) / float(sf_a))
             out[key]["exponent"][f"{sf_a}->{sf_b}"] = round(
@@ -141,7 +157,9 @@ def main() -> None:
     print("\n| query | " + " | ".join(f"sf{h} (s)" for h in hdr) + " | exponents |")
     print("|---|" + "---|" * (len(hdr) + 1))
     for key, rec in out.items():
-        cells = " | ".join(f"{rec['sec'][h]:.2f}" for h in hdr)
+        cells = " | ".join(
+            f"{rec['sec'][h]:.2f}" if h in rec["sec"] else "—" for h in hdr
+        )
         exps = ", ".join(f"{k}: {v}" for k, v in rec["exponent"].items())
         print(f"| {key} | {cells} | {exps} |")
 

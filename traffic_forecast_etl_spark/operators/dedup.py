@@ -89,8 +89,15 @@ def exploded_char_shingles(
     k: int = 5,
     distinct: bool = True,
     spread: bool = True,
+    with_fp: bool = False,
 ) -> DataFrame:
     """(__id, __s) rows: one per DISTINCT character k-gram per doc.
+    ``with_fp`` adds a ``__fp`` column — xxhash64 of the WHOLE
+    normalized text, computed once per doc in the same pre-Generate
+    projection as the normalization (i.e. for free within this scan)
+    and replicated down the exploded rows; the exact-dedup pre-pass
+    reads it out of the signature aggregate instead of paying a
+    second corpus scan.
 
     Explode-based on purpose: the normalized text materializes once
     per document in the projection below the Generate node, so the
@@ -108,17 +115,22 @@ def exploded_char_shingles(
     time. Derived callers (the LSH verify path) pass False.
     """
     base = spread_small_scan(df) if spread else df
+    fp_cols = [F.xxhash64(F.col("__n")).alias("__fp")] if with_fp else []
     norm = base.select(
         F.col(id_col).alias("__id"), normalize_text(text_col).alias("__n")
-    )
+    ).select("__id", "__n", *fp_cols)
+    keep = ["__fp"] if with_fp else []
     pos = norm.select(
         "__id",
         "__n",
+        *keep,
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("__n") - (k - 1), F.lit(1)))
         ).alias("__i"),
     )
-    out = pos.select("__id", F.col("__n").substr(F.col("__i"), F.lit(k)).alias("__s"))
+    out = pos.select(
+        "__id", *keep, F.col("__n").substr(F.col("__i"), F.lit(k)).alias("__s")
+    )
     # distinct is a full shuffle of the shingle stream — callers that
     # only need per-doc minima (minhash signatures) skip it
     return out.distinct() if distinct else out
@@ -439,6 +451,67 @@ def byte_agreement_expr(n_words: int, left_fmt: str, right_fmt: str) -> str:
     ) + ")"
 
 
+def packed_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+    with_fp: bool = False,
+) -> DataFrame:
+    """(__id, __w0..__w{num_hashes/8-1}[, __fp]): the packed byte-min
+    sketch stage of the LSH pipeline, ONE text scan, map-only up to a
+    single id-keyed partial aggregate.
+
+    The signature path takes NO distinct — min over a multiset equals
+    min over its set, so the raw exploded shingle stream feeds the
+    aggregate directly (saves a full shuffle of every shingle). Each
+    shingle is hashed once; the per-hash permutations are flat scalar
+    expressions (small codegen); the low byte of each min packs
+    8-per-long so the whole sketch is num_hashes/8 longs — 8× smaller
+    than the full-value array, with byte agreement computable by
+    word-parallel bitwise ops instead of per-element set probes.
+
+    ``with_fp=True`` rides the whole-text xxhash64 fingerprint through
+    the same scan (computed once per doc below the Generate node,
+    collapsed out of the aggregate with min()) — the exact-dedup
+    pre-pass reads group structure from the signature table instead
+    of paying a second corpus scan.
+    """
+    if num_hashes % 8:
+        raise ValueError("num_hashes must be a multiple of 8")
+    raw_sh = exploded_char_shingles(
+        df, text_col, id_col, shingle_k, distinct=False, with_fp=with_fp
+    )
+    hashed = raw_sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
+    coeffs = _coeffs(num_hashes, seed)
+    # F.expr strings, not Column algebra: one py4j round trip per
+    # aggregate instead of ~6 (the 64-expression build was measurable
+    # driver time; the parsed plans are identical)
+    fp_aggs = [F.expr("min(__fp) AS __fp")] if with_fp else []  # constant per doc
+    sig_rows = hashed.groupBy("__id").agg(
+        *[
+            F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE_P}L)) AS __m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        *fp_aggs,
+    )
+    n_words = num_hashes // 8
+    return sig_rows.select(
+        "__id",
+        *[
+            F.expr(
+                " | ".join(
+                    f"(shiftleft(__m{8 * w + j} & 255L, {8 * j}))" for j in range(8)
+                )
+            ).alias(f"__w{w}")
+            for w in range(n_words)
+        ],
+        *(["__fp"] if with_fp else []),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -530,44 +603,9 @@ def minhash_lsh_pairs(
         est_hashes = num_hashes
     if est_hashes < num_hashes or est_hashes % 8:
         raise ValueError("est_hashes must be a multiple of 8 and >= num_hashes")
-    r = num_hashes // bands
-    if r < 1:
+    if num_hashes // bands < 1:
         raise ValueError("bands must be <= num_hashes")
-    # signature path: NO distinct — min over a multiset equals min
-    # over its set, so the raw exploded shingle stream feeds the
-    # aggregate directly (saves a full shuffle of every shingle).
-    raw_sh = exploded_char_shingles(df, text_col, id_col, shingle_k, distinct=False)
-    # signature via explode + est_hashes scalar min-aggregates: each
-    # shingle is hashed once, the per-hash permutations are flat
-    # scalar expressions (small codegen), and the agg is a standard
-    # map-side-partial hash aggregate keyed by doc id.
-    hashed = raw_sh.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)))
-    coeffs = _coeffs(est_hashes, seed)
-    # F.expr strings, not Column algebra: one py4j round trip per
-    # aggregate instead of ~6 (the 64-expression build was measurable
-    # driver time; the parsed plans are identical)
-    sig_rows = hashed.groupBy("__id").agg(
-        *[
-            F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE_P}L)) AS __m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    # pack the low byte of each min into 8-byte words: the whole
-    # est_hashes-component sketch is est_hashes/8 longs — 8× smaller
-    # than the full-value array, and byte agreement is computable with
-    # word-parallel bitwise ops instead of per-element set probes.
-    n_words = est_hashes // 8
-    with_sig = sig_rows.select(
-        "__id",
-        *[
-            F.expr(
-                " | ".join(
-                    f"(shiftleft(__m{8 * w + j} & 255L, {8 * j}))" for j in range(8)
-                )
-            ).alias(f"__w{w}")
-            for w in range(n_words)
-        ],
-    )
+    with_sig = packed_signatures(df, text_col, id_col, est_hashes, shingle_k, seed)
     if restrict_ids is not None:
         keep = restrict_ids.select(
             F.col(restrict_ids.columns[0]).alias("__id")
@@ -578,6 +616,43 @@ def minhash_lsh_pairs(
     )  # feeds both sides of the band self-join
     if persist_tracker is not None:
         persist_tracker.append(with_sig)
+    return _pairs_from_packed(
+        with_sig,
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_k,
+        jaccard_threshold,
+        est_hashes,
+        persist_tracker,
+        max_band_width,
+    )
+
+
+def _pairs_from_packed(
+    with_sig: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    jaccard_threshold: float,
+    est_hashes: int,
+    persist_tracker: list | None,
+    max_band_width: int | None,
+) -> DataFrame:
+    """Banding → inline estimate filter → exact verify, from an
+    already-persisted packed-signature table (``packed_signatures``
+    output restricted to the docs that should enter candidate
+    generation). ``df`` is only touched again for the verify stage's
+    candidate-restricted re-shingle."""
+    from pyspark import StorageLevel
+
+    r = num_hashes // bands
+    n_words = est_hashes // 8
 
     # band entries: band bi = bytes [bi*r, (bi+1)*r) of the sketch —
     # shifted masks of the packed words (hashed only when r > 8; see
@@ -964,33 +1039,64 @@ def near_dedup_filter(
     cluster structure — and therefore the survivor set (min id per
     component; a member's Jaccard to any third doc equals its rep's,
     its text being identical, so no cross-group edge is lost) — is
-    IDENTICAL to running LSH over the full corpus. Signatures are
-    still computed for all docs and restricted via a slim semi-join
-    (see minhash_lsh_pairs ``restrict_ids``) so text stays out of
-    every shuffle; the only text-carrying operation remains the final
-    anti-join, same as before.
+    IDENTICAL to running LSH over the full corpus. The fingerprint
+    RIDES the signature scan (``packed_signatures(with_fp=True)``):
+    group structure, member edges, and the rep restriction are all
+    read off the slim persisted signature table, so the pre-pass
+    costs zero extra corpus scans and text stays out of every
+    shuffle; the only text-carrying operation remains the final
+    anti-join, same as before. (``exact_dup_edges`` is the standalone
+    form of the same pre-pass for callers outside this pipeline.)
 
     ``release_cache=False`` keeps the LSH pipeline's persisted
     intermediates alive for the session (bench warm-path measurement,
     or callers that run further dedup passes over the same corpus);
     the default releases them as soon as components are materialized.
     """
+    from pyspark import StorageLevel
+
     tracker: list = []
-    rep_ids = exact_edges = None
+    exact_edges = None
     if exact_first:
-        rep_ids, exact_edges = exact_dup_edges(df, text_col, id_col)
-    pairs = minhash_lsh_pairs(
-        df,
-        text_col,
-        id_col,
-        num_hashes,
-        bands,
-        shingle_k,
-        jaccard_threshold,
-        seed,
-        persist_tracker=tracker,
-        restrict_ids=rep_ids,
-    )
+        sig_fp = packed_signatures(
+            df, text_col, id_col, num_hashes, shingle_k, seed, with_fp=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        tracker.append(sig_fp)
+        reps = sig_fp.groupBy("__fp").agg(F.min("__id").alias("__rep"))
+        exact_edges = (
+            sig_fp.select("__id", "__fp")
+            .join(reps, "__fp")
+            .filter(F.col("__id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id1"), F.col("__id").alias("id2"))
+        )
+        restricted = sig_fp.drop("__fp").join(
+            reps.select(F.col("__rep").alias("__id")), "__id", "left_semi"
+        )
+        pairs = _pairs_from_packed(
+            restricted,
+            df,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            shingle_k,
+            jaccard_threshold,
+            num_hashes,
+            tracker,
+            None,
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            df,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            shingle_k,
+            jaccard_threshold,
+            seed,
+            persist_tracker=tracker,
+        )
     edge_list = pairs.select("id1", "id2")
     if exact_edges is not None:
         edge_list = edge_list.unionByName(exact_edges)

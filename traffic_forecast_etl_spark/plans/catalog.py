@@ -3838,66 +3838,55 @@ def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 3: the 21 keys with no driver CORRECTNESS row in r1 or r2
-    # lead (the driver samples the first ~50 registered keys per round;
-    # rounds 1-2 covered everything else), so after this sweep every
-    # catalog key has a driver-recorded verdict.
+    # round 4: freshness leads — every catalog key has cumulative
+    # driver coverage (r1-r3 union, zero failures), so the sweep now
+    # fronts the keys whose CODE changed this round (exact-first
+    # near-dedup, band-extraction rework, spread gating in dedup.py;
+    # the stage-persist corpus plan reaches the driver through c1's
+    # operator family) so the driver re-greens them under the new
+    # implementation before re-testing anything already stable.
+    "d6_near_dedup_filter", "d2_minhash_lsh", "c1_curate_corpus",
+    "d1_exact_dedup", "d4_ngram_jaccard", "d3_simhash_pairs",
+    "d8_incremental_dedup", "d9_incremental_near_dup",
+    # unchanged this round — r3 order kept (family representatives
+    # inside the ~50-key window, TPC-H tail last)
     "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
     "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "j9_asof_nearest", "j10_interval_overlap", "a15_equi_width_histogram",
-    "a16_mode_per_group", "w14_seasonal_anomaly", "c6_adaptive_quality_gate",
-    "d10_table_diff", "d12_epoch_shuffle",
-    "m1_media_features", "m2_frame_sample", "m3_resize",
-    # r1-errored (fixed in r2, judge-verified) — needs a green driver row
-    "f14_array_ops",
-    # semantics changed this round (matched-row-atomic asof fill;
-    # floor-to-step binning in resample) — re-verify under the driver
-    "j6_asof_join", "w13_resample_interpolate",
-    # new this round — needs its first driver row
-    "d13_segment_dedup", "d14_duplicate_spans",
-    # remaining slots inside the ~50-key window: one representative per
-    # family so a regression anywhere surfaces in the same sweep
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q6_forecast_revenue",
-    "j1_composite_key_join", "j2_fk_lookup", "j3_semi_membership",
-    "j4_anti_join", "j5_range_join", "j7_null_safe_join", "j8_full_outer",
-    "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
-    "a9_rollup",
+    "q20_dominant_suppliers", "j9_asof_nearest", "j10_interval_overlap",
+    "a15_equi_width_histogram", "a16_mode_per_group", "w14_seasonal_anomaly",
+    "c6_adaptive_quality_gate", "d10_table_diff", "d12_epoch_shuffle",
+    "m1_media_features", "m2_frame_sample", "m3_resize", "f14_array_ops",
+    "j6_asof_join", "w13_resample_interpolate", "d13_segment_dedup",
+    "d14_duplicate_spans", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_volume", "q6_forecast_revenue", "j1_composite_key_join",
+    "j2_fk_lookup", "j3_semi_membership", "j4_anti_join", "j5_range_join",
+    "j7_null_safe_join", "j8_full_outer", "a1_group_avg",
+    "a2_minmax_normalize", "a3_profile", "a4_cube", "a9_rollup",
     "w5_tumbling_window", "w7_sessionize", "w12_zscore_anomaly",
-    "a14_linear_trend",
-    "d1_exact_dedup", "d4_ngram_jaccard", "s1_cosine_topk",
-    "s4_quantize_embeddings", "t1_token_stats", "c2_decontaminate",
-    "d7_stratified_sample",
-    # ---- entry 50 boundary: everything below holds a green r1/r2
-    # driver row and re-tests shapes the blocks above already cover
-    "w6_sliding_window", "w8_funnel", "w9_rank_family",
-    "w10_cohort_retention", "w11_time_range_rolling",
-    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
-    "st4_stream_stream_join", "st5_stream_static_enrich",
-    "st6_rollup_maintenance",
-    "d2_minhash_lsh", "d3_simhash_pairs",
-    "d5_embedding_neardup", "d6_near_dedup_filter", "d11_embedding_neardup_lsh",
-    "s2_lsh_ann", "s3_ivf_ann",
-    "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
-    "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "a14_linear_trend", "s1_cosine_topk", "s4_quantize_embeddings",
+    "t1_token_stats", "c2_decontaminate", "d7_stratified_sample",
+    "w6_sliding_window", "w8_funnel", "w9_rank_family", "w10_cohort_retention",
+    "w11_time_range_rolling", "st1_streaming_tumbling",
+    "st2_streaming_sessions", "st3_stateful_ewma", "st4_stream_stream_join",
+    "st5_stream_static_enrich", "st6_rollup_maintenance",
+    "d5_embedding_neardup", "d11_embedding_neardup_lsh", "s2_lsh_ann",
+    "s3_ivf_ann", "a11_embedding_centroid", "a12_column_profile",
+    "a13_label_cohesion", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
     "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
-    "t11_repetition", "t12_type_token_ratio", "c1_curate_corpus",
-    "c3_pack_token_bins", "c4_source_quota",
-    "c5_temperature_mix", "d8_incremental_dedup", "d9_incremental_near_dup",
-    "a5_distinct_agg", "a10_approx_distinct", "a6_pivot",
-    "a8_median_stats", "a7_unpivot",
+    "t11_repetition", "t12_type_token_ratio", "c3_pack_token_bins",
+    "c4_source_quota", "c5_temperature_mix", "a5_distinct_agg",
+    "a10_approx_distinct", "a6_pivot", "a8_median_stats", "a7_unpivot",
     "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
     "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
     "f1_date_roundtrip", "f2_multiformat_date", "f4_calendar",
     "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
-    "f12_string_funcs", "f13_null_handling",
-    "p_project_filter", "p_rename_replace_cast", "p_const_first_row",
-    "q4_order_priority", "q21_waiting_supplier", "q22_dormant_customers",
-    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
-    "q17_below_avg_parts", "q18_large_orders",
+    "f12_string_funcs", "f13_null_handling", "p_project_filter",
+    "p_rename_replace_cast", "p_const_first_row", "q4_order_priority",
+    "q21_waiting_supplier", "q22_dormant_customers", "q10_returned_items",
+    "q12_priority_shipmode", "q14_promo_share", "q17_below_avg_parts",
+    "q18_large_orders",
 ]
 
 
