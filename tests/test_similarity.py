@@ -260,3 +260,111 @@ def test_embedding_neardup_auto_params_recall(spark, emb):
     assert got <= exact_pairs, f"false positives: {sorted(got - exact_pairs)[:5]}"
     recall = len(got & exact_pairs) / len(exact_pairs)
     assert recall >= 0.7, f"auto-params embedding LSH recall {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic_dedup, d15)
+# ---------------------------------------------------------------------------
+
+
+def _exact_semantic_survivors(rows, threshold):
+    """Python reference for semantic_dedup with n_centroids=1: exact
+    all-pairs cosine >= threshold -> union-find -> per group keep the
+    member least similar to the GLOBAL centroid (k-means k=1 center
+    is the mean), ties to min id."""
+    import numpy as np
+
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    U = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    cent = M.mean(axis=0)
+    cent_u = cent / max(np.linalg.norm(cent), 1e-300)
+    ccos = U @ cent_u
+    S = U @ U.T
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if S[i, j] >= threshold:
+                a, b = find(int(ids[i])), find(int(ids[j]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    groups: dict[int, list[int]] = {}
+    by_id = {int(ids[i]): i for i in range(n)}
+    for x in ids:
+        groups.setdefault(find(int(x)), []).append(int(x))
+    keep = set()
+    for members in groups.values():
+        members.sort(key=lambda m: (ccos[by_id[m]], m))
+        keep.add(members[0])
+    return keep
+
+
+def test_semantic_dedup_single_cluster_matches_exact_reference(spark, emb):
+    from traffic_forecast_etl_spark.operators.similarity import semantic_dedup
+
+    sub = emb.filter(F.col("vec_id") < 300)
+    rows = sub.collect()
+    expect = _exact_semantic_survivors(rows, threshold=0.3)
+    got = {
+        r.vec_id
+        for r in semantic_dedup(
+            sub, "embedding", "vec_id", threshold=0.3, n_centroids=1
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_semantic_dedup_clustered_invariants(spark, emb):
+    from traffic_forecast_etl_spark.operators.similarity import semantic_dedup
+
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    out1 = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "embedding", "vec_id", threshold=0.3, n_centroids=8
+        ).collect()
+    }
+    # determinism under a fixed seed
+    out2 = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "embedding", "vec_id", threshold=0.3, n_centroids=8
+        ).collect()
+    }
+    assert out1 == out2
+    assert out1 <= all_ids and out1
+    # clustering can only MISS pairs vs the exact single-cluster path
+    # (pairs never cross k-means cells), so the clustered survivor set
+    # is a superset in COUNT of the exact path's on the same corpus
+    exact_n = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_centroids=1
+    ).count()
+    assert len(out1) >= exact_n
+
+
+def test_semantic_cluster_pairs_chunking_invariant(spark, emb):
+    """The chunked matmul's global-index offset logic: tiny chunks
+    must produce exactly the pairs one full-matrix pass does."""
+    from traffic_forecast_etl_spark.operators.similarity import (
+        ivf_assign,
+        semantic_cluster_pairs,
+    )
+
+    assigned, _ = ivf_assign(emb, "embedding", "vec_id", n_centroids=4)
+    big = {
+        (r.id1, r.id2)
+        for r in semantic_cluster_pairs(assigned, 0.3, chunk_rows=10_000).collect()
+    }
+    small = {
+        (r.id1, r.id2)
+        for r in semantic_cluster_pairs(assigned, 0.3, chunk_rows=7).collect()
+    }
+    assert big == small and all(a < b for a, b in big)

@@ -546,6 +546,27 @@ def ivf_assign(
         F.col(corpus_id).alias("__cid"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__cv"),
     )
+    spark = corpus.sparkSession
+    if n_centroids == 1:
+        # degenerate single-cell case (semantic_dedup's exact-pin
+        # path): MLlib KMeans requires k >= 2, and k = 1's optimum is
+        # just the mean vector — one partial-agg histogram pass
+        # (label_centroids shape: per-dim sums shuffle, vectors
+        # don't), assignment a map-only constant.
+        mean = [
+            r["__avg"]
+            for r in c.select(F.posexplode("__cv").alias("__pos", "__v"))
+            .groupBy("__pos")
+            .agg(F.avg("__v").alias("__avg"))
+            .orderBy("__pos")
+            .collect()  # d scalar aggregates — driver-side by design
+        ]
+        assigned = c.withColumn("centroid_id", F.lit(0))
+        cent_df = spark.createDataFrame(
+            [(0, [float(x) for x in mean])],
+            "centroid_id int, centroid array<double>",
+        )
+        return assigned, cent_df
     train = c if sample_fraction >= 1.0 else c.sample(sample_fraction, seed)
     # a coarse quantizer doesn't need convergence — a few Lloyd
     # iterations over a sample give equally useful inverted lists
@@ -556,7 +577,6 @@ def ivf_assign(
     model = km.fit(train.withColumn("__feat", array_to_vector("__cv")))
     assigned = model.transform(c.withColumn("__feat", array_to_vector("__cv"))).drop("__feat")
     centroids = model.clusterCenters()
-    spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
@@ -703,3 +723,140 @@ def label_cohesion(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+def semantic_cluster_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "__cid",
+    vec_col: str = "__cv",
+    cluster_col: str = "centroid_id",
+    round_to: int = 4,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Within-cluster all-pairs cosine ≥ threshold — the candidate
+    stage of ``semantic_dedup``. One Arrow batch per cluster
+    (``applyInPandas`` keyed by the cluster id), unit-normalize once,
+    then a CHUNKED matmul (``chunk_rows`` query rows per BLAS call)
+    so the score-matrix working set stays O(chunk·cluster) no matter
+    how large a cluster gets; the upper-triangle mask keeps each
+    unordered pair once.
+
+    Scale model: work is O(Σ_c s_c²·d) FLOPs — quadratic in CLUSTER
+    size, linear in corpus size when the cluster count scales with
+    the corpus (the SemDeDup operating regime: k ∝ n keeps s_c
+    bounded, and the k-means assignment is the map-only pass that
+    buys that). Per-task memory is the cluster's vectors (s_c·d
+    doubles) + one chunk of scores; a skewed giant cluster degrades
+    to more chunk iterations, not OOM.
+    """
+    out_schema = "id1 long, id2 long, cosine double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        np.maximum(norms, 1e-300, out=norms)
+        U = M / norms
+        outs = []
+        for lo in range(0, len(U), chunk_rows):
+            hi = min(lo + chunk_rows, len(U))
+            S = U[lo:hi] @ U.T
+            ii, jj = np.nonzero(S >= threshold)
+            keep = ids[ii + lo] < ids[jj]
+            if not keep.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id1": ids[ii + lo][keep],
+                        "id2": ids[jj][keep],
+                        "cosine": np.round(S[ii, jj][keep], round_to),
+                    }
+                )
+            )
+        return (
+            pd.concat(outs)
+            if outs
+            else pd.DataFrame(
+                {
+                    "id1": np.array([], dtype=np.int64),
+                    "id2": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        )
+
+    return assigned.groupBy(cluster_col).applyInPandas(kernel, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    seed: int = 42,
+    release_cache: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means cluster, find
+    within-cluster cosine-duplicate groups, keep ONE example per
+    group. Returns the deduplicated frame (all original columns).
+
+    Pipeline: ``ivf_assign`` (the IVF coarse quantizer doubles as the
+    SemDeDup clustering pass — centroids broadcast, assignment
+    map-only) → ``semantic_cluster_pairs`` (chunked per-cluster BLAS)
+    → ``connected_components`` over the pair list → per component keep
+    the member LEAST similar to its cluster centroid (the paper's
+    keep-rule: low-centroid-similarity examples preserve diversity;
+    ties break to min id) → broadcast-able anti-join of the losers.
+
+    Pair formation never crosses clusters, so duplicate groups are
+    cluster-local by construction — same recall caveat as the paper
+    (a near-dup pair split across a k-means boundary is missed),
+    which is why this is a rows-only / pinned-vs-exact operator, not
+    an oracle-SQL one (k-means is iterative). With ``n_centroids=1``
+    it degenerates to exact all-pairs semantics and is pinned against
+    ``blocked_allpairs_cosine`` + components in tests.
+
+    At 100 TB: corpus shuffles ONCE keyed by cluster id (uniform-ish
+    by construction — k-means cells), per-task memory bounded by
+    cluster size (operate with k ∝ n), component edges are id pairs
+    (16 bytes), and the loser list is a fraction of the corpus —
+    everything downstream of the matmul moves ids, never vectors.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import connected_components
+
+    assigned, cent = ivf_assign(df, vec_col, id_col, n_centroids, seed=seed)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = semantic_cluster_pairs(assigned, threshold)
+    comp = connected_components(pairs.select("id1", "id2"))
+    # keep-rule score: cosine of each clustered member to its own
+    # centroid (broadcast join + native fold — one pass, map-only)
+    ccos = assigned.join(F.broadcast(cent), "centroid_id").select(
+        F.col("__cid").alias("node"),
+        (
+            _dot(F.col("__cv"), F.col("centroid"))
+            / (_norm(F.col("__cv")) * _norm(F.col("centroid")))
+        ).alias("__ccos"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__ccos").asc(), F.col("node").asc()
+    )
+    losers = (
+        comp.join(ccos, "node")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    if release_cache:
+        # the keep-rule join reads the cached assignment, so the cache
+        # must survive until the loser list exists. Losers are tiny
+        # (a fraction of the duplicate set): materialize them now,
+        # then drop the cache before handing the plan back.
+        losers = losers.localCheckpoint(eager=True)
+        assigned.unpersist()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -2185,6 +2185,24 @@ def d11_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+@query("d15_semantic_dedup")
+def d15_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-space deduplication —
+    k-means cluster (the IVF coarse quantizer reused), within-cluster
+    cosine-duplicate groups via chunked per-cluster BLAS, connected
+    components, keep the member LEAST similar to its centroid.
+    Iterative k-means + CC → not SQL-expressible → rows-only; the
+    n_centroids=1 degenerate case is pinned EXACTLY against the
+    blocked_allpairs_cosine ground truth in test_similarity, and the
+    clustered path's survivor count is pinned against the exact
+    path's on the same corpus. Threshold 0.3 matches d5 (top of this
+    isotropic corpus's cosine range); production runs at 0.9+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_centroids=16
+    ).select("vec_id", "label")
+
+
 @query("d6_near_dedup_filter")
 def d6_near_dedup_filter(spark, sf_dir):
     """End-to-end near-dup REMOVAL: LSH pairs → iterative
@@ -3848,6 +3866,7 @@ _SWEEP_PRIORITY = [
     "d6_near_dedup_filter", "d2_minhash_lsh", "c1_curate_corpus",
     "d1_exact_dedup", "d4_ngram_jaccard", "d3_simhash_pairs",
     "d8_incremental_dedup", "d9_incremental_near_dup",
+    "d15_semantic_dedup",  # NEW in round 4 (SemDeDup)
     # unchanged this round — r3 order kept (family representatives
     # inside the ~50-key window, TPC-H tail last)
     "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
