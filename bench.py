@@ -65,6 +65,8 @@ HEADLINE = [
     # content-defined duplicated-span detection
     "d13_segment_dedup",
     "d14_duplicate_spans",
+    # round-4 addition: SemDeDup embedding-space dedup
+    "d15_semantic_dedup",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —
@@ -83,6 +85,7 @@ SCALING_KEYS = [
     "c2_decontaminate",
     "d13_segment_dedup",
     "d14_duplicate_spans",
+    "d15_semantic_dedup",
 ]
 
 # the second scale point for each primary sf dir (one decade down —

@@ -279,3 +279,43 @@ def test_corpus_quality_stage_executes_once(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(TX, "quality_columns", counting_quality_columns)
     _, st = build_training_corpus(spark, sf_dir)
     assert acc.value == st.n_input
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-computed Laplace-smoothed unigram model: corpus 'a a b'
+    + 'a c' -> counts a:3 b:1 c:1, N=5. With vocab_size=2 the vocab
+    keeps {a, b} (count desc, token asc tiebreak drops c), V=2, so
+    p(a)=(3+1)/8, p(b)=(1+1)/8, p(c OOV)=(0+1)/8."""
+    df = spark.createDataFrame(
+        [(1, "a A b"), (2, "a c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in TX.unigram_logprob(df, "text", "doc_id", vocab_size=2).collect()
+    }
+    # doc 3 has zero tokens -> no row (oracle GROUP BY contract)
+    assert set(out) == {1, 2}
+    pa, pb, poov = 4 / 8, 2 / 8, 1 / 8
+    exp1 = (2 * math.log(pa) + math.log(pb)) / 3
+    exp2 = (math.log(pa) + math.log(poov)) / 2
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].mean_logprob == pytest.approx(exp1, abs=1e-6)
+    assert out[2].mean_logprob == pytest.approx(exp2, abs=1e-6)
+    assert out[2].bits_per_token == pytest.approx(-exp2 / math.log(2), abs=1e-6)
+
+
+def test_unigram_logprob_vocab_cap_deterministic(spark):
+    """Equal-count ties at the vocabulary cutoff break to the
+    lexicographically smaller token, independent of layout."""
+    rows = [(i, "x y z w") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = TX.unigram_logprob(df, "text", "doc_id", vocab_size=2).collect()
+    b = TX.unigram_logprob(
+        df.repartition(7), "text", "doc_id", vocab_size=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # all four tokens tie at count 8; vocab keeps {w, x} (V=2, N=32,
+    # denom N+V+1=35); y/z are OOV -> every doc scores identically
+    exp = (2 * math.log(9 / 35) + 2 * math.log(1 / 35)) / 4
+    for r in a:
+        assert r.mean_logprob == pytest.approx(exp, abs=1e-6)

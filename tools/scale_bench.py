@@ -44,6 +44,7 @@ KEYS = [
     "c2_decontaminate",
     "d13_segment_dedup",
     "d14_duplicate_spans",
+    "d15_semantic_dedup",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py

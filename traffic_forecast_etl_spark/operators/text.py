@@ -548,3 +548,69 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.encode(normalize_text(text_col), "UTF-8")).alias("fingerprint"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Language-model quality proxy: mean per-token unigram log
+    probability (and its bits-per-token form) under a Laplace-
+    smoothed unigram model fit on the corpus ITSELF — the degenerate
+    (order-0) case of the KenLM perplexity filter the CCNet pipeline
+    popularized for crawl curation. Low mean log-prob = rare-token
+    soup (boilerplate, code dumps, mojibake); the score drives the
+    same keep/drop gates a real LM filter would, with the model fit
+    as part of the query instead of shipped weights.
+
+    Model: vocabulary = top ``vocab_size`` lowercased whitespace
+    tokens by corpus frequency (ties break to the lexicographically
+    smaller token, so the cutoff is deterministic); p(tok) =
+    (count + 1) / (N + V + 1) with out-of-vocabulary tokens at
+    count 0 — one shared OOV bucket.
+
+    Plan shape (two keyed shuffles, both partial-agg):
+      1. token explode → groupBy(token) count — the vocabulary fit;
+         the shuffle carries (token, partial count), collapsed
+         map-side;
+      2. top-V cut via orderBy(count desc, token).limit(V) — O(V)
+         rows through a single-partition tail by construction (V is
+         a constant, not data-sized), then BROADCAST back against
+         the token stream (left join; misses are the OOV bucket);
+      3. groupBy(doc) avg(log p) — partial-agg mean per document.
+    The corpus text itself never shuffles: stage 1 and 3 move
+    (token/id, number) pairs only.
+
+    Docs with zero tokens have no token rows and drop out (same
+    contract as the DuckDB oracle's GROUP BY over the token stream).
+    Returns (id, n_tokens, mean_logprob, bits_per_token).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("__tok"),
+    )
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    vocab = freq.orderBy(F.col("__cnt").desc(), F.col("__tok").asc()).limit(vocab_size)
+    # corpus totals as a 1-row broadcast (the a2 minmax pattern): N =
+    # all token occurrences, V = realized vocabulary size
+    totals = F.broadcast(
+        tok.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+            vocab.agg(F.count(F.lit(1)).alias("__v"))
+        )
+    )
+    logp = F.log(
+        (F.coalesce(F.col("__cnt"), F.lit(0)) + 1).cast("double")
+        / (F.col("__n") + F.col("__v") + 1).cast("double")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "__tok", "left")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("mean_logprob"),
+            F.round(F.avg(-logp / F.log(F.lit(2.0))), 6).alias("bits_per_token"),
+        )
+    )

@@ -2665,6 +2665,43 @@ def t12_type_token_ratio(spark, sf_dir):
 
 
 @query(
+    "t13_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               t -> lower(t))) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ), vocab AS (
+      SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT 2000
+    ), tot AS (
+      SELECT (SELECT count(*) FROM tok) AS n, (SELECT count(*) FROM vocab) AS v
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(coalesce(vc.cnt, 0) + 1 AS DOUBLE)
+                        / (tot.n + tot.v + 1))), 6)            AS mean_logprob,
+           round(avg(-ln(CAST(coalesce(vc.cnt, 0) + 1 AS DOUBLE)
+                         / (tot.n + tot.v + 1)) / ln(2.0)), 6) AS bits_per_token
+    FROM tok t LEFT JOIN vocab vc USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def t13_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: mean per-token log probability
+    under a Laplace-smoothed unigram model fit on the corpus itself
+    (vocab = top-2000 tokens here so the OOV bucket is exercised at
+    sf0.01). Two partial-agg shuffles (vocab fit, per-doc mean) over
+    (token, count) pairs; text never shuffles; the V-row vocabulary
+    and the 1-row totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs, "text", "doc_id", vocab_size=2000)
+
+
+@query(
     "c4_source_quota",
     """
     WITH ranked AS (
@@ -3867,6 +3904,7 @@ _SWEEP_PRIORITY = [
     "d1_exact_dedup", "d4_ngram_jaccard", "d3_simhash_pairs",
     "d8_incremental_dedup", "d9_incremental_near_dup",
     "d15_semantic_dedup",  # NEW in round 4 (SemDeDup)
+    "t13_unigram_logprob",  # NEW in round 4 (unigram LM quality)
     # unchanged this round — r3 order kept (family representatives
     # inside the ~50-key window, TPC-H tail last)
     "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
