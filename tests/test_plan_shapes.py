@@ -193,6 +193,11 @@ _CARTESIAN_OK = {
     # 1-row exact-percentile threshold broadcast onto the corpus
     # (minmax_normalize_expr shape)
     "c6_adaptive_quality_gate",
+    # 1-row (N, V) totals frame broadcast onto the token stream
+    "t13_unigram_logprob",
+    # broadcast eval-set × corpus: the eval set is small BY CONTRACT
+    # (same shape as s1's query side); corpus never shuffles
+    "c7_embedding_decontaminate",
     # 1-row global-revenue threshold joined by INEQUALITY (value >
     # 0.08% of total) — no equi-key for Catalyst to convert, stays a
     # 1-row broadcast nested loop by construction (q15's max-equality

@@ -368,3 +368,40 @@ def test_semantic_cluster_pairs_chunking_invariant(spark, emb):
         for r in semantic_cluster_pairs(assigned, 0.3, chunk_rows=7).collect()
     }
     assert big == small and all(a < b for a, b in big)
+
+
+def test_embedding_decontaminate_planted(spark):
+    from traffic_forecast_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact copy of eval vector 100
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to both eval rows
+            (3, [0.9, 0.1, 0.0]),   # near eval 100 (cos ~0.994)
+            (4, [0.0, 0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in embedding_decontaminate(
+            corpus, ev, "embedding", "vec_id", "vec_id", threshold=0.95
+        ).collect()
+    }
+    assert kept == {2, 4}
+    # eval drawn from the corpus itself: self-pairs are ignored, so a
+    # lone eval member is NOT vacuously removed
+    kept_self = {
+        r.vec_id
+        for r in embedding_decontaminate(
+            corpus, corpus.filter(F.col("vec_id") == 2), "embedding",
+            "vec_id", "vec_id", threshold=0.95,
+        ).collect()
+    }
+    assert kept_self == {1, 2, 3, 4}

@@ -860,3 +860,48 @@ def semantic_dedup(
         losers = losers.localCheckpoint(eager=True)
         assigned.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    eval_id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop every corpus
+    row whose vector lies within cosine ``threshold`` of ANY eval-set
+    vector — the semantic companion to the n-gram overlap
+    decontaminate (text.decontaminate / c2), catching paraphrased or
+    re-formatted eval leakage that token overlap misses.
+
+    The eval set is small BY CONTRACT (a benchmark, not a corpus), so
+    it broadcasts and the corpus streams once with zero shuffle —
+    O(|corpus| · |eval| · d) FLOPs of native fold arithmetic, the s1
+    brute-force shape. Rows matching an eval entry with a DIFFERENT
+    id are flagged (self-pairs are ignored, so an eval set drawn from
+    the corpus itself doesn't vacuously flag its own members); the
+    hit list is distinct'd (tiny) and removed with a keyed anti-join.
+    Returns surviving corpus rows, all original columns.
+    """
+    ev = F.broadcast(
+        eval_df.select(
+            F.col(eval_id_col).alias("__eid"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__ev"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__hid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__hv"),
+    )
+    cos = _dot(F.col("__hv"), F.col("__ev")) / (
+        _norm(F.col("__hv")) * _norm(F.col("__ev"))
+    )
+    hits = (
+        c.crossJoin(ev)
+        .where((F.col("__hid") != F.col("__eid")) & (cos >= threshold))
+        .select(F.col("__hid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(hits, on=id_col, how="left_anti")

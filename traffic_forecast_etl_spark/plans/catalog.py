@@ -2702,6 +2702,40 @@ def t13_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "c7_embedding_decontaminate",
+    """
+    WITH ev AS (
+      SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), hits AS (
+      SELECT DISTINCT e.vec_id
+      FROM embeddings e, ev
+      WHERE ev.eid != e.vec_id
+        AND list_dot_product(CAST(e.embedding AS DOUBLE[]), evv)
+            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(evv, evv))) >= 0.4
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.vec_id
+    WHERE h.vec_id IS NULL
+    """,
+)
+def c7_embedding_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: remove corpus rows within
+    cosine 0.4 of any eval-set vector (every 50th id stands in for
+    the benchmark) — the semantic twin of c2's n-gram overlap gate,
+    catching paraphrased eval leakage. Broadcast eval × streaming
+    corpus (the s1 exact shape, justified NLJ), distinct'd hit list,
+    keyed anti-join; corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.embedding_decontaminate(
+        emb, ev, "embedding", "vec_id", "vec_id", threshold=0.4
+    ).select("vec_id", "label")
+
+
+@query(
     "c4_source_quota",
     """
     WITH ranked AS (
@@ -3905,6 +3939,7 @@ _SWEEP_PRIORITY = [
     "d8_incremental_dedup", "d9_incremental_near_dup",
     "d15_semantic_dedup",  # NEW in round 4 (SemDeDup)
     "t13_unigram_logprob",  # NEW in round 4 (unigram LM quality)
+    "c7_embedding_decontaminate",  # NEW in round 4 (semantic decon)
     # unchanged this round — r3 order kept (family representatives
     # inside the ~50-key window, TPC-H tail last)
     "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
