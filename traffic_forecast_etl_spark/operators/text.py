@@ -555,6 +555,7 @@ def unigram_logprob(
     text_col: str,
     id_col: str,
     vocab_size: int = 50_000,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Language-model quality proxy: mean per-token unigram log
     probability (and its bits-per-token form) under a Laplace-
@@ -587,17 +588,33 @@ def unigram_logprob(
     contract as the DuckDB oracle's GROUP BY over the token stream).
     Returns (id, n_tokens, mean_logprob, bits_per_token).
     """
+    from pyspark import StorageLevel
+
     tok = df.select(
         F.col(id_col),
         F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("__tok"),
     )
-    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    # the frequency table is VOCABULARY-sized (distinct tokens, heavy
+    # tail included — orders of magnitude below the token stream);
+    # persist it so the top-V cut AND the model totals read the cache
+    # instead of each re-scanning the corpus. N = Σ counts (all token
+    # occurrences), V = |vocab| = min(distinct, vocab_size) — both
+    # derivable from freq, so the corpus is scanned exactly twice:
+    # once to build freq, once streaming tokens through the broadcast
+    # join below. (The naive form — counting N off the token stream
+    # and V off the vocab frame — costs two more full corpus scans.)
+    freq = (
+        tok.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_tracker is not None:
+        persist_tracker.append(freq)
     vocab = freq.orderBy(F.col("__cnt").desc(), F.col("__tok").asc()).limit(vocab_size)
-    # corpus totals as a 1-row broadcast (the a2 minmax pattern): N =
-    # all token occurrences, V = realized vocabulary size
     totals = F.broadcast(
-        tok.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
-            vocab.agg(F.count(F.lit(1)).alias("__v"))
+        freq.agg(
+            F.sum("__cnt").alias("__n"),
+            F.least(F.count(F.lit(1)), F.lit(vocab_size).cast("long")).alias("__v"),
         )
     )
     logp = F.log(
