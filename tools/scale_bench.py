@@ -7,7 +7,11 @@ reports the per-decade scaling exponent
 shows exponent → 1 once past fixed overhead; a quadratic one → 2.
 Writes SCALING.json and prints a markdown table for SCALE.md.
 
-Usage:  python tools/scale_bench.py [runs_per_point]
+Usage:  python tools/scale_bench.py [runs_per_point] [--only=k1,k2,...]
+
+``--only`` re-measures a subset (e.g. keys whose campaign-1 window
+overlapped other load); unmeasured keys carry through from the
+existing SCALING.json unchanged when the code fingerprint matches.
 """
 
 from __future__ import annotations
@@ -59,6 +63,24 @@ DUP_POINTS = [
 DUP_KEYS = ["d2_minhash_lsh", "d6_near_dedup_filter"]
 
 
+def _d2_capped(spark, sf_dir):
+    """Standalone pairs operator WITH the max_band_width backstop —
+    the documented guard for duplicate-heavy corpora when the caller
+    can't (or won't) run the exact-first composite (d6). Uncapped d2
+    on the dup corpus is OUTPUT-bound quadratic (every pair inside a
+    duplicate group is a true pair a pairs-operator must emit); the
+    capped form bounds candidate AND output volume, trading recall on
+    exactly the flooded-template content."""
+    from traffic_forecast_etl_spark.operators import dedup as D
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.5, max_band_width=64,
+    )
+
+
 def _code_fingerprint() -> str:
     """Hash of every operator/plan module the family queries execute
     through. Prior campaigns' minima are only merged when this
@@ -93,24 +115,36 @@ def settle(spark) -> None:
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    pos: list[str] = []
+    for a in args:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            pos.append(a)
+    runs = int(pos[0]) if pos else 3
     spark = get_spark("scale-bench")
     pts = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
     dup_pts = [(sf, d) for sf, d in DUP_POINTS if os.path.isdir(d)]
-    plan = [(key, key, pts) for key in KEYS] + [
-        (key + "_dup", key, dup_pts) for key in DUP_KEYS
-    ]
+    plan = (
+        [(key, QUERIES[key], pts) for key in KEYS]
+        + [(key + "_dup", QUERIES[key], dup_pts) for key in DUP_KEYS]
+        + [("d2_minhash_lsh_dup_capped", _d2_capped, dup_pts)]
+    )
+    if only is not None:
+        plan = [p for p in plan if p[0] in only]
     key_pts = {name: p for name, _, p in plan}
     out: dict[str, dict] = {}
-    for name, qkey, kpts in plan:
+    for name, qfn, kpts in plan:
         out[name] = {"sec": {}, "exponent": {}}
         for sf, d in kpts:
-            QUERIES[qkey](spark, d).collect()  # warm this plan
+            qfn(spark, d).collect()  # warm this plan
             settle(spark)
             best = math.inf
             for _ in range(runs):
                 t0 = time.time()
-                QUERIES[qkey](spark, d).collect()
+                qfn(spark, d).collect()
                 best = min(best, time.time() - t0)
                 settle(spark)
             out[name]["sec"][sf] = round(best, 3)
@@ -137,6 +171,10 @@ def main() -> None:
                     for sf, sec in rec.get("sec", {}).items():
                         if sf in out[key]["sec"]:
                             out[key]["sec"][sf] = min(out[key]["sec"][sf], sec)
+                else:
+                    # not re-measured this campaign (--only subset):
+                    # carry the prior floor through unchanged
+                    out[key] = rec
         else:
             print("code fingerprint changed: re-baselining", file=sys.stderr)
     for key, kpts in key_pts.items():
