@@ -65,8 +65,11 @@ HEADLINE = [
     # content-defined duplicated-span detection
     "d13_segment_dedup",
     "d14_duplicate_spans",
-    # round-4 addition: SemDeDup embedding-space dedup
+    # round-4 additions: SemDeDup embedding-space dedup, unigram LM
+    # quality scoring, embedding-space decontamination
     "d15_semantic_dedup",
+    "t13_unigram_logprob",
+    "c7_embedding_decontaminate",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —
@@ -86,6 +89,7 @@ SCALING_KEYS = [
     "d13_segment_dedup",
     "d14_duplicate_spans",
     "d15_semantic_dedup",
+    "t13_unigram_logprob",
 ]
 
 # the second scale point for each primary sf dir (one decade down —

@@ -304,6 +304,57 @@ def test_unigram_logprob_known_values(spark):
     assert out[2].bits_per_token == pytest.approx(-exp2 / math.log(2), abs=1e-6)
 
 
+def test_gopher_rules_each_rule(spark):
+    """Every Gopher rule trips on a doc built to violate exactly it
+    (word count relaxed to [3, 10] so hand-sized docs work)."""
+    docs = [
+        (1, "the cat sat with all of them here"),  # clean -> pass
+        (2, "the of"),  # too few words
+        (3, "the ## of ### and #### cats ##"),  # symbol ratio (4 '#' runs = 9 symbols / 7 words)
+        (4, "• the cat\n• of dog\n• and bird\nthe end of it"),  # ok: 3/4 bullet lines <= 0.9
+        (5, "the cat...\nand dog...\nof bird...\nsat here"),  # ellipsis 3/4 > 0.3
+        (6, "the 99 11 22 33 44 of and"),  # alpha 3/8 < 0.8
+        (7, "cats dogs birds fly far away now"),  # zero required stopwords
+        (8, "a b c d e f g h i j the of"),  # mean word len 1.17 < 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in TX.gopher_rules(
+            df, "text", "doc_id", min_words=3, max_words=10,
+            min_mean_wl=3.0, max_bullet_ratio=0.9,
+        ).collect()
+    }
+    assert out[1].pass_gopher
+    assert not out[2].ok_word_count and not out[2].pass_gopher
+    assert not out[3].ok_symbol_ratio and out[3].ok_word_count
+    assert out[4].ok_bullet_lines and out[4].bullet_line_ratio == pytest.approx(0.75)
+    assert not out[5].ok_ellipsis_lines
+    assert not out[6].ok_alpha_words
+    assert not out[7].ok_required_stopwords and out[7].n_required_stopwords == 0
+    assert not out[8].ok_mean_word_len
+    # measure spot-checks
+    assert out[1].n_words == 8 and out[1].n_required_stopwords >= 2
+    assert out[5].ellipsis_line_ratio == pytest.approx(0.75)
+    assert out[6].alpha_word_ratio == pytest.approx(3 / 8)
+
+
+def test_gopher_rules_empty_and_unicode(spark):
+    """Blank doc fails word count with 0-ratios (greatest(n,1)
+    denominators); U+2026 ellipsis and '…'-ended lines count; the
+    three-dot run counts once per non-overlapping occurrence."""
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "the end is near…\nof the story....")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1].n_words == 0 and not out[1].ok_word_count
+    assert out[1].symbol_word_ratio == 0.0 and out[1].bullet_line_ratio == 0.0
+    # doc 2: '…' once + one '...' run (4 dots -> one non-overlapping match)
+    assert out[2].symbol_word_ratio == pytest.approx(2 / 8)
+    assert out[2].ellipsis_line_ratio == pytest.approx(1.0)
+
+
 def test_unigram_logprob_vocab_cap_deterministic(spark):
     """Equal-count ties at the vocabulary cutoff break to the
     lexicographically smaller token, independent of layout."""

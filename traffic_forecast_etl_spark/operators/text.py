@@ -550,6 +550,115 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_GOPHER_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021, arXiv
+    2112.11446 Table A1 — the rule set RefinedWeb/Dolma reuse): the
+    per-document repetition-free subset, as one map-only pass of
+    native expressions (t11 repetition_stats covers the duplicate
+    n-gram rules separately).
+
+    Rules, each surfaced as a measure column + boolean:
+      word count in [min_words, max_words]; mean word length in
+      [min_mean_wl, max_mean_wl]; symbol-to-word ratio (# and
+      ellipsis) <= max_symbol_ratio; <= max_bullet_ratio of lines
+      bullet-started; <= max_ellipsis_ratio of lines ellipsis-ended;
+      >= min_alpha_ratio of words containing a letter; >=
+      min_required_stopwords distinct members of the required-word
+      list {the, be, to, of, and, that, have, with} present.
+
+    ``pass_gopher`` is the conjunction. Zero-token/zero-line docs use
+    greatest(n,1) denominators (ratios read 0) and fail on the word-
+    count rule. Map-only: fuses into the parquet scan, no shuffle —
+    the correct shape for a 100 TB scoring sweep (score and gate in
+    the same pass as any other per-doc signal).
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    nw1 = F.greatest(n_words, F.lit(1))
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / nw1
+    # symbols: '#' occurrences + non-overlapping '...' runs + U+2026
+    n_symbol = (
+        F.length(c)
+        - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    )
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin("•", "-", "*"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    low = F.transform(toks, lambda t: F.lower(t))
+    n_req = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_REQUIRED]),
+            lambda w: F.array_contains(low, w),
+        )
+    )
+    symbol_ratio = F.round(n_symbol / nw1, 6)
+    bullet_ratio = F.round(n_bullet / n_lines, 6)
+    ellipsis_ratio = F.round(n_ellipsis / n_lines, 6)
+    alpha_ratio = F.round(n_alpha / nw1, 6)
+    mean_wl_r = F.round(mean_wl, 6)
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl_r >= min_mean_wl) & (mean_wl_r <= max_mean_wl)
+    ok_symbol = symbol_ratio <= max_symbol_ratio
+    ok_bullet = bullet_ratio <= max_bullet_ratio
+    ok_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
+    ok_alpha = alpha_ratio >= min_alpha_ratio
+    ok_stop = n_req >= min_required_stopwords
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl_r.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_req.cast("long").alias("n_required_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_required_stopwords"),
+        (
+            ok_words & ok_wl & ok_symbol & ok_bullet
+            & ok_ellipsis & ok_alpha & ok_stop
+        ).alias("pass_gopher"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str,

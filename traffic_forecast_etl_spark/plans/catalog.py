@@ -2702,6 +2702,73 @@ def t13_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "t14_gopher_rules",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines,
+             (length(text) - length(replace(text, '#', '')))
+               + len(regexp_extract_all(text, '\\.\\.\\.'))
+               + len(regexp_extract_all(text, '…')) AS n_symbol
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             greatest(len(toks), 1) AS nw1,
+             greatest(len(lines), 1) AS nl1,
+             round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                   AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_wl,
+             round(CAST(n_symbol AS DOUBLE) / greatest(len(toks), 1), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines,
+                   x -> list_contains(['•', '-', '*'], substr(x, 1, 1))))
+                   AS DOUBLE) / greatest(len(lines), 1), 6) AS bullet_ratio,
+             round(CAST(len(list_filter(lines,
+                   x -> ends_with(x, '...') OR ends_with(x, '…')))
+                   AS DOUBLE) / greatest(len(lines), 1), 6) AS ellipsis_ratio,
+             round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS DOUBLE) / greatest(len(toks), 1), 6) AS alpha_ratio,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 w -> list_contains(list_transform(toks, x -> lower(x)), w))) AS n_req
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_wl AS mean_word_len,
+           symbol_ratio AS symbol_word_ratio,
+           bullet_ratio AS bullet_line_ratio,
+           ellipsis_ratio AS ellipsis_line_ratio,
+           alpha_ratio AS alpha_word_ratio,
+           CAST(n_req AS BIGINT) AS n_required_stopwords,
+           (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+           (bullet_ratio <= 0.9) AS ok_bullet_lines,
+           (ellipsis_ratio <= 0.3) AS ok_ellipsis_lines,
+           (alpha_ratio >= 0.8) AS ok_alpha_words,
+           (n_req >= 2) AS ok_required_stopwords,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+            AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+            AND (n_req >= 2)) AS pass_gopher
+    FROM m
+    """,
+)
+def t14_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality filter (Rae et al. 2021 Table A1,
+    the rule set RefinedWeb/Dolma reuse): word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line ratios,
+    alphabetic-word fraction, required-stopword presence — each as a
+    measure + boolean, plus the conjunction. Map-only native
+    expressions fused into the scan (min_words=30 so the synthetic
+    sf0.01 docs exercise both branches)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs, "text", "doc_id", min_words=30)
+
+
+@query(
     "c7_embedding_decontaminate",
     """
     WITH ev AS (
@@ -3939,6 +4006,7 @@ _SWEEP_PRIORITY = [
     "d8_incremental_dedup", "d9_incremental_near_dup",
     "d15_semantic_dedup",  # NEW in round 4 (SemDeDup)
     "t13_unigram_logprob",  # NEW in round 4 (unigram LM quality)
+    "t14_gopher_rules",  # NEW in round 4 (Gopher rule filter)
     "c7_embedding_decontaminate",  # NEW in round 4 (semantic decon)
     # unchanged this round — r3 order kept (family representatives
     # inside the ~50-key window, TPC-H tail last)
