@@ -40,6 +40,8 @@ def test_oracle_coverage(spark):
         "d6_near_dedup_filter",
         # precision 1 vs d5 by construction; LSH bounds recall < 1
         "d11_embedding_neardup_lsh",
+        # ε-ball dedup under k-means partitioning; greedy scan order
+        "d15_semantic_dedup",
         "s2_lsh_ann",
         "s3_ivf_ann",
         "a10_approx_distinct",

@@ -310,7 +310,7 @@ def test_gopher_rules_each_rule(spark):
     docs = [
         (1, "the cat sat with all of them here"),  # clean -> pass
         (2, "the of"),  # too few words
-        (3, "the ## of ### and #### cats ##"),  # symbol ratio (4 '#' runs = 9 symbols / 7 words)
+        (3, "the ## of ### and #### cats ##"),  # symbol ratio (11 '#' chars / 8 words)
         (4, "• the cat\n• of dog\n• and bird\nthe end of it"),  # ok: 3/4 bullet lines <= 0.9
         (5, "the cat...\nand dog...\nof bird...\nsat here"),  # ellipsis 3/4 > 0.3
         (6, "the 99 11 22 33 44 of and"),  # alpha 3/8 < 0.8
@@ -342,7 +342,13 @@ def test_gopher_rules_each_rule(spark):
 def test_gopher_rules_empty_and_unicode(spark):
     """Blank doc fails word count with 0-ratios (greatest(n,1)
     denominators); U+2026 ellipsis and '…'-ended lines count; the
-    three-dot run counts once per non-overlapping occurrence."""
+    three-dot run counts once per non-overlapping occurrence.
+
+    Doc 2 derivation (Gopher symbol-to-word ratio, Rae et al. 2021
+    arXiv 2112.11446 Table A1: symbol count over WORD count):
+    whitespace words = [the, end, is, near…] + [of, the, story....]
+    = 7 words; symbols = one U+2026 + one non-overlapping '...' run
+    (4 dots -> a single match) = 2; ratio = 2/7."""
     df = spark.createDataFrame(
         [(1, "   "), (2, "the end is near…\nof the story....")],
         "doc_id long, text string",
@@ -351,7 +357,7 @@ def test_gopher_rules_empty_and_unicode(spark):
     assert out[1].n_words == 0 and not out[1].ok_word_count
     assert out[1].symbol_word_ratio == 0.0 and out[1].bullet_line_ratio == 0.0
     # doc 2: '…' once + one '...' run (4 dots -> one non-overlapping match)
-    assert out[2].symbol_word_ratio == pytest.approx(2 / 8)
+    assert out[2].symbol_word_ratio == pytest.approx(2 / 7, abs=1e-6)
     assert out[2].ellipsis_line_ratio == pytest.approx(1.0)
 
 

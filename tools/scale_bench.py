@@ -124,6 +124,24 @@ def main() -> None:
         else:
             pos.append(a)
     runs = int(pos[0]) if pos else 3
+    if only is not None:
+        # A subset run only makes sense as an extra campaign MERGED
+        # into prior minima. If the engine fingerprint changed, the
+        # merge branch is skipped and SCALING.json would be rewritten
+        # with ONLY the subset — silently discarding every other
+        # key's multi-campaign floors (ADVICE r4). Refuse up front.
+        path = os.path.join(REPO, "SCALING.json")
+        prior_fp = None
+        if os.path.exists(path):
+            with open(path) as f:
+                prior_fp = json.load(f).get("_code_fingerprint")
+        if prior_fp != _code_fingerprint():
+            sys.exit(
+                "--only requires a matching prior code fingerprint: "
+                "the engine changed since SCALING.json was written, "
+                "so a subset run would drop every non-subset key. "
+                "Run a full re-baseline (no --only) instead."
+            )
     spark = get_spark("scale-bench")
     pts = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
     dup_pts = [(sf, d) for sf, d in DUP_POINTS if os.path.isdir(d)]
