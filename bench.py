@@ -185,7 +185,23 @@ def main() -> None:
             docs, "text", "doc_id", release_cache=False
         ).select("doc_id", "lang", "n_chars")
 
-    d6_warm, _ = _timed(spark, _d6_warm, sf_dir)
+    # Warm = steady-state REPEATED invocation in one session: the
+    # caches release_cache=False retains are only reusable if they
+    # survive between runs. r4's twin ran through _timed, whose
+    # per-run _settle clearCache'd them — so it measured the cold
+    # path plus cache-write overhead (warm 6.40 > cold 6.11, the r4
+    # verdict anomaly). Here run 1 populates the caches untimed and
+    # runs 2..4 are timed WITHOUT clearing, so Spark's canonical-plan
+    # cache matching substitutes the retained signature/pair caches
+    # into each fresh plan.
+    _d6_warm(spark, sf_dir).collect()
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        _d6_warm(spark, sf_dir).collect()
+        warm_runs.append(time.time() - t0)
+    d6_warm = min(warm_runs)
+    _settle(spark)
 
     # second scale point for the dedup/ANN/text family: measured slope
     # exponent = log(t_big/t_small) / log(sf_big/sf_small); small-point

@@ -555,11 +555,75 @@ def test_max_band_width_cap_drops_flooded_buckets_only(spark):
     rows = [(i, flood) for i in range(50)]
     rows += [(1000, pair_text), (1001, pair_text + " yes")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    # collapse_exact=False isolates the banding-stage cap (with the
+    # default guard on, identical floods are collapsed into linear
+    # membership edges before banding and never hit the cap)
     got = {
         (r.id1, r.id2)
         for r in minhash_lsh_pairs(
-            df, "text", "doc_id", jaccard_threshold=0.5, max_band_width=5
+            df, "text", "doc_id", jaccard_threshold=0.5, max_band_width=5,
+            collapse_exact=False,
         ).collect()
     }
     assert (1000, 1001) in got
     assert all(i1 >= 1000 for i1, _ in got)
+
+
+def test_collapse_exact_default_makes_flood_output_linear(spark):
+    """The standalone-d2 duplicate-flood guard (VERDICT r4 #3): N
+    byte-identical docs produce N-1 (rep, member) edges — not N²/2
+    pairs — and a genuine near-dup pair still surfaces as a rep-level
+    LSH pair."""
+    from traffic_forecast_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    flood = "identical template content repeated across the entire crawl corpus"
+    pair_text = "a genuinely distinct near duplicate pair lives happily here today"
+    rows = [(i, flood) for i in range(200)]
+    rows += [(1000, pair_text), (1001, pair_text + " yes")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, "text", "doc_id", jaccard_threshold=0.5).collect()
+    ex = {(r.id1, r.id2) for r in out if r.exact_member}
+    lsh = {(r.id1, r.id2) for r in out if not r.exact_member}
+    assert ex == {(0, i) for i in range(1, 200)}
+    assert all(r.jaccard == 1.0 for r in out if r.exact_member)
+    assert (1000, 1001) in lsh
+    # nothing quadratic: no member ever enters a non-exact pair
+    assert all(i1 in (0, 1000) for i1, _ in ex | lsh)
+    assert len(out) == 199 + len(lsh)
+
+
+def test_collapse_exact_expansion_equivalence(spark):
+    """Pairs-semantics equivalence pin: expand_collapsed_pairs over
+    the collapsed output reproduces EXACTLY (ids and jaccards) the
+    collapse_exact=False pair set on a corpus mixing an exact group
+    of 3, a 2-group, member-to-external near-dups, and distinct
+    docs."""
+    from traffic_forecast_etl_spark.operators.dedup import (
+        expand_collapsed_pairs,
+        minhash_lsh_pairs,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = "pack my box with five dozen liquor jugs while the band plays on"
+    rows = [
+        (1, a), (2, a), (3, a),            # exact group {1,2,3}
+        (4, a + " extra"),                 # near-dup of the group
+        (5, b), (6, b),                    # exact group {5,6}
+        (7, b + " tonight"),               # near-dup of group {5,6}
+        (8, "entirely different content about parquet row groups"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5)
+    flat = {
+        (r.id1, r.id2): r.jaccard
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", collapse_exact=False, **kw
+        ).collect()
+    }
+    collapsed = minhash_lsh_pairs(df, "text", "doc_id", **kw)
+    expanded = {
+        (r.id1, r.id2): r.jaccard
+        for r in expand_collapsed_pairs(collapsed).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (5, 6)} <= set(flat)
+    assert expanded == flat

@@ -350,6 +350,37 @@ def test_semantic_dedup_clustered_invariants(spark, emb):
     assert len(out1) >= exact_n
 
 
+def test_auto_semantic_k_scales_with_corpus():
+    """k ∝ n with a floor of 2 (MLlib KMeans minimum) and a cap:
+    mean cluster size — and with it the per-cluster matmul working
+    set — stays fixed as the corpus grows."""
+    from traffic_forecast_etl_spark.operators.similarity import auto_semantic_k
+
+    assert auto_semantic_k(0) == 2 and auto_semantic_k(500) == 2
+    assert auto_semantic_k(10_240) == 10
+    # doubling n doubles k (past the floor): c̄ is constant
+    assert auto_semantic_k(20_480) == 2 * auto_semantic_k(10_240)
+    assert auto_semantic_k(4096, target_cluster_size=256) == 16
+    assert auto_semantic_k(10**12) == 65_536  # cap
+    assert auto_semantic_k(10**12, max_k=128) == 128
+
+
+def test_semantic_dedup_auto_k_deterministic_and_sane(spark, emb):
+    """The n_centroids=None auto path (count → auto_semantic_k →
+    sampled k-means fit) is deterministic under the fixed seed and
+    obeys the same can-only-miss-pairs bound vs the exact k=1 path."""
+    from traffic_forecast_etl_spark.operators.similarity import semantic_dedup
+
+    kw = dict(threshold=0.3, target_cluster_size=64)
+    out1 = {r.vec_id for r in semantic_dedup(emb, "embedding", "vec_id", **kw).collect()}
+    out2 = {r.vec_id for r in semantic_dedup(emb, "embedding", "vec_id", **kw).collect()}
+    assert out1 == out2 and out1
+    exact_n = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_centroids=1
+    ).count()
+    assert len(out1) >= exact_n
+
+
 def test_semantic_cluster_pairs_chunking_invariant(spark, emb):
     """The chunked matmul's global-index offset logic: tiny chunks
     must produce exactly the pairs one full-matrix pass does."""
@@ -405,3 +436,73 @@ def test_embedding_decontaminate_planted(spark):
         ).collect()
     }
     assert kept_self == {1, 2, 3, 4}
+    # external-benchmark mode (ADVICE r4): eval id 2 numerically
+    # collides with corpus id 2 but is a DIFFERENT artifact — with
+    # exclude_self_ids=False the collision no longer exempts the row
+    ev_external = spark.createDataFrame(
+        [(2, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept_ext = {
+        r.vec_id
+        for r in embedding_decontaminate(
+            corpus, ev_external, "embedding", "vec_id", "vec_id",
+            threshold=0.95, exclude_self_ids=False,
+        ).collect()
+    }
+    assert kept_ext == {2, 4}  # 1 and 3 match the external eval vector
+    # with the default self-exemption the colliding id-2 row would
+    # only dodge ITS OWN pair — 1 and 3 are still removed
+    kept_default = {
+        r.vec_id
+        for r in embedding_decontaminate(
+            corpus, ev_external, "embedding", "vec_id", "vec_id",
+            threshold=0.95,
+        ).collect()
+    }
+    assert kept_default == {2, 4}
+
+
+def test_embedding_decontaminate_lsh_matches_brute_force(spark):
+    """The LSH-bucketed scale path: precision 1 vs brute force by
+    construction (exact verify), recall >= 0.9 on a planted-duplicate
+    corpus at the auto-tuned parameters."""
+    import numpy as np
+
+    from traffic_forecast_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 16
+    base = rng.standard_normal((300, d))
+    ev_rows, corpus_rows = [], []
+    for i in range(40):  # eval set: 40 held-out vectors
+        ev_rows.append((10_000 + i, [float(x) for x in base[i]]))
+    for i in range(300):
+        v = base[i]
+        if i < 30:  # planted leakage: eval vector + small noise
+            v = v + 0.05 * rng.standard_normal(d)
+        corpus_rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, exclude_self_ids=False)
+    brute = {
+        r.vec_id
+        for r in embedding_decontaminate(
+            corpus, ev, "embedding", "vec_id", "vec_id", **kw
+        ).collect()
+    }
+    lsh = {
+        r.vec_id
+        for r in embedding_decontaminate(
+            corpus, ev, "embedding", "vec_id", "vec_id", method="lsh",
+            dim=d, **kw,
+        ).collect()
+    }
+    # exact verify => lsh never removes a row brute force keeps
+    assert brute <= lsh
+    flagged_brute, flagged_lsh = set(range(300)) - brute, set(range(300)) - lsh
+    assert flagged_brute, "fixture must plant real leakage"
+    recall = len(flagged_lsh) / len(flagged_brute)
+    assert recall >= 0.9, f"lsh decontaminate recall {recall:.2f}"

@@ -696,6 +696,17 @@ def unigram_logprob(
     Docs with zero tokens have no token rows and drop out (same
     contract as the DuckDB oracle's GROUP BY over the token stream).
     Returns (id, n_tokens, mean_logprob, bits_per_token).
+
+    ``persist_tracker``: the vocabulary-sized freq table is persisted
+    so the top-V cut and the model totals read the cache instead of
+    re-scanning the corpus (same contract as minhash_lsh_pairs'
+    tracker). The result is LAZY, so this function cannot unpersist
+    after materialization itself — callers that fully consume the
+    result pass a list here and unpersist its entries afterwards;
+    with the default None the (small, vocabulary-sized) cache entry
+    is left to the caller's session hygiene (the bench and the
+    oracle driver clearCache between queries; a long-lived service
+    invoking this repeatedly should pass the tracker).
     """
     from pyspark import StorageLevel
 

@@ -2080,7 +2080,11 @@ def d1_exact_dedup(spark, sf_dir):
 @query("d2_minhash_lsh")
 def d2_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle→signature→band→bucket-join→
-    exact-Jaccard verify). Approximate candidate generation → no SQL
+    exact-Jaccard verify), with the default exact-duplicate collapse
+    guard: identical docs emit linear (rep, member) edges instead of
+    quadratic all-pairs, and banding runs over representatives only
+    (expand_collapsed_pairs recovers the flat pair set; equivalence
+    pinned in tests). Approximate candidate generation → no SQL
     oracle; the exact-Jaccard twin d4 is the oracle-checked
     ground-truth operator."""
     docs = _t(spark, sf_dir, "documents")
@@ -2196,10 +2200,12 @@ def d15_semantic_dedup(spark, sf_dir):
     blocked_allpairs_cosine ground truth in test_similarity, and the
     clustered path's survivor count is pinned against the exact
     path's on the same corpus. Threshold 0.3 matches d5 (top of this
-    isotropic corpus's cosine range); production runs at 0.9+."""
+    isotropic corpus's cosine range); production runs at 0.9+.
+    n_centroids auto-scales k ∝ n (auto_semantic_k) so the
+    per-cluster matmul stays O(n·c̄) instead of O(n²/k)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
-        emb, "embedding", "vec_id", threshold=0.3, n_centroids=16
+        emb, "embedding", "vec_id", threshold=0.3, target_cluster_size=256
     ).select("vec_id", "label")
 
 
