@@ -24,6 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from traffic_forecast_etl_spark.plans.catalog import QUERIES
 from traffic_forecast_etl_spark.session import get_spark
 
@@ -79,6 +81,24 @@ def _d2_capped(spark, sf_dir):
         docs, "text", "doc_id", num_hashes=64, bands=16,
         jaccard_threshold=0.5, max_band_width=64,
     )
+
+
+def _c7_lsh(spark, sf_dir):
+    """The LSH-bucketed decontamination scale path (method="lsh"):
+    same corpus/eval split and threshold as the catalog's c7 (every
+    50th id stands in for the benchmark, cosine 0.4 on this isotropic
+    corpus), but candidates come from the shared-plane bucket
+    equi-join instead of the broadcast cross product — the series
+    that shows the path a too-big-to-broadcast eval suite takes."""
+    from traffic_forecast_etl_spark.operators import similarity as S
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.embedding_decontaminate(
+        emb, ev, "embedding", "vec_id", "vec_id",
+        threshold=0.4, method="lsh",
+    ).select("vec_id", "label")
 
 
 def _code_fingerprint() -> str:
@@ -149,6 +169,7 @@ def main() -> None:
         [(key, QUERIES[key], pts) for key in KEYS]
         + [(key + "_dup", QUERIES[key], dup_pts) for key in DUP_KEYS]
         + [("d2_minhash_lsh_dup_capped", _d2_capped, dup_pts)]
+        + [("c7_lsh_decontaminate", _c7_lsh, pts)]
     )
     if only is not None:
         plan = [p for p in plan if p[0] in only]

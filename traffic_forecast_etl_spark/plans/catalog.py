@@ -4000,22 +4000,31 @@ def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 4: freshness leads — every catalog key has cumulative
-    # driver coverage (r1-r3 union, zero failures), so the sweep now
-    # fronts the keys whose CODE changed this round (exact-first
-    # near-dedup, band-extraction rework, spread gating in dedup.py;
-    # the stage-persist corpus plan reaches the driver through c1's
-    # operator family) so the driver re-greens them under the new
-    # implementation before re-testing anything already stable.
-    "d6_near_dedup_filter", "d2_minhash_lsh", "c1_curate_corpus",
+    # round 5 rotation (VERDICT r4 #7): lead with the keys whose CODE
+    # changed this round — t14 (symbol-ratio pin adjudicated), d15
+    # (auto-scaled k), d2 (collapse_exact flood guard), c7 (self-id
+    # flag + lsh path), d6/c1 (inherit the collapse default on their
+    # baseline branch), t13 (tracker contract) — then the 32 keys
+    # whose latest green driver row is still round 1 (the stalest
+    # third of the catalog), so the ~50-key sweep window re-greens
+    # every r5-touched operator AND refreshes the oldest evidence.
+    "t14_gopher_rules", "d15_semantic_dedup", "d2_minhash_lsh",
+    "c7_embedding_decontaminate", "d6_near_dedup_filter", "c1_curate_corpus",
+    "t13_unigram_logprob",
+    # stalest: latest green row is r1
+    "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
+    "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
+    "f12_string_funcs", "f13_null_handling", "f1_date_roundtrip",
+    "f2_multiformat_date", "f4_calendar", "f6_unit_conversion",
+    "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
+    "p_const_first_row", "p_project_filter", "p_rename_replace_cast",
+    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
+    "q17_below_avg_parts", "q18_large_orders", "q21_waiting_supplier",
+    "q22_dormant_customers", "q4_order_priority", "w1_rolling_avg",
+    "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
+    # previously-fresh keys, r4 relative order kept
     "d1_exact_dedup", "d4_ngram_jaccard", "d3_simhash_pairs",
     "d8_incremental_dedup", "d9_incremental_near_dup",
-    "d15_semantic_dedup",  # NEW in round 4 (SemDeDup)
-    "t13_unigram_logprob",  # NEW in round 4 (unigram LM quality)
-    "t14_gopher_rules",  # NEW in round 4 (Gopher rule filter)
-    "c7_embedding_decontaminate",  # NEW in round 4 (semantic decon)
-    # unchanged this round — r3 order kept (family representatives
-    # inside the ~50-key window, TPC-H tail last)
     "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
     "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
@@ -4032,27 +4041,18 @@ _SWEEP_PRIORITY = [
     "w5_tumbling_window", "w7_sessionize", "w12_zscore_anomaly",
     "a14_linear_trend", "s1_cosine_topk", "s4_quantize_embeddings",
     "t1_token_stats", "c2_decontaminate", "d7_stratified_sample",
-    "w6_sliding_window", "w8_funnel", "w9_rank_family", "w10_cohort_retention",
-    "w11_time_range_rolling", "st1_streaming_tumbling",
-    "st2_streaming_sessions", "st3_stateful_ewma", "st4_stream_stream_join",
-    "st5_stream_static_enrich", "st6_rollup_maintenance",
-    "d5_embedding_neardup", "d11_embedding_neardup_lsh", "s2_lsh_ann",
-    "s3_ivf_ann", "a11_embedding_centroid", "a12_column_profile",
-    "a13_label_cohesion", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
-    "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms",
-    "t8_redact_pii", "t9_chunk_documents", "t10_char_entropy",
-    "t11_repetition", "t12_type_token_ratio", "c3_pack_token_bins",
-    "c4_source_quota", "c5_temperature_mix", "a5_distinct_agg",
-    "a10_approx_distinct", "a6_pivot", "a8_median_stats", "a7_unpivot",
-    "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
-    "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
-    "f1_date_roundtrip", "f2_multiformat_date", "f4_calendar",
-    "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
-    "f12_string_funcs", "f13_null_handling", "p_project_filter",
-    "p_rename_replace_cast", "p_const_first_row", "q4_order_priority",
-    "q21_waiting_supplier", "q22_dormant_customers", "q10_returned_items",
-    "q12_priority_shipmode", "q14_promo_share", "q17_below_avg_parts",
-    "q18_large_orders",
+    "w6_sliding_window", "w8_funnel", "w9_rank_family",
+    "w10_cohort_retention", "w11_time_range_rolling",
+    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
+    "st4_stream_stream_join", "st5_stream_static_enrich",
+    "st6_rollup_maintenance", "d5_embedding_neardup",
+    "d11_embedding_neardup_lsh", "s2_lsh_ann", "s3_ivf_ann",
+    "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
+    "t2_quality_score", "t3_lang_id", "t4_fingerprint", "t5_bpe_tokens",
+    "t6_winnow_fingerprint", "t7_tfidf_topterms", "t8_redact_pii",
+    "t9_chunk_documents", "t10_char_entropy", "t11_repetition",
+    "t12_type_token_ratio", "c3_pack_token_bins", "c4_source_quota",
+    "c5_temperature_mix",
 ]
 
 
