@@ -70,6 +70,8 @@ HEADLINE = [
     "d15_semantic_dedup",
     "t13_unigram_logprob",
     "c7_embedding_decontaminate",
+    # round-5 addition: stupid-backoff bigram LM quality scoring
+    "t15_bigram_logprob",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —
@@ -90,6 +92,7 @@ SCALING_KEYS = [
     "d14_duplicate_spans",
     "d15_semantic_dedup",
     "t13_unigram_logprob",
+    "t15_bigram_logprob",
 ]
 
 # the second scale point for each primary sf dir (one decade down —

@@ -361,6 +361,57 @@ def test_gopher_rules_empty_and_unicode(spark):
     assert out[2].ellipsis_line_ratio == pytest.approx(1.0)
 
 
+def test_bigram_logprob_known_values(spark):
+    """Hand-computed stupid-backoff fixture. Corpus 'a a b' + 'a c'
+    + 'x' (dropped: <2 tokens): bigram instances (a,a),(a,b),(a,c)
+    — each count 1; ctx(a)=3; continuation counts a:1,b:1,c:1, T=3.
+    vocab_size=2 keeps {a,b} (count desc, token asc), V=2, so
+    p_uni(a)=p_uni(b)=2/6, p_uni(c OOV)=1/6. With bigram_size=1 the
+    table keeps only (a,a) (ties break (count desc, w1, w2)):
+      doc1: logp[(a,a)] = ln(1/3) (table hit, MLE vs ctx),
+            logp[(a,b)] = ln(0.4 * 2/6) (backoff, in-vocab);
+      doc2: logp[(a,c)] = ln(0.4 * 1/6) (backoff, OOV)."""
+    df = spark.createDataFrame(
+        [(1, "a A b"), (2, "a c"), (3, "x"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in TX.bigram_logprob(
+            df, "text", "doc_id", vocab_size=2, bigram_size=1
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    exp1 = (math.log(1 / 3) + math.log(0.4 * 2 / 6)) / 2
+    exp2 = math.log(0.4 * 1 / 6)
+    assert out[1].n_bigrams == 2 and out[2].n_bigrams == 1
+    assert out[1].mean_logprob == pytest.approx(exp1, abs=1e-6)
+    assert out[2].mean_logprob == pytest.approx(exp2, abs=1e-6)
+    assert out[2].bits_per_token == pytest.approx(-exp2 / math.log(2), abs=1e-6)
+    # with an uncut table every bigram is an MLE hit: all three score
+    # ln(1/3) against ctx(a)=3
+    full = {
+        r.doc_id: r
+        for r in TX.bigram_logprob(
+            df, "text", "doc_id", vocab_size=2, bigram_size=100
+        ).collect()
+    }
+    assert full[1].mean_logprob == pytest.approx(math.log(1 / 3), abs=1e-6)
+    assert full[2].mean_logprob == pytest.approx(math.log(1 / 3), abs=1e-6)
+
+
+def test_bigram_logprob_deterministic_under_layout(spark):
+    """Top-M/vocab tie-breaks are total orders: repartitioned input
+    produces bit-identical scores."""
+    rows = [(i, "p q r s p q") for i in range(6)] + [(10, "q r z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = TX.bigram_logprob(df, "text", "doc_id", vocab_size=3, bigram_size=2).collect()
+    b = TX.bigram_logprob(
+        df.repartition(5), "text", "doc_id", vocab_size=3, bigram_size=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_unigram_logprob_vocab_cap_deterministic(spark):
     """Equal-count ties at the vocabulary cutoff break to the
     lexicographically smaller token, independent of layout."""

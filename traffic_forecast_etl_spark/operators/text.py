@@ -751,3 +751,129 @@ def unigram_logprob(
             F.round(F.avg(-logp / F.log(F.lit(2.0))), 6).alias("bits_per_token"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    backoff: float = 0.4,
+    persist_tracker: list | None = None,
+) -> DataFrame:
+    """Order-1 extension of ``unigram_logprob``: mean per-bigram log
+    probability under a STUPID-BACKOFF bigram model fit on the corpus
+    itself (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the backoff scheme built for exactly this
+    distributed-count setting; CCNet uses the same perplexity-proxy
+    idea with a shipped KenLM).
+
+    Model, fully determined by the corpus (no shipped weights):
+      - bigram table: top ``bigram_size`` (w1, w2) pairs by corpus
+        count (ties break (count desc, w1 asc, w2 asc) so the cut is
+        deterministic); for a table hit,
+        p(w2|w1) = c(w1,w2) / c(w1,·) — the MLE against the CONTEXT
+        marginal c(w1,·) = Σ_v c(w1,v), so in-table mass is a proper
+        conditional distribution;
+      - miss: backoff · p_uni(w2), with p_uni the Laplace-smoothed
+        CONTINUATION unigram (count of w as a bigram SECOND element;
+        doc-initial tokens contribute context only):
+        p_uni(w) = (cont(w)+1) / (T + V + 1), T = Σ cont (= total
+        bigram instances), vocabulary = top ``vocab_size`` tokens by
+        continuation count, OOV at count 0 — the same smoothing shape
+        as unigram_logprob. ``backoff`` = 0.4 is the paper's S value.
+
+    Plan shape — the corpus is scanned exactly TWICE, the r4-verdict
+    contract for LM scorers:
+      1. bigram build: the consecutive-pair stream is produced
+         map-only from the token array (native transform over an
+         index sequence — no self-join, no shuffle of positions) and
+         partial-agg'd into the bigram frequency table, which is
+         DISTINCT-BIGRAM-sized (≤ total tokens, orders below corpus
+         text) and persisted; the context marginal, continuation
+         counts, vocabulary cut, and totals are all derived from that
+         cached table without touching the corpus again. The context
+         ratio is pre-joined INTO the top-M table at build time, so
+         scoring needs no per-token context lookup.
+      2. scoring: the bigram stream again (same map-only shape), one
+         BROADCAST join against the M-row table, one broadcast join
+         against the V-row vocabulary, a 1-row totals broadcast, and
+         a per-doc partial-agg mean. Text never shuffles; the only
+         data-sized shuffles move ((w1,w2), count) and (doc, number)
+         pairs.
+
+    Docs with fewer than 2 tokens have no bigram rows and drop out
+    (the unigram operator's GROUP BY contract). Returns
+    (id, n_bigrams, mean_logprob, bits_per_token).
+
+    ``persist_tracker``: same lazy-result caller-must-clear contract
+    as ``unigram_logprob`` — the persisted frame here is the
+    distinct-bigram-sized frequency table (it feeds four derived
+    aggregates).
+    """
+    from pyspark import StorageLevel
+
+    toks_arr = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.lower(t)).alias("__t"),
+    )
+    bg = (
+        toks_arr.where(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t)-2),"
+                    " i -> struct(__t[i] AS __w1, __t[i+1] AS __w2))"
+                )
+            ).alias("__b"),
+        )
+        .select(id_col, "__b.__w1", "__b.__w2")
+    )
+    bfreq = (
+        bg.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_tracker is not None:
+        persist_tracker.append(bfreq)
+    ctx = bfreq.groupBy("__w1").agg(F.sum("__c").alias("__cc"))
+    top_bg = (
+        bfreq.orderBy(F.col("__c").desc(), F.col("__w1").asc(), F.col("__w2").asc())
+        .limit(bigram_size)
+        .join(ctx, "__w1")  # M rows; ratio denominator rides the table
+    )
+    cont = bfreq.groupBy("__w2").agg(F.sum("__c").alias("__cnt"))
+    vocab = (
+        cont.orderBy(F.col("__cnt").desc(), F.col("__w2").asc())
+        .limit(vocab_size)
+        .select(F.col("__w2").alias("__vtok"), F.col("__cnt").alias("__vcnt"))
+    )
+    totals = F.broadcast(
+        cont.agg(
+            F.sum("__cnt").alias("__T"),
+            F.least(F.count(F.lit(1)), F.lit(vocab_size).cast("long")).alias("__V"),
+        )
+    )
+    logp = F.when(
+        F.col("__c").isNotNull(),
+        F.log(F.col("__c").cast("double") / F.col("__cc").cast("double")),
+    ).otherwise(
+        F.log(
+            F.lit(float(backoff))
+            * (F.coalesce(F.col("__vcnt"), F.lit(0)) + 1).cast("double")
+            / (F.col("__T") + F.col("__V") + 1).cast("double")
+        )
+    )
+    return (
+        bg.join(F.broadcast(top_bg), ["__w1", "__w2"], "left")
+        .join(F.broadcast(vocab), F.col("__w2") == F.col("__vtok"), "left")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("mean_logprob"),
+            F.round(F.avg(-logp / F.log(F.lit(2.0))), 6).alias("bits_per_token"),
+        )
+    )

@@ -2708,6 +2708,63 @@ def t13_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "t15_bigram_logprob",
+    r"""
+    WITH low AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> ''), t -> lower(t)) AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM low, unnest(generate_series(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 2
+    ), bfreq AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), top_bg AS (
+      SELECT f.w1, f.w2, f.c, x.cc
+      FROM (SELECT w1, w2, c FROM bfreq ORDER BY c DESC, w1, w2 LIMIT 2000) f
+      JOIN (SELECT w1, sum(c) AS cc FROM bfreq GROUP BY w1) x USING (w1)
+    ), cont AS (
+      SELECT w2 AS tok, sum(c) AS cnt FROM bfreq GROUP BY w2
+    ), vocab AS (
+      SELECT tok, cnt FROM cont ORDER BY cnt DESC, tok LIMIT 500
+    ), tot AS (
+      SELECT (SELECT sum(cnt) FROM cont) AS t_total,
+             (SELECT count(*) FROM vocab) AS v_total
+    ), scored AS (
+      SELECT bg.doc_id,
+             CASE WHEN tb.c IS NOT NULL
+                  THEN ln(CAST(tb.c AS DOUBLE) / tb.cc)
+                  ELSE ln(0.4 * (coalesce(v.cnt, 0) + 1)
+                          / (tot.t_total + tot.v_total + 1)) END AS logp
+      FROM bg
+      LEFT JOIN top_bg tb ON bg.w1 = tb.w1 AND bg.w2 = tb.w2
+      LEFT JOIN vocab v ON bg.w2 = v.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(logp), 6) AS mean_logprob,
+           round(avg(-logp / ln(2.0)), 6) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t15_bigram_logprob(spark, sf_dir):
+    """Order-1 LM quality proxy (VERDICT r4 #8): mean per-bigram log
+    probability under a stupid-backoff bigram model (Brants et al.
+    2007) fit on the corpus itself — in-table bigrams score their
+    context-conditional MLE, misses back off to 0.4 × the Laplace
+    continuation unigram. Small table cuts here (top-2000 bigrams /
+    top-500 vocab) so BOTH the hit and backoff paths are exercised at
+    sf0.01. Two corpus scans (bigram freq build + scoring stream);
+    model tables broadcast; text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_logprob(
+        docs, "text", "doc_id", vocab_size=500, bigram_size=2000
+    )
+
+
+@query(
     "t14_gopher_rules",
     """
     WITH base AS (
@@ -4011,6 +4068,7 @@ _SWEEP_PRIORITY = [
     "t14_gopher_rules", "d15_semantic_dedup", "d2_minhash_lsh",
     "c7_embedding_decontaminate", "d6_near_dedup_filter", "c1_curate_corpus",
     "t13_unigram_logprob",
+    "t15_bigram_logprob",  # NEW in round 5 (stupid-backoff bigram LM)
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
