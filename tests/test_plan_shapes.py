@@ -195,6 +195,8 @@ _CARTESIAN_OK = {
     "c6_adaptive_quality_gate",
     # 1-row (N, V) totals frame broadcast onto the token stream
     "t13_unigram_logprob",
+    # 1-row (T, V) totals frame broadcast onto the bigram stream
+    "t15_bigram_logprob",
     # broadcast eval-set × corpus: the eval set is small BY CONTRACT
     # (same shape as s1's query side); corpus never shuffles
     "c7_embedding_decontaminate",

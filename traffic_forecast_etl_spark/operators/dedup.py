@@ -637,27 +637,32 @@ def minhash_lsh_pairs(
             F.col(restrict_ids.columns[0]).alias("__id")
         )
         with_sig = with_sig.join(keep, "__id", "left_semi")
-    with_sig = with_sig.persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # feeds both sides of the band self-join (+ the rep groupBy)
-    if persist_tracker is not None:
-        persist_tracker.append(with_sig)
     member_edges = None
     if collapse_exact:
-        reps = with_sig.groupBy("__fp").agg(F.min("__id").alias("__rep"))
-        member_edges = (
-            with_sig.select("__id", "__fp")
-            .join(reps, "__fp")
-            .filter(F.col("__id") != F.col("__rep"))
-            .select(
-                F.col("__rep").alias("id1"),
-                F.col("__id").alias("id2"),
-                F.lit(1.0).alias("jaccard"),
-                F.lit(True).alias("exact_member"),
-            )
+        # single fp-keyed shuffle: a whole-partition window min marks
+        # each row with its group representative, from which BOTH the
+        # member edges (id != rep) and the rep-restricted banding
+        # input (id == rep) project as cache-reading filters — the
+        # groupBy + semi-join formulation paid two exchanges plus a
+        # join for the same information. The persist sits ABOVE the
+        # window so the window runs once, not once per self-join side.
+        with_sig = with_sig.withColumn(
+            "__rep", F.min("__id").over(Window.partitionBy("__fp"))
         )
-        with_sig = with_sig.drop("__fp").join(
-            reps.select(F.col("__rep").alias("__id")), "__id", "left_semi"
+    with_sig = with_sig.persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # feeds both sides of the band self-join (+ the member edges)
+    if persist_tracker is not None:
+        persist_tracker.append(with_sig)
+    if collapse_exact:
+        member_edges = with_sig.filter(F.col("__id") != F.col("__rep")).select(
+            F.col("__rep").alias("id1"),
+            F.col("__id").alias("id2"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit(True).alias("exact_member"),
+        )
+        with_sig = with_sig.filter(F.col("__id") == F.col("__rep")).drop(
+            "__rep", "__fp"
         )
     lsh = _pairs_from_packed(
         with_sig,
