@@ -381,6 +381,55 @@ def test_semantic_dedup_auto_k_deterministic_and_sane(spark, emb):
     assert len(out1) >= exact_n
 
 
+def test_semantic_dedup_hierarchical_path(spark, emb):
+    """The large-k two-level quantizer (flat_max_centroids forced
+    below k so it engages at test scale): deterministic under the
+    seed, valid survivor set, and — like any clustering refinement —
+    it can only MISS pairs vs the exact k=1 path, so its survivor
+    count is bounded below by the exact path's."""
+    from traffic_forecast_etl_spark.operators.similarity import semantic_dedup
+
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    kw = dict(threshold=0.3, n_centroids=12, flat_max_centroids=4)
+    out1 = {r.vec_id for r in semantic_dedup(emb, "embedding", "vec_id", **kw).collect()}
+    out2 = {r.vec_id for r in semantic_dedup(emb, "embedding", "vec_id", **kw).collect()}
+    assert out1 == out2
+    assert out1 and out1 <= all_ids
+    exact_n = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_centroids=1
+    ).count()
+    assert len(out1) >= exact_n
+
+
+def test_hierarchical_assign_partition_and_ccos(spark, emb):
+    """hierarchical_assign invariants: every input row appears exactly
+    once; global cluster ids are unique per (super, local) pair;
+    __ccos equals the cosine between the row and ITS cluster's mean
+    vector (recomputed independently per cluster)."""
+    import numpy as np
+
+    from traffic_forecast_etl_spark.operators.similarity import (
+        hierarchical_assign,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 400)
+    rows = hierarchical_assign(sub, "embedding", "vec_id", 9).collect()
+    ids = [r["__cid"] for r in rows]
+    assert sorted(ids) == sorted(r.vec_id for r in sub.collect())
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    assert 1 < len(by_cluster) <= 12  # ≈k clusters, ids globally unique
+    for members in by_cluster.values():
+        M = np.asarray([np.asarray(m["__cv"], dtype=np.float64) for m in members])
+        cent = M.mean(0)
+        for m, v in zip(members, M):
+            exp = float(
+                v @ cent / (np.linalg.norm(v) * max(np.linalg.norm(cent), 1e-300))
+            )
+            assert abs(m["__ccos"] - exp) < 1e-9
+
+
 def test_semantic_cluster_pairs_chunking_invariant(spark, emb):
     """The chunked matmul's global-index offset logic: tiny chunks
     must produce exactly the pairs one full-matrix pass does."""

@@ -807,18 +807,101 @@ def auto_semantic_k(
     corpus size. The costs that grow with k instead stay manageable:
     the centroid broadcast is k·d·8 bytes (32 MB at the 65 536 cap,
     d=64) and flat nearest-centroid assignment is n·k·d FLOPs of JVM
-    matmul — the term that eventually dominates, which is why k is
-    capped: past n = max_k·c̄ (~67M vectors at the defaults) a flat
-    quantizer should give way to a two-level IVF (assign to √k
-    super-cells, then to child centroids within the cell), which cuts
-    assignment to n·2√k·d. The cap keeps the flat path honest rather
-    than silently quadratic; callers at that scale raise
-    ``target_cluster_size`` or pre-shard the corpus.
+    matmul — the term that eventually dominates for a FLAT quantizer,
+    which is why ``semantic_dedup`` switches to the two-level
+    quantizer (``hierarchical_assign``: √k super-cells via MLlib,
+    then a per-cell in-memory Lloyd pass — assignment n·2√k·iters)
+    once k exceeds its ``flat_max_centroids``. The cap here bounds
+    the centroid id space; callers past n = max_k·c̄ (~67M vectors at
+    the defaults) raise ``target_cluster_size`` or pre-shard the
+    corpus.
 
     Floor of 2 because MLlib KMeans requires k ≥ 2 (k=1 takes the
     exact mean-vector path in ``ivf_assign``).
     """
     return max(2, min(max_k, math.ceil(n_rows / max(1, target_cluster_size))))
+
+
+def _lloyd(M: "np.ndarray", k: int, seed: int, iters: int = 8):
+    """Deterministic in-memory k-means for one super-cell of the
+    two-level quantizer: seeded sample init, matmul-form assignment
+    (argmin of |c|² − 2·M·Cᵀ — never materializes an (n, k, d)
+    tensor), mean update with empty clusters left in place. Returns
+    (centroids (k', d), labels (n,)) with k' = min(k, n)."""
+    n = len(M)
+    k = max(1, min(k, n))
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(n, size=k, replace=False)].copy()
+    labels = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        labels = ((C * C).sum(1) - 2.0 * (M @ C.T)).argmin(1)
+        for j in range(k):
+            members = M[labels == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C, labels
+
+
+def hierarchical_assign(
+    corpus: DataFrame,
+    vec_col: str,
+    corpus_id: str,
+    n_centroids: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-level coarse quantizer — the large-k path of
+    ``semantic_dedup``: flat nearest-centroid assignment costs
+    n·k·d FLOPs, which with k ∝ n is the quadratic wall
+    ``auto_semantic_k`` documents. Splitting k = k1·k2 with
+    k1 = ⌈√k⌉ assigns each row to one of k1 SUPER-cells first
+    (MLlib fit on a sample, broadcast transform — n·k1·d), then fits
+    k2 sub-centroids INSIDE each super-cell with a deterministic
+    in-memory Lloyd pass (one Arrow batch per cell, n·k2·d·iters
+    total across cells) — assignment drops from n·k to n·(k1 +
+    k2·iters) ≈ n·2√k·iters FLOPs, and no centroid table of size k
+    is ever broadcast.
+
+    Returns (__cid, __cv, centroid_id, __ccos): the global cluster id
+    is super_id·k2 + local_id (ids unique by construction), and
+    ``__ccos`` — each row's cosine to its OWN sub-centroid, the
+    SemDeDup keep-rule score — is computed inside the kernel where
+    the centroid is already in memory, so the caller needs no
+    centroid join at all. Determinism: cell rows are sorted by id
+    before the seeded Lloyd, so the result is independent of
+    partition layout; the per-cell seed mixes the super-cell id.
+
+    Per-task memory is one super-cell (≈ n/k1 rows × d doubles);
+    skewed cells degrade to longer matmuls, not OOM, since Lloyd's
+    working set is (cell, k2), not (cell, cell)."""
+    k1 = max(2, math.isqrt(max(1, n_centroids - 1)) + 1)  # ⌈√k⌉
+    k2 = max(1, math.ceil(n_centroids / k1))
+    assigned1, _ = ivf_assign(
+        corpus, vec_col, corpus_id, k1, sample_fraction=1.0, seed=seed
+    )
+    out_schema = (
+        "__cid long, __cv array<double>, centroid_id long, __ccos double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__cid")
+        super_id = int(pdf["centroid_id"].iloc[0])
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+        C, labels = _lloyd(M, k2, seed * 1_000_003 + super_id)
+        own = C[labels]
+        ccos = (M * own).sum(1) / (
+            np.maximum(np.linalg.norm(M, axis=1), 1e-300)
+            * np.maximum(np.linalg.norm(own, axis=1), 1e-300)
+        )
+        return pd.DataFrame(
+            {
+                "__cid": pdf["__cid"].to_numpy(dtype=np.int64),
+                "__cv": list(pdf["__cv"]),
+                "centroid_id": super_id * k2 + labels,
+                "__ccos": ccos,
+            }
+        )
+
+    return assigned1.groupBy("centroid_id").applyInPandas(kernel, out_schema)
 
 
 def semantic_dedup(
@@ -830,6 +913,7 @@ def semantic_dedup(
     target_cluster_size: int = 1024,
     seed: int = 42,
     release_cache: bool = True,
+    flat_max_centroids: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — k-means cluster, find
@@ -861,7 +945,12 @@ def semantic_dedup(
     matmul moves ids, never vectors. In auto mode the k-means FIT is
     also sampled to ~128 training rows per centroid (the usual
     coarse-quantizer regime), so fit cost is 128·k²·d·iters instead
-    of n·k·d·iters.
+    of n·k·d·iters. Past ``flat_max_centroids`` the flat quantizer's
+    own n·k·d assignment matmul becomes the quadratic term (k ∝ n),
+    so assignment switches to the two-level ``hierarchical_assign``
+    (√k super-cells, per-cell Lloyd): n·2√k·iters — the same
+    flat-vs-IVF tradeoff the ANN plane makes, applied to the
+    clustering pass itself.
     """
     from pyspark import StorageLevel
 
@@ -874,22 +963,30 @@ def semantic_dedup(
         n_rows = df.select(F.col(id_col)).count()
         n_centroids = auto_semantic_k(n_rows, target_cluster_size)
         sample_fraction = min(1.0, (128.0 * n_centroids) / max(1, n_rows))
-    assigned, cent = ivf_assign(
-        df, vec_col, id_col, n_centroids,
-        sample_fraction=sample_fraction, seed=seed,
-    )
+    if n_centroids > flat_max_centroids:
+        # large-k path: two-level quantizer (n·2√k·iters assignment
+        # instead of n·k; keep-rule cosine computed in-kernel)
+        assigned = hierarchical_assign(df, vec_col, id_col, n_centroids, seed)
+    else:
+        flat, cent = ivf_assign(
+            df, vec_col, id_col, n_centroids,
+            sample_fraction=sample_fraction, seed=seed,
+        )
+        # keep-rule score: cosine of each clustered member to its own
+        # centroid (broadcast join + native fold — one pass, map-only)
+        assigned = (
+            flat.join(F.broadcast(cent), "centroid_id")
+            .withColumn(
+                "__ccos",
+                _dot(F.col("__cv"), F.col("centroid"))
+                / (_norm(F.col("__cv")) * _norm(F.col("centroid"))),
+            )
+            .drop("centroid")
+        )
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = semantic_cluster_pairs(assigned, threshold)
     comp = connected_components(pairs.select("id1", "id2"))
-    # keep-rule score: cosine of each clustered member to its own
-    # centroid (broadcast join + native fold — one pass, map-only)
-    ccos = assigned.join(F.broadcast(cent), "centroid_id").select(
-        F.col("__cid").alias("node"),
-        (
-            _dot(F.col("__cv"), F.col("centroid"))
-            / (_norm(F.col("__cv")) * _norm(F.col("centroid")))
-        ).alias("__ccos"),
-    )
+    ccos = assigned.select(F.col("__cid").alias("node"), "__ccos")
     w = Window.partitionBy("component").orderBy(
         F.col("__ccos").asc(), F.col("node").asc()
     )
