@@ -66,13 +66,14 @@ DUP_KEYS = ["d2_minhash_lsh", "d6_near_dedup_filter"]
 
 
 def _d2_capped(spark, sf_dir):
-    """Standalone pairs operator WITH the max_band_width backstop —
-    the documented guard for duplicate-heavy corpora when the caller
-    can't (or won't) run the exact-first composite (d6). Uncapped d2
-    on the dup corpus is OUTPUT-bound quadratic (every pair inside a
-    duplicate group is a true pair a pairs-operator must emit); the
-    capped form bounds candidate AND output volume, trading recall on
-    exactly the flooded-template content."""
+    """Standalone pairs operator WITH the max_band_width backstop on
+    top of the (since r5, default) collapse_exact guard. collapse
+    handles BYTE-IDENTICAL floods exactly (linear factored output);
+    the cap additionally bounds candidate volume for NON-identical
+    floods (template spam with varied fills), trading recall on
+    exactly the flooded content. r4's uncapped-uncollapsed d2 read
+    exponent 1.81 on this corpus; collapse alone reads 0.93 (the
+    `d2_minhash_lsh_dup` series), collapse+cap 0.47."""
     from traffic_forecast_etl_spark.operators import dedup as D
     from traffic_forecast_etl_spark.sources.tables import load_table
 
