@@ -72,6 +72,12 @@ HEADLINE = [
     "c7_embedding_decontaminate",
     # round-5 addition: stupid-backoff bigram LM quality scoring
     "t15_bigram_logprob",
+    # round-5 second wave: fuzzy entity join (k-deletion blocking),
+    # corpus-level duplicate-n-gram contamination metric, first-class
+    # connected components over the exact-Jaccard graph
+    "j11_edit_distance_join",
+    "t16_corpus_dup_ngrams",
+    "g1_connected_components",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

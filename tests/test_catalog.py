@@ -386,3 +386,89 @@ def test_interval_overlap_join_emits_each_pair_once(spark):
     got = {(r.lid, r.rid): r.overlap_seconds for r in rows}
     # (1,10) overlaps bins 1-3 — exactly one row; (2,11) touch at 600
     assert got == {(1, 10): 250.0, (2, 11): 0.0}
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    """Completeness of the k-deletion-neighborhood blocking (FastSS):
+    on a mixed fixture — insertions, deletions, substitutions at
+    every position, transposition (= 2 edits), unicode, empty string,
+    heavy duplication — the operator's pair set must EQUAL the
+    brute-force nested-loop Levenshtein pair set for k=1 and k=2.
+    Duplicated input rows must not duplicate output pairs (the
+    distinct-string collapse)."""
+    from traffic_forecast_etl_spark.operators.joins import edit_distance_join
+
+    names = [
+        "red widget", "red widgets", "rd widget", "red widgit", "redwidget",
+        "blue bolt", "blu bolt", "bleu bolt", "blue blot",  # transposition
+        "small ring", "small rings", "smallring", "big ring",
+        "café", "cafe", "", "x", "xy", "yx",
+    ]
+    rows = [(n,) for n in names] * 3  # duplication must be collapsed
+    df = spark.createDataFrame(rows, "name string")
+    import itertools
+
+    for k in (1, 2):
+        got = sorted(
+            (r.left_val, r.right_val, r.dist)
+            for r in edit_distance_join(df, df, "name", "name", max_dist=k)
+            .filter(F.col("left_val") < F.col("right_val"))
+            .collect()
+        )
+        expect = sorted(
+            (a, b, _py_levenshtein(a, b))
+            for a, b in itertools.combinations(sorted(set(names)), 2)
+            if _py_levenshtein(a, b) <= k
+        )
+        assert got == expect, f"k={k}"
+
+
+def test_edit_distance_join_max_len_guard(spark):
+    """Strings beyond max_len raise instead of silently building a
+    C(len, <=k)-sized neighborhood."""
+    import pytest
+
+    from traffic_forecast_etl_spark.operators.joins import edit_distance_join
+
+    df = spark.createDataFrame([("a" * 100,)], "name string")
+    with pytest.raises(ValueError, match="max_len"):
+        edit_distance_join(df, df, "name", "name", max_dist=2, max_len=64)
+
+
+def test_g1_components_partition_and_label_semantics(spark, sf_dir):
+    """g1 invariants on real data: every doc appears exactly once,
+    component labels are component MINIMA (each label belongs to its
+    own component), and the components partition the d4 edge set
+    (every edge endpoint pair shares a label; no cross-component
+    edges)."""
+    from traffic_forecast_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = {
+        r.doc_id: r.component
+        for r in queries()["g1_connected_components"](spark, sf_dir).collect()
+    }
+    assert len(comp) == docs.count()
+    # label is the minimum member of its component
+    import collections
+
+    members = collections.defaultdict(list)
+    for d, c in comp.items():
+        members[c].append(d)
+    for c, ms in members.items():
+        assert min(ms) == c
+    # every edge is intra-component
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).collect()
+    assert pairs, "fixture should produce edges"
+    for r in pairs:
+        assert comp[r.id1] == comp[r.id2]

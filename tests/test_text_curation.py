@@ -427,3 +427,49 @@ def test_unigram_logprob_vocab_cap_deterministic(spark):
     exp = (2 * math.log(9 / 35) + 2 * math.log(1 / 35)) / 4
     for r in a:
         assert r.mean_logprob == pytest.approx(exp, abs=1e-6)
+
+
+def test_corpus_dup_ngrams_hand_fixture(spark):
+    """Three docs: A and B share their full 3-gram set (identical
+    text), C is disjoint. A/B must score dup_fraction 1.0, C 0.0; a
+    short doc (< n tokens) still yields exactly one gram."""
+    from traffic_forecast_etl_spark.operators.text import corpus_duplicate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+            (4, "iota kappa"),  # shorter than n -> one whole-doc gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_duplicate_ngrams(docs, "text", "doc_id", n=3).collect()
+    }
+    # "alpha beta gamma delta" -> grams {"alpha beta gamma", "beta gamma delta"}
+    assert out[1]["n_grams"] == 2 and out[1]["dup_fraction"] == 1.0
+    assert out[2]["n_grams"] == 2 and out[2]["dup_fraction"] == 1.0
+    assert out[3]["n_grams"] == 2 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["n_grams"] == 1 and out[4]["n_dup_grams"] == 0
+
+
+def test_corpus_dup_ngrams_hash_mode_matches_string_mode(spark, sf_dir):
+    """The 100 TB path (xxhash64 grams below both exchanges) must
+    produce the identical result to the oracle-checkable string mode
+    — hashing may only change what shuffles, never what's counted
+    (absent a 64-bit collision, which test scale cannot produce)."""
+    from traffic_forecast_etl_spark.operators.text import corpus_duplicate_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = sorted(map(tuple, corpus_duplicate_ngrams(docs, "text", "doc_id", n=8).collect()))
+    h = sorted(
+        map(
+            tuple,
+            corpus_duplicate_ngrams(
+                docs, "text", "doc_id", n=8, hash_grams=True
+            ).collect(),
+        )
+    )
+    assert s == h

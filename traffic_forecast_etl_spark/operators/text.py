@@ -877,3 +877,59 @@ def bigram_logprob(
             F.round(F.avg(-logp / F.log(F.lit(2.0))), 6).alias("bits_per_token"),
         )
     )
+
+
+def corpus_duplicate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Corpus-level duplicate n-gram fraction per document: for each
+    document, the share of its DISTINCT word n-grams that also occur
+    in at least one OTHER document. The memorization-risk metric of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better" §4 reports corpora by fraction of duplicated
+    n-grams) — unlike t11's within-document repetition, this scores
+    each document against the WHOLE corpus, which is what decides
+    whether near-dedup thresholds are leaving contamination behind.
+
+    Returns (id_col, n_grams, n_dup_grams, dup_fraction). Documents
+    shorter than ``n`` tokens contribute their full token sequence as
+    one shingle (the ``exploded_word_shingles`` contract shared with
+    d4/d13), so every document appears in the output and the fraction
+    is never 0/0.
+
+    Scale shape: two shuffles, both on small keys — a document-
+    frequency aggregate keyed by the shingle, then the per-document
+    rollup keyed by the id. With ``hash_grams=True`` the shingle
+    string is collapsed to ``xxhash64`` BEFORE the exchange, so at
+    corpus scale the wide text never shuffles (the same trick as d1's
+    fingerprint dedup); a hash collision can only merge two shingles'
+    document-frequency counts, which errs toward COUNTING a gram as
+    duplicated — the conservative direction for a contamination
+    metric. The string mode exists so the DuckDB oracle can verify
+    values bit-for-bit; a pytest pin holds the two modes equal at
+    test scale.
+    """
+    from .dedup import exploded_word_shingles
+
+    sh = exploded_word_shingles(df, text_col, id_col, n)
+    if hash_grams:
+        sh = sh.select("__id", F.xxhash64("__s").alias("__s"))
+    freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(freq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+    )

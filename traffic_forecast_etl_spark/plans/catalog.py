@@ -4036,6 +4036,157 @@ def st6_rollup_maintenance(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: fuzzy entity join, corpus-level contamination
+# metric, first-class connected components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j11_edit_distance_join",
+    """
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def j11_edit_distance_join(spark, sf_dir):
+    """Fuzzy self-join of part names within edit distance 2 — the
+    entity-dedup primitive (typo'd titles/names) via the k-deletion
+    neighborhood blocking of operators/joins.py edit_distance_join:
+    distinct-name collapse first (2 000 part rows carry 64 distinct
+    names — the d2 flood lesson), then an 8-byte variant-hash
+    equi-join, then threshold-Levenshtein verification. The oracle is
+    the nested-loop form, safe at oracle scale only. Group
+    multiplicities ride along so id-level expansion stays a trailing
+    equi-join."""
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = J.edit_distance_join(names, names, "p_name", "p_name", max_dist=2).filter(
+        F.col("left_val") < F.col("right_val")
+    )
+    return (
+        pairs.join(
+            names.select(F.col("p_name").alias("left_val"), F.col("cnt").alias("cnt_a")),
+            "left_val",
+        )
+        .join(
+            names.select(F.col("p_name").alias("right_val"), F.col("cnt").alias("cnt_b")),
+            "right_val",
+        )
+        .select(
+            F.col("left_val").alias("name_a"),
+            F.col("right_val").alias("name_b"),
+            "dist",
+            "cnt_a",
+            "cnt_b",
+        )
+    )
+
+
+@query(
+    "t16_corpus_dup_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                                '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+7], ' ')
+                     for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS s
+      FROM toks
+    ), gf AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           round(CAST(sum(CASE WHEN gf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM sh JOIN gf ON sh.s = gf.s
+    GROUP BY sh.doc_id
+    """,
+)
+def t16_corpus_dup_ngrams(spark, sf_dir):
+    """Corpus-level duplicate word-8-gram fraction per document (Lee
+    et al. 2022's memorization-risk metric) — each document scored
+    against the WHOLE corpus, not itself (that's t11). String-gram
+    mode here so the oracle verifies values exactly; the
+    ``hash_grams=True`` twin (xxhash64 below both exchanges, wide
+    text never shuffles) is the 100 TB path and is pytest-pinned
+    equal to this mode."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.corpus_duplicate_ngrams(docs, "text", "doc_id", n=8)
+
+
+@query(
+    "g1_connected_components",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                                '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id1, id2 FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.2
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2, id1 FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def g1_connected_components(spark, sf_dir):
+    """Connected components as a FIRST-CLASS operator (the primitive
+    every near-dedup group collapse rides on, dedup.py
+    connected_components: pointer-jumping min-label propagation,
+    O(log diameter) rounds, driver union-find below the edge
+    threshold) — exposed over the exact 3-gram Jaccard graph (d4's
+    edge set) with singleton documents keeping their own id. The
+    oracle computes the same fixpoint as a recursive-CTE transitive
+    closure, so the distributed propagation is value-verified, not
+    just row-counted."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).select(
+        "id1", "id2"
+    )
+    comp = D.connected_components(pairs)
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry
 # ---------------------------------------------------------------------------
 
@@ -4069,6 +4220,10 @@ _SWEEP_PRIORITY = [
     "c7_embedding_decontaminate", "d6_near_dedup_filter", "c1_curate_corpus",
     "t13_unigram_logprob",
     "t15_bigram_logprob",  # NEW in round 5 (stupid-backoff bigram LM)
+    # NEW in round 5, second wave: fuzzy entity join, corpus-level
+    # contamination metric, first-class connected components
+    "j11_edit_distance_join", "t16_corpus_dup_ngrams",
+    "g1_connected_components",
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
