@@ -51,6 +51,14 @@ KEYS = [
     "d13_segment_dedup",
     "d14_duplicate_spans",
     "d15_semantic_dedup",
+    # r5 second wave: corpus-level duplicate-n-gram metric (catalog =
+    # oracle-checkable string-gram mode) and first-class connected
+    # components over the d4 edge set. j11_edit_distance_join is
+    # deliberately absent: its domain is the DISTINCT-string set of a
+    # bounded name vocabulary (64 names at every sf), so a corpus-size
+    # series would measure the scan, not the operator.
+    "t16_corpus_dup_ngrams",
+    "g1_connected_components",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py
@@ -100,6 +108,19 @@ def _c7_lsh(spark, sf_dir):
         emb, ev, "embedding", "vec_id", "vec_id",
         threshold=0.4, method="lsh",
     ).select("vec_id", "label")
+
+
+def _t16_hash(spark, sf_dir):
+    """t16's 100 TB path: grams collapse to xxhash64 BEFORE both
+    exchanges so the wide document text never shuffles. The catalog
+    entry stays in string mode for oracle verifiability; this series
+    shows the hash mode's slope (and, against the t16 series, what
+    string shuffles cost at each sf)."""
+    from traffic_forecast_etl_spark.operators import text as TX
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.corpus_duplicate_ngrams(docs, "text", "doc_id", n=8, hash_grams=True)
 
 
 def _code_fingerprint() -> str:
@@ -171,6 +192,7 @@ def main() -> None:
         + [(key + "_dup", QUERIES[key], dup_pts) for key in DUP_KEYS]
         + [("d2_minhash_lsh_dup_capped", _d2_capped, dup_pts)]
         + [("c7_lsh_decontaminate", _c7_lsh, pts)]
+        + [("t16_hash_grams", _t16_hash, pts)]
     )
     if only is not None:
         plan = [p for p in plan if p[0] in only]
