@@ -472,3 +472,34 @@ def test_g1_components_partition_and_label_semantics(spark, sf_dir):
     assert pairs, "fixture should produce edges"
     for r in pairs:
         assert comp[r.id1] == comp[r.id2]
+
+
+def test_edit_distance_join_randomized_brute_force(spark):
+    """Wider completeness sweep: 60 deterministic pseudo-random short
+    strings over a 4-letter alphabet (dense edit-neighborhood space —
+    far more ed<=2 pairs than real names produce) must give exactly
+    the brute-force pair set at k=2. Catches blocking bugs a curated
+    fixture can miss (e.g. boundary deletions, repeated chars)."""
+    import itertools
+    import random
+
+    from traffic_forecast_etl_spark.operators.joins import edit_distance_join
+
+    rng = random.Random(20260815)
+    names = list({
+        "".join(rng.choice("abcd") for _ in range(rng.randint(0, 8)))
+        for _ in range(60)
+    })
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = sorted(
+        (r.left_val, r.right_val, r.dist)
+        for r in edit_distance_join(df, df, "name", "name", max_dist=2)
+        .filter(F.col("left_val") < F.col("right_val"))
+        .collect()
+    )
+    expect = sorted(
+        (a, b, _py_levenshtein(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if _py_levenshtein(a, b) <= 2
+    )
+    assert got == expect and len(expect) > 50
