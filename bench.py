@@ -78,6 +78,11 @@ HEADLINE = [
     "j11_edit_distance_join",
     "t16_corpus_dup_ngrams",
     "g1_connected_components",
+    # round-5 third wave: BM25 retrieval scoring, cross-source
+    # priority dedup, JL sign random projection
+    "t17_bm25_search",
+    "d16_priority_dedup",
+    "s5_random_projection",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

@@ -627,3 +627,81 @@ def test_collapse_exact_expansion_equivalence(spark):
     }
     assert {(1, 2), (1, 3), (2, 3), (5, 6)} <= set(flat)
     assert expanded == flat
+
+
+def test_priority_dedup_keep_rule(spark):
+    """Both branches of the survivor rule: priority wins over id
+    (group A: id 10/prio 2 loses to id 20/prio 0), and equal
+    priorities fall to min id (group B: 30 beats 40). Unique docs
+    survive untouched with dup_count 1."""
+    from traffic_forecast_etl_spark.operators.dedup import priority_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (10, "same text a", 2),
+            (20, "same text a", 0),
+            (25, "same text a", 1),
+            (30, "same text b", 1),
+            (40, "same text b", 1),
+            (50, "unique", 9),
+        ],
+        "doc_id long, text string, priority int",
+    )
+    got = {
+        r.doc_id: r.dup_count
+        for r in priority_dedup(docs, "text", "doc_id", "priority").collect()
+    }
+    assert got == {20: 3, 30: 2, 50: 1}
+
+
+def test_priority_dedup_constant_priority_is_exact_dedup(spark, sf_dir):
+    """With a constant priority the keep rule degenerates to min-id —
+    survivor ids must equal exact_dedup's on a corpus WITH real
+    duplicate groups (documents unioned with a shifted copy)."""
+    from traffic_forecast_etl_spark.operators.dedup import (
+        exact_dedup,
+        priority_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).withColumn("priority", F.lit(0))
+    exact = {(r.doc_id, r.dup_count) for r in exact_dedup(dup, "text", "doc_id").collect()}
+    pri = {
+        (r.doc_id, r.dup_count)
+        for r in priority_dedup(dup, "text", "doc_id", "priority").collect()
+    }
+    assert pri == exact and all(c == 2 for _, c in pri)
+
+
+def test_priority_dedup_filter_path_matches_counts_path(spark, sf_dir):
+    """keep_counts=False (anti-join-the-losers, the 100 TB filter
+    shape) must keep exactly the same rows as the counts path."""
+    from traffic_forecast_etl_spark.operators.dedup import priority_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).withColumn("priority", (F.col("doc_id") % 2).cast("int"))
+    a = priority_dedup(dup, "text", "doc_id", "priority")
+    b = priority_dedup(dup, "text", "doc_id", "priority", keep_counts=False)
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_priority_dedup_winner_election_text_never_keys_shuffles(spark, sf_dir):
+    """d1's scale contract, inherited: every hash-partitioned
+    exchange is keyed by the fingerprint or the id — never the text —
+    and the min_by winner election partial-aggregates map-side."""
+    import re
+
+    from traffic_forecast_etl_spark.operators.dedup import priority_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("priority")
+    )
+    out = priority_dedup(docs, "text", "doc_id", "priority")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text" not in ex, ex
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan[:1500]

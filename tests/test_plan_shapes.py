@@ -190,6 +190,9 @@ _CARTESIAN_OK = {
     "q17_below_avg_parts", "p_const_first_row",
     # 1-row corpus-count (IDF denominator) broadcast onto the TF stream
     "t7_tfidf_topterms",
+    # 1-row BM25 stats frame (N, avgdl, df per query term) broadcast
+    # onto the map-only tf stream
+    "t17_bm25_search",
     # 1-row exact-percentile threshold broadcast onto the corpus
     # (minmax_normalize_expr shape)
     "c6_adaptive_quality_gate",

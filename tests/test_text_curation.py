@@ -473,3 +473,63 @@ def test_corpus_dup_ngrams_hash_mode_matches_string_mode(spark, sf_dir):
         )
     )
     assert s == h
+
+
+def test_bm25_hand_fixture(spark):
+    """Exact BM25 values on a 3-doc corpus, derived by hand:
+    N=3, avgdl=(3+2+4)/3=3.0, query={cat, mouse}, df_cat=df_mouse=1,
+    idf=ln(1 + (3-1+0.5)/1.5)=ln(8/3). doc 1 (tf_cat=2, dl=3):
+    idf*4.4/(2+1.2*1.0); doc 2 (tf_mouse=1, dl=2):
+    idf*2.2/(1+1.2*(0.25+0.5)); doc 3 matches nothing -> filtered."""
+    import math
+
+    from traffic_forecast_etl_spark.operators.text import bm25_score
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog mouse"), (3, "bird bird bird bird")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.doc_len, r.n_matched, r.score)
+        for r in bm25_score(docs, "text", "doc_id", ["cat", "mouse"]).collect()
+    }
+    idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    exp1 = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3.0))
+    exp2 = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 3.0))
+    assert set(got) == {1, 2}
+    assert got[1] == (3, 1, round(exp1, 6))
+    assert got[2] == (2, 1, round(exp2, 6))
+
+
+def test_bm25_topk_total_order(spark):
+    """top_k cuts on (rounded score desc, id asc) — byte-identical
+    docs tie on score, so the cut must fall to the lower id, and the
+    top-k list must be a prefix of the full ordering."""
+    from traffic_forecast_etl_spark.operators.text import bm25_score
+
+    docs = spark.createDataFrame(
+        [(7, "cat cat dog"), (3, "cat cat dog"), (9, "cat"), (5, "dog")],
+        "doc_id long, text string",
+    )
+    full = bm25_score(docs, "text", "doc_id", ["cat"]).orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    top3 = bm25_score(docs, "text", "doc_id", ["cat"], top_k=3)
+    full_ids = [r.doc_id for r in full.collect()]
+    # doc 9 ("cat", dl=1) outranks the tf=2/dl=3 twins via length
+    # normalization; the twins tie and break to the lower id
+    assert [r.doc_id for r in top3.collect()] == full_ids[:3] == [9, 3, 7]
+
+
+def test_bm25_plan_stays_narrow(spark, sf_dir):
+    """The BM25 scale contract: NO token explode, NO hash-partitioned
+    exchange anywhere — the only exchanges are the 1-row stats
+    aggregate (SinglePartition over |terms| counters) and its
+    broadcast back onto the map-only scoring stream."""
+    from traffic_forecast_etl_spark.operators.text import bm25_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_score(docs, "text", "doc_id", ["dup", "customer", "spark"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode of the token stream

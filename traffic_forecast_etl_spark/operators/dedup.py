@@ -1475,3 +1475,66 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def priority_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    priority_col: str,
+    keep_counts: bool = True,
+) -> DataFrame:
+    """Cross-source exact dedup with a survivor PREFERENCE: within
+    each duplicate group (byte-identical normalized text) keep the
+    row with the LOWEST ``priority_col`` value, ties broken by min
+    id — the Pile/RefinedWeb-style cross-source rule ("prefer the
+    curated copy over the crawl copy") that plain ``exact_dedup``'s
+    min-id convention cannot express.
+
+    Winner election (both paths): shuffles only (fingerprint,
+    priority, id) triples with full map-side partial aggregation —
+    ``min_by`` over a (priority, id) struct is an ordinary
+    partial-merge aggregate, so a duplicate flood combines in the map
+    stage; the winners frame is ~16 bytes/group. With a constant
+    priority column this degenerates to exact_dedup's min-id
+    semantics (pytest-pinned).
+
+    Survivor recovery — two shapes, same result (pytest-pinned
+    equal):
+
+    - ``keep_counts=True`` (default; the oracle form): inner id-join
+      against the winner list, attaching ``dup_count`` (group size).
+      Costs one row-carrying exchange of the corpus keyed by id —
+      fine when you wanted id-partitioned output anyway.
+    - ``keep_counts=False`` (the 100 TB filter path): derive the
+      LOSER id list (members minus winners — narrow triples only)
+      and anti-join the corpus against it. Duplicates are the
+      minority in a real crawl, so the loser list is small enough
+      for AQE to broadcast the anti-join and the document text then
+      crosses the wire ZERO times (d6 near_dedup_filter's shape).
+
+    Returns surviving rows (all original columns), plus
+    ``dup_count`` when ``keep_counts`` is set.
+    """
+    fp = F.xxhash64(normalize_text(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("__pd_id"),
+        F.col(priority_col).alias("__pd_prio"),
+        fp.alias("__pd_fp"),
+    )
+    winners = keyed.groupBy("__pd_fp").agg(
+        F.min_by("__pd_id", F.struct("__pd_prio", "__pd_id")).alias("__pd_win"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    if keep_counts:
+        return df.join(
+            winners.select(F.col("__pd_win").alias(id_col), "dup_count"),
+            id_col,
+            "inner",
+        )
+    losers = (
+        keyed.join(winners.select("__pd_fp", "__pd_win"), "__pd_fp")
+        .filter(F.col("__pd_id") != F.col("__pd_win"))
+        .select(F.col("__pd_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1109,3 +1109,60 @@ def embedding_decontaminate(
     else:
         raise ValueError(f"unknown method {method!r} (broadcast|lsh)")
     return corpus.join(hits, on=id_col, how="left_anti")
+
+
+def sign_projection_matrix(in_dim: int, out_dim: int, seed: int) -> list[str]:
+    """Deterministic ±1 sign matrix for :func:`random_projection`,
+    encoded as ``out_dim`` strings of ``in_dim`` '+'/'-' characters.
+    The string encoding exists so the Spark plan and a SQL oracle can
+    embed the SAME literals (the t3 shared-stopword-table trick): one
+    seeded generator, two consumers, zero drift."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        "".join("+" if rng.random() < 0.5 else "-" for _ in range(in_dim))
+        for _ in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 20260815,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Sign random projection (Achlioptas 2003's database-friendly
+    Johnson-Lindenstrauss transform): ``y_j = (1/√d') Σ_i s_ji x_i``
+    with ``s_ji ∈ {±1}`` drawn from a seeded generator. Unbiased on
+    squared distances (E‖y_a−y_b‖² = ‖x_a−x_b‖²), so pairwise
+    geometry survives within JL distortion while every downstream
+    shuffle/ANN pass (d5/d11/d15/s1-s3) shrinks by in_dim/out_dim.
+
+    Scale shape: MAP-ONLY — the matrix is an in-plan literal, each
+    output coordinate an in-row ``zip_with``+``aggregate`` fold; zero
+    shuffle, zero Python, pipelines into the parquet scan. At 100 TB
+    this is the cheap pass you run ONCE so the expensive passes run
+    on d'=16 instead of d=64 (or 768) floats.
+
+    ``round_to``: fix the float boundary (round-6 convention) so a
+    SQL oracle summing the identical literals agrees bit-for-bit;
+    pass None for full precision in production.
+    """
+    mat = sign_projection_matrix(in_dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    vec = F.col(vec_col).cast("array<double>")
+    coords = []
+    for row in mat:
+        signs = F.array(*[F.lit(1.0 if ch == "+" else -1.0) for ch in row])
+        dot = F.aggregate(
+            F.zip_with(vec, signs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scaled = dot * F.lit(inv)
+        coords.append(F.round(scaled, round_to) if round_to is not None else scaled)
+    return df.select(F.col(id_col), F.array(*coords).alias("projection"))

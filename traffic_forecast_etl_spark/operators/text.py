@@ -933,3 +933,107 @@ def corpus_duplicate_ngrams(
         F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
         F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (Robertson/Spärck Jones probabilistic weighting; the idf
+    is Lucene's non-negative ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    variant) — the retrieval pass a curation pipeline runs to pull
+    topical slices out of a web corpus.
+
+    Scale shape: the query is a tiny in-plan literal, so the whole
+    computation stays NARROW — no explode, no (token,)-keyed shuffle,
+    the text never leaves its scan task:
+
+      pass 1 (map-only): per-doc length ``dl`` and per-term ``tf_t``
+        via in-row array folds, then ONE 1-row global aggregate
+        (N, avgdl, df_t per term) that broadcasts back;
+      pass 2 (map-only): score = Σ_t idf_t · tf_t·(k1+1) /
+        (tf_t + k1·(1 − b + b·dl/avgdl)), keep score > 0.
+
+    Compare the classic explode→join form: it shuffles the full token
+    stream to compute df for terms you could count with |terms|
+    counters. At 100 TB that's the difference between two columnar
+    scans and a corpus-sized exchange.
+
+    ``top_k``: TakeOrdered over (rounded score desc, id asc) — a
+    TOTAL order, so the cut is deterministic and layout-independent
+    (same convention as o1_topk_sort). Scores are rounded to 6 so the
+    engine and a SQL oracle agree bit-for-bit on the float boundary.
+
+    Reference anchor: the reference filters/aggregates traffic frames
+    by fixed predicate sets (reference: dags/utils.py); BM25 is the
+    text-plane analogue of "score rows against a constant query".
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    nt = len(query_terms)
+
+    def _tf(term: str):
+        # NB: a single-parameter lambda is required — pyspark treats a
+        # 2-arg higher-order-function lambda as (element, index), so
+        # the default-argument closure trick silently binds the INDEX
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        *[_tf(term).alias(f"__tf{i}") for i, term in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(nt)
+        ],
+    )
+    # 1-row stats frame broadcast onto the stream (t7/c6 shape).
+    scored = base.crossJoin(F.broadcast(stats))
+    # (k1 + 1) is built as lit(k1) + lit(1.0) — NOT the pre-added
+    # Python float — so a SQL oracle writing `(1.2 + 1.0)` computes
+    # the identical IEEE sum of the identical parsed literals.
+    norm = (
+        F.lit(1.0)
+        - F.lit(b)
+        + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    per_term = [
+        F.when(
+            F.col(f"__tf{i}") > 0,
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+                / (F.col(f"__df{i}") + F.lit(0.5))
+            )
+            * (F.col(f"__tf{i}") * (F.lit(k1) + F.lit(1.0)))
+            / (F.col(f"__tf{i}") + F.lit(k1) * norm),
+        ).otherwise(F.lit(0.0))
+        for i in range(nt)
+    ]
+    total = per_term[0]
+    for expr in per_term[1:]:
+        total = total + expr
+    matched = None
+    for i in range(nt):
+        m = (F.col(f"__tf{i}") > 0).cast("long")
+        matched = m if matched is None else matched + m
+    out = scored.select(
+        F.col(id_col),
+        F.col("__dl").cast("long").alias("doc_len"),
+        matched.alias("n_matched"),
+        F.round(total, 6).alias("score"),
+    ).filter(F.col("score") > 0)
+    if top_k is not None:
+        out = out.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
+    return out

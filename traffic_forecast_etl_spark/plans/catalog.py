@@ -4195,6 +4195,165 @@ def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
     return q1_pricing_summary(spark, sf_dir)
 
 
+@query(
+    "t17_bm25_search",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> ''), t -> lower(t)) AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'dup')) AS tf0,
+             len(list_filter(t, x -> x = 'customer')) AS tf1,
+             len(list_filter(t, x -> x = 'spark')) AS tf2
+      FROM base
+    ), g AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM m
+    ), s AS (
+      SELECT m.doc_id,
+             CAST(m.dl AS BIGINT) AS doc_len,
+             CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             round(
+               (CASE WHEN tf0 > 0 THEN
+                  ln(1.0 + (g.n - df0 + 0.5) / (df0 + 0.5))
+                  * (tf0 * (1.2 + 1.0))
+                  / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / g.avgdl))
+                ELSE 0.0 END)
+             + (CASE WHEN tf1 > 0 THEN
+                  ln(1.0 + (g.n - df1 + 0.5) / (df1 + 0.5))
+                  * (tf1 * (1.2 + 1.0))
+                  / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / g.avgdl))
+                ELSE 0.0 END)
+             + (CASE WHEN tf2 > 0 THEN
+                  ln(1.0 + (g.n - df2 + 0.5) / (df2 + 0.5))
+                  * (tf2 * (1.2 + 1.0))
+                  / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / g.avgdl))
+                ELSE 0.0 END), 6) AS score
+      FROM m CROSS JOIN g
+    )
+    SELECT doc_id, doc_len, n_matched, score FROM s WHERE score > 0
+    """,
+)
+def t17_bm25_search(spark, sf_dir):
+    """Okapi BM25 retrieval scoring against a 3-term query with mixed
+    document frequencies (one rare term — 'dup', df≈5% — so the idf
+    spread is exercised). Two map-only corpus passes bridged by ONE
+    1-row broadcast stats aggregate: no explode, no token-keyed
+    shuffle, text never leaves its scan task."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_score(
+        docs, "text", "doc_id", ["dup", "customer", "spark"], k1=1.2, b=0.75
+    )
+
+
+@query(
+    "d16_priority_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id, text, source,
+             CAST(substr(source, 4) AS INT) % 3 AS priority
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, source,
+             (CAST(substr(source, 4) AS INT) + 1) % 3
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, text, source,
+             CAST(substr(source, 4) AS INT) % 3
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source, priority,
+             md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS fp
+      FROM u
+    ), r AS (
+      SELECT doc_id, source, priority,
+             row_number() OVER (PARTITION BY fp ORDER BY priority, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS dup_count
+      FROM k
+    )
+    SELECT doc_id, source, CAST(priority AS INT) AS priority,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM r WHERE rn = 1
+    """,
+)
+def d16_priority_dedup(spark, sf_dir):
+    """Cross-source exact dedup with a survivor preference (prefer
+    the lowest-priority-rank copy, tie -> min id). The corpus has no
+    native exact dups, so the query dedups a 3-copy union whose
+    copies carry DIFFERENT priorities per source: sources with
+    rank%3 == 2 are overtaken by their re-ranked second copy (the
+    priority rule firing), everything else falls to the min-id
+    tie-break between the two equal-priority copies — both branches
+    of the keep rule are live in the oracle comparison. Winner
+    election shuffles (fingerprint, priority, id) triples only."""
+    docs = _t(spark, sf_dir, "documents")
+    src_rank = F.substring("source", 4, 10).cast("int")
+    a = docs.select("doc_id", "text", "source", (src_rank % 3).alias("priority"))
+    b = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source",
+        ((src_rank + 1) % 3).alias("priority"),
+    )
+    c = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "source",
+        (src_rank % 3).alias("priority"),
+    )
+    out = D.priority_dedup(
+        a.unionByName(b).unionByName(c), "text", "doc_id", "priority"
+    )
+    return out.select(
+        "doc_id", "source", F.col("priority").cast("int").alias("priority"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+_S5_SIGNS = S.sign_projection_matrix(64, 16, 20260815)
+
+
+def _s5_oracle() -> str:
+    """The oracle embeds the SAME seeded sign matrix the engine plans
+    with (t3's shared-table trick, in matrix form) — one generator,
+    two consumers, zero drift."""
+    exprs = ",\n             ".join(
+        "round(0.25 * list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CASE WHEN substr('{row}', i, 1) = '+' "
+        "THEN 1.0 ELSE -1.0 END)), 6)"
+        for row in _S5_SIGNS
+    )
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             [{exprs}] AS proj
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(j - 1 AS INT) AS dim, proj[j] AS value
+    FROM p, unnest(generate_series(1, 16)) AS t(j)
+    """
+
+
+@query("s5_random_projection", _s5_oracle())
+def s5_random_projection(spark, sf_dir):
+    """Sign random projection 64 -> 16 (Achlioptas/JL): the map-only
+    dimensionality-reduction pass that shrinks every downstream
+    ANN/dedup shuffle 4x. Long (vec_id, dim, value) form for the
+    oracle (s4's convention); the array output + JL distortion are
+    pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.random_projection(
+        emb, "embedding", "vec_id", in_dim=64, out_dim=16, seed=20260815
+    )
+    return out.select(
+        "vec_id", F.posexplode("projection").alias("dim", "value")
+    ).select("vec_id", "dim", "value")
+
+
 # ---------------------------------------------------------------------------
 # Sweep-priority registration order
 #
@@ -4224,6 +4383,9 @@ _SWEEP_PRIORITY = [
     # contamination metric, first-class connected components
     "j11_edit_distance_join", "t16_corpus_dup_ngrams",
     "g1_connected_components",
+    # NEW in round 5, third wave: BM25 retrieval scoring, cross-source
+    # priority dedup, JL sign random projection
+    "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
