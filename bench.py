@@ -83,6 +83,10 @@ HEADLINE = [
     "t17_bm25_search",
     "d16_priority_dedup",
     "s5_random_projection",
+    # round-5 fourth wave: model-based quality classifier (hashed-BoW
+    # logistic regression), leakage-safe component-hashed split
+    "c8_quality_classifier",
+    "c9_leakage_safe_split",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

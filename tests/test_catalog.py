@@ -45,6 +45,8 @@ def test_oracle_coverage(spark):
         "s2_lsh_ann",
         "s3_ivf_ann",
         "a10_approx_distinct",
+        # trained-model scoring (L-BFGS logistic fit not SQL-expressible)
+        "c8_quality_classifier",
     }
 
 

@@ -705,3 +705,75 @@ def test_priority_dedup_winner_election_text_never_keys_shuffles(spark, sf_dir):
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
         assert "text" not in ex, ex
     assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan[:1500]
+
+
+def test_leakage_safe_split_no_component_straddles(spark, sf_dir):
+    """The operator's whole contract: for EVERY near-dup edge, both
+    endpoints land on the same side. Corpus = documents unioned with
+    a shifted copy so real cross-id duplicate groups exist."""
+    from traffic_forecast_etl_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    edges = ngram_jaccard_pairs(dup, "text", "doc_id", n=3, threshold=0.2).select(
+        "id1", "id2"
+    )
+    out = leakage_safe_split(dup, edges, "doc_id")
+    side = {r.doc_id: r.split for r in out.collect()}
+    grp = {r.doc_id: r.group_id for r in out.collect()}
+    straddled = [
+        (r.id1, r.id2)
+        for r in edges.collect()
+        if side[r.id1] != side[r.id2]
+    ]
+    assert straddled == []
+    # the shifted twin of every doc is a perfect duplicate -> same
+    # group and same side as its original
+    for r in docs.collect():
+        assert grp[r.doc_id] == grp[r.doc_id + 100000]
+        assert side[r.doc_id] == side[r.doc_id + 100000]
+
+
+def test_leakage_safe_split_md5_rule_matches_python(spark, sf_dir):
+    """The engine-portable split rule: first 16 md5 bits of the
+    decimal group id, train iff < round(65536*f). Recomputed in pure
+    Python per row."""
+    import hashlib
+
+    from traffic_forecast_etl_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    empty_edges = spark.createDataFrame([], "id1 long, id2 long")
+    out = leakage_safe_split(docs, empty_edges, "doc_id", train_fraction=0.8)
+    rows = out.select("doc_id", "group_id", "split").collect()
+    n_train = 0
+    for r in rows:
+        assert r.group_id == r.doc_id  # no edges -> all singletons
+        bucket = int(hashlib.md5(str(r.group_id).encode()).hexdigest()[:4], 16)
+        expect = "train" if bucket < 52429 else "eval"
+        assert r.split == expect, (r.doc_id, bucket, r.split)
+        n_train += r.split == "train"
+    # binomial(500, 0.8) stays inside [0.7, 0.9] with margin
+    assert 0.7 < n_train / len(rows) < 0.9
+
+
+def test_leakage_safe_split_fraction_bounds(spark):
+    from traffic_forecast_etl_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    edges = spark.createDataFrame([], "id1 long, id2 long")
+    assert [
+        r.split for r in leakage_safe_split(docs, edges, "doc_id", 1.0).collect()
+    ] == ["train"]
+    assert [
+        r.split for r in leakage_safe_split(docs, edges, "doc_id", 0.0).collect()
+    ] == ["eval"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, edges, "doc_id", 1.5)

@@ -1,0 +1,239 @@
+"""Pins for the snapshot-versioned table format (tablefmt.py):
+commit atomicity by ordering, time travel, merge upsert semantics +
+file-level pruning, compaction row-equality, expire/vacuum GC, and
+writer-lease serialization. All on plain parquet + JSON manifests —
+the Delta/Iceberg CONCEPTS without the (sandbox-absent) jars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from traffic_forecast_etl_spark import tablefmt as T
+from traffic_forecast_etl_spark.sinks import (
+    ConcurrentWriterError,
+    acquire_writer_lease,
+    release_writer_lease,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, ids, val="v"):
+    return spark.createDataFrame(
+        [(i, f"{val}{i}") for i in ids], "id long, val string"
+    )
+
+
+def test_write_read_roundtrip_and_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = T.snapshot_write(spark, _mk(spark, range(10)), path)
+    assert v0 == 0
+    assert _rows(T.snapshot_read(spark, path)) == _rows(_mk(spark, range(10)))
+    v1 = T.snapshot_write(spark, _mk(spark, range(5), "w"), path)
+    assert v1 == 1
+    # latest is the overwrite; v0 stays readable (time travel)
+    assert _rows(T.snapshot_read(spark, path)) == _rows(_mk(spark, range(5), "w"))
+    assert _rows(T.snapshot_read(spark, path, version=0)) == _rows(
+        _mk(spark, range(10))
+    )
+
+
+def test_append_is_metadata_only_carry(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    files_v0 = {e["path"] for e in T.read_manifest(path, 0)["files"]}
+    T.snapshot_write(spark, _mk(spark, range(5, 8)), path, mode="append")
+    m1 = T.read_manifest(path, 1)
+    # every v0 file carried forward BY NAME, untouched
+    assert files_v0 <= {e["path"] for e in m1["files"]}
+    assert _rows(T.snapshot_read(spark, path)) == _rows(_mk(spark, range(8)))
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_merge(spark, _mk(spark, range(10)), path, keys=["id"])
+    # update 3..5, insert 10..12
+    batch = _mk(spark, [3, 4, 5, 10, 11, 12], "u")
+    T.snapshot_merge(spark, batch, path, keys=["id"])
+    got = {r.id: r.val for r in T.snapshot_read(spark, path).collect()}
+    expect = {i: f"v{i}" for i in range(10)}
+    expect.update({i: f"u{i}" for i in [3, 4, 5, 10, 11, 12]})
+    assert got == expect
+
+
+def test_merge_last_writer_wins_within_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, val string"
+    )
+    T.snapshot_merge(spark, batch, path, keys=["id"])
+    assert T.snapshot_read(spark, path).count() == 1
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """The 100 TB contract: a narrow-key batch rewrites only files
+    whose key range can contain it; every other file is carried into
+    the new manifest by name."""
+    path = str(tmp_path / "t")
+    # range-clustered layout: repartitionByRange gives disjoint id
+    # ranges per file
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m0 = T.read_manifest(path)
+    assert len(m0["files"]) == 8
+    # a batch touching only ids 0..10 must carry >=6 files untouched
+    T.snapshot_merge(spark, _mk(spark, range(11), "u"), path, keys=["id"])
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) >= 6, (len(carried), len(m0["files"]))
+    got = {r.id: r.val for r in T.snapshot_read(spark, path).collect()}
+    assert got[5] == "u5" and got[500] == "v500" and len(got) == 1000
+
+
+def test_merge_exact_prune_skips_range_overlap_without_membership(spark, tmp_path):
+    """Sparse batch keys inside a wide range: exact membership prune
+    must skip files whose [min,max] overlaps the batch range but
+    contains none of the batch keys."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m0 = T.read_manifest(path)
+    # keys 0 and 999: range [0,999] overlaps every file, membership
+    # only the two edge files
+    T.snapshot_merge(spark, _mk(spark, [0, 999], "u"), path, keys=["id"])
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) == 6, len(carried)
+
+
+def test_compact_preserves_rows_and_shrinks_file_count(spark, tmp_path):
+    path = str(tmp_path / "t")
+    frag = _mk(spark, range(200)).repartition(16)
+    T.snapshot_write(spark, frag, path, stats_cols=["id"])
+    before = T.snapshot_read(spark, path)
+    n_before = len(T.read_manifest(path)["files"])
+    v = T.snapshot_compact(spark, path)
+    m = T.read_manifest(path, v)
+    assert len(m["files"]) < n_before
+    assert _rows(T.snapshot_read(spark, path)) == _rows(before)
+    # stats carried so merge pruning keeps working post-compaction
+    assert all("id" in e["stats"] for e in m["files"] if e["rows"])
+    # fragmented version still readable
+    assert T.snapshot_read(spark, path, version=0).count() == 200
+
+
+def test_compact_noop_when_nothing_small(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)).coalesce(1), path)
+    assert T.snapshot_compact(spark, path) == 0  # no empty commit
+
+
+def test_crash_between_manifest_and_pointer_is_invisible(spark, tmp_path):
+    """Commit ordering: a manifest written without the pointer swap
+    (crash window) leaves readers on the old version; the next
+    commit surfaces the conflict loudly instead of silently
+    overwriting the orphaned version."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    # simulate: v1 manifest exists, LATEST still 0
+    T._atomic_write_json(
+        T._manifest_path(path, 1),
+        {"version": 1, "parent": 0, "op": "overwrite", "schema": "{}", "files": []},
+    )
+    assert T.current_version(path) == 0
+    assert T.snapshot_read(spark, path).count() == 5
+    with pytest.raises(T.SnapshotConflictError):
+        T.snapshot_write(spark, _mk(spark, range(3)), path)
+
+
+def test_orphaned_stage_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    # crash orphans: a staged dir and an unreferenced data file
+    os.makedirs(os.path.join(path, "__stage_dead"))
+    orphan = os.path.join(path, T._DATA_DIR, "deadbeef-part00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    removed = T.vacuum(path)
+    assert "__stage_dead" in removed
+    assert f"{T._DATA_DIR}/deadbeef-part00000.parquet" in removed
+    assert not os.path.exists(orphan)
+    assert T.snapshot_read(spark, path).count() == 5
+
+
+def test_expire_drops_old_versions_and_their_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        T.snapshot_write(spark, _mk(spark, range(5), f"v{i}_"), path)
+    removed = T.snapshot_expire(path, keep_last=2)
+    assert removed  # v0/v1-only files are gone
+    assert T.current_version(path) == 3
+    assert T.snapshot_read(spark, path).count() == 5
+    assert T.snapshot_read(spark, path, version=2).count() == 5
+    with pytest.raises(FileNotFoundError):
+        T.read_manifest(path, 0)
+    with pytest.raises(ValueError):
+        T.snapshot_expire(path, keep_last=0)
+
+
+def test_history_surface(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(7)), path)
+    T.snapshot_merge(spark, _mk(spark, [1, 2], "u"), path, keys=["id"])
+    hist = T.snapshot_history(path)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["op"] for h in hist] == ["overwrite", "merge"]
+    assert hist[1]["n_rows"] == 7
+
+
+def test_writer_lease_serializes_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    os.makedirs(path, exist_ok=True)
+    holder = acquire_writer_lease(path)
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            T.snapshot_write(spark, _mk(spark, range(3)), path)
+    finally:
+        release_writer_lease(path, holder)
+    # released -> commit proceeds
+    assert T.snapshot_write(spark, _mk(spark, range(3)), path) == 0
+
+
+def test_empty_table_read_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "id long, val string")
+    T.snapshot_write(spark, empty, path)
+    out = T.snapshot_read(spark, path)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "val"]
+
+
+def test_merge_empty_batch_is_carry_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_merge(spark, _mk(spark, range(5)), path, keys=["id"])
+    empty = spark.createDataFrame([], "id long, val string")
+    v = T.snapshot_merge(spark, empty, path, keys=["id"])
+    assert v == 1
+    assert T.snapshot_read(spark, path).count() == 5
+
+
+def test_stats_in_manifest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark,
+        _mk(spark, range(100)).repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    m = T.read_manifest(path)
+    mins = sorted(e["stats"]["id"][0] for e in m["files"])
+    maxs = sorted(e["stats"]["id"][1] for e in m["files"])
+    assert mins[0] == 0 and maxs[-1] == 99
+    assert sum(e["rows"] for e in m["files"]) == 100

@@ -1538,3 +1538,61 @@ def priority_dedup(
         .select(F.col("__pd_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    train_fraction: float = 0.8,
+    splits: tuple[str, str] = ("train", "eval"),
+) -> DataFrame:
+    """Train/eval split that can never leak near-duplicates across
+    the boundary: every connected component of the supplied
+    near-duplicate graph lands WHOLLY on one side, because the split
+    is decided by hashing the component's GROUP id, never the row id.
+    A random per-row split over a corpus with near-dups puts one copy
+    of a duplicated page in train and the other in eval — the
+    contamination failure mode c2/c7 decontamination exists to catch;
+    this operator prevents it structurally at split time.
+
+    ``edges`` is any (id1, id2) pair frame — compose with the
+    generator matching your budget (d4 exact Jaccard for oracle-grade
+    ground truth, d2 MinHash-LSH or d11 embedding-LSH at scale).
+    Singleton documents (no edge) form their own group.
+
+    Split rule (shared with the SQL oracle, engine-portable):
+    ``conv(substr(md5(cast(group as string)), 1, 4), 16, 10)`` — the
+    first 16 bits of md5 — gives 65536 buckets; train iff bucket <
+    round(65536 · train_fraction). md5 of the decimal string is
+    bit-identical across Spark / DuckDB / Python, so the assignment
+    is reproducible anywhere (and unlike xxhash64 it is not
+    Spark-private). Granularity of the fraction is 1/65536.
+
+    Scale shape: the component table is sized by the DUPLICATED
+    subset only (edges are dedup output, tiny vs corpus), so the
+    label join broadcasts under AQE; the corpus streams once and the
+    split decision is a map-side expression. Nothing about the wide
+    document row ever shuffles.
+
+    Returns the input rows plus ``group_id`` (component rep = min id
+    reachable, own id for singletons) and ``split``.
+    """
+    if not 0.0 <= train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in [0,1]: {train_fraction}")
+    cut = int(round(65536 * train_fraction))
+    comp = connected_components(edges.select("id1", "id2")).select(
+        F.col("node").alias("__lss_node"), F.col("component").alias("__lss_comp")
+    )
+    out = df.join(comp, df[id_col] == comp["__lss_node"], "left")
+    group = F.coalesce(F.col("__lss_comp"), F.col(id_col)).cast("long")
+    bucket = F.conv(
+        F.substring(F.md5(group.cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return out.select(
+        *df.columns,
+        group.alias("group_id"),
+        F.when(bucket < F.lit(cut), F.lit(splits[0]))
+        .otherwise(F.lit(splits[1]))
+        .alias("split"),
+    )

@@ -4354,6 +4354,90 @@ def s5_random_projection(spark, sf_dir):
     ).select("vec_id", "dim", "value")
 
 
+@query("c8_quality_classifier")
+def c8_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (GPT-3 Appendix A / CCNet /
+    fastText pattern): hashed bag-of-words logistic regression
+    trained on weak source labels (curated slice = src0-src9
+    positive, crawl slice negative) over the even-id half, scoring
+    EVERY document with P(high quality). Training is distributed
+    L-BFGS (one treeAggregate per iteration); scoring is a map-only
+    JVM pass under a KB-sized coefficient broadcast. Rows-only: the
+    iterative fit is not SQL-expressible; separability, determinism,
+    and save/load parity are pytest-pinned."""
+    from .. import quality_model as QM
+
+    docs = _t(spark, sf_dir, "documents")
+    src_rank = F.substring("source", 4, 10).cast("int")
+    labeled = docs.withColumn("label", (src_rank < 10).cast("double"))
+    model = QM.train_quality_classifier(
+        labeled.filter(F.col("doc_id") % 2 == 0), "text", "label"
+    )
+    return QM.score_quality(model, docs, "text", "doc_id", keep_cols=["source"])
+
+
+@query(
+    "c9_leakage_safe_split",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                                '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id1, id2 FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.2
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2, id1 FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ), grp AS (
+      SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+      FROM walk GROUP BY node
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     < 52429
+                THEN 'train' ELSE 'eval' END AS split
+    FROM grp
+    """,
+)
+def c9_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split: hash the near-dup COMPONENT id,
+    not the row id, so a duplicated page can never straddle the
+    boundary (the structural fix for the contamination c2/c7 detect
+    after the fact). Edge set = d4's exact 3-gram Jaccard graph (the
+    oracle-verifiable generator); the oracle recomputes the component
+    fixpoint as a recursive CTE and the IDENTICAL md5-bucket split
+    rule, so group assignment AND side assignment are value-verified.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).select(
+        "id1", "id2"
+    )
+    out = D.leakage_safe_split(
+        docs.select("doc_id"), pairs, "doc_id", train_fraction=0.8
+    )
+    return out.select("doc_id", "group_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # Sweep-priority registration order
 #
@@ -4386,6 +4470,9 @@ _SWEEP_PRIORITY = [
     # NEW in round 5, third wave: BM25 retrieval scoring, cross-source
     # priority dedup, JL sign random projection
     "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
+    # NEW in round 5, fourth wave: model-based quality classifier,
+    # leakage-safe component-hashed train/eval split
+    "c8_quality_classifier", "c9_leakage_safe_split",
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
