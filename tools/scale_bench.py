@@ -59,6 +59,15 @@ KEYS = [
     # series would measure the scan, not the operator.
     "t16_corpus_dup_ngrams",
     "g1_connected_components",
+    # r5 fourth wave: hashed-BoW logistic quality classifier (train on
+    # the even-id half + score everything — both passes scale with the
+    # corpus; L-BFGS iteration count is fixed). The catalog's
+    # c9_leakage_safe_split is deliberately absent IN ITS CATALOG FORM:
+    # its edge generator there is d4 exact Jaccard (the by-design
+    # quadratic oracle baseline), so the series would measure d4, not
+    # the split. The split's 100 TB composition is measured as
+    # `c9_lsh_split` below (d2 LSH edges -> CC -> md5 map).
+    "c8_quality_classifier",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py
@@ -121,6 +130,25 @@ def _t16_hash(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return TX.corpus_duplicate_ngrams(docs, "text", "doc_id", n=8, hash_grams=True)
+
+
+def _c9_lsh_split(spark, sf_dir):
+    """leakage_safe_split in its at-scale composition: near-dup edges
+    from d2 MinHash-LSH (collapse_exact default; same params as the
+    d2 series) instead of the catalog's oracle-grade-but-quadratic d4
+    generator, then the component fixpoint and the md5-bucket split
+    map. Expected slope ~ the d2+g1 series combined; the split's own
+    marginal work is one broadcast label join + a map expression."""
+    from traffic_forecast_etl_spark.operators import dedup as D
+    from traffic_forecast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    edges = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).select("id1", "id2")
+    return D.leakage_safe_split(
+        docs.select("doc_id"), edges, "doc_id", train_fraction=0.8
+    )
 
 
 def _code_fingerprint() -> str:
@@ -193,6 +221,7 @@ def main() -> None:
         + [("d2_minhash_lsh_dup_capped", _d2_capped, dup_pts)]
         + [("c7_lsh_decontaminate", _c7_lsh, pts)]
         + [("t16_hash_grams", _t16_hash, pts)]
+        + [("c9_lsh_split", _c9_lsh_split, pts)]
     )
     if only is not None:
         plan = [p for p in plan if p[0] in only]
