@@ -237,3 +237,144 @@ def test_stats_in_manifest(spark, tmp_path):
     maxs = sorted(e["stats"]["id"][1] for e in m["files"])
     assert mins[0] == 0 and maxs[-1] == 99
     assert sum(e["rows"] for e in m["files"]) == 100
+
+
+# ---------------------------------------------------------------------------
+# idempotent transactions (the streaming exactly-once contract)
+# ---------------------------------------------------------------------------
+
+def test_txn_replay_is_noop(spark, tmp_path):
+    """Same (app, version) re-delivered -> structural no-op: table
+    version unchanged, rows unchanged. A HIGHER version applies."""
+    path = str(tmp_path / "t")
+    v0 = T.snapshot_merge(
+        spark, _mk(spark, range(5)), path, ["id"], txn_app="app", txn_version=0
+    )
+    n0 = T.snapshot_read(spark, path).count()
+    # replay of epoch 0 (at-least-once foreachBatch redelivery)
+    v_replay = T.snapshot_merge(
+        spark, _mk(spark, range(5)), path, ["id"], txn_app="app", txn_version=0
+    )
+    assert v_replay == v0
+    assert T.current_version(path) == v0
+    assert T.snapshot_read(spark, path).count() == n0
+    # the next epoch applies
+    v1 = T.snapshot_merge(
+        spark, _mk(spark, range(5, 8)), path, ["id"], txn_app="app", txn_version=1
+    )
+    assert v1 == v0 + 1
+    assert T.snapshot_read(spark, path).count() == 8
+    assert T.last_txn_version(path, "app") == 1
+    assert T.last_txn_version(path, "other") is None
+
+
+def test_txn_map_survives_compact_and_expire(spark, tmp_path):
+    """The writer-app map is carried FORWARD through every commit, so
+    replay detection outlives snapshot_expire dropping the manifest
+    that recorded the transaction."""
+    path = str(tmp_path / "t")
+    T.snapshot_merge(spark, _mk(spark, range(3)), path, ["id"],
+                     txn_app="app", txn_version=7)
+    T.snapshot_merge(spark, _mk(spark, range(3, 6)), path, ["id"])  # no txn
+    T.snapshot_compact(spark, path, target_bytes=1 << 30)
+    T.snapshot_expire(path, keep_last=1)  # drops the txn-recording manifest
+    assert T.last_txn_version(path, "app") == 7
+    # replay of epoch 7 after expiry is still a no-op
+    v = T.current_version(path)
+    assert T.snapshot_merge(spark, _mk(spark, range(3)), path, ["id"],
+                            txn_app="app", txn_version=7) == v
+
+
+def test_txn_args_must_pair(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError):
+        T.snapshot_merge(spark, _mk(spark, [1]), path, ["id"], txn_app="a")
+    with pytest.raises(ValueError):
+        T.snapshot_write(spark, _mk(spark, [1]), path, txn_version=1)
+
+
+def test_streaming_snapshot_merge_exactly_once(spark, tmp_path):
+    """foreachBatch redelivery (fresh checkpoint => epoch ids restart
+    at 0) commits nothing twice: row count and table version hold."""
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        read_events_stream,
+        streaming_snapshot_merge,
+    )
+
+    table = str(tmp_path / "events_table")
+    src = "/root/testdata/sf0.001/events.parquet"
+    q = streaming_snapshot_merge(
+        read_events_stream(spark, src), table, ["event_id"],
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination()
+    n1, v1 = T.snapshot_read(spark, table).count(), T.current_version(table)
+    assert n1 == 1000
+    # fresh checkpoint over the same source: epoch 0 replays; the txn
+    # marker makes it a no-op instead of a duplicate merge
+    q2 = streaming_snapshot_merge(
+        read_events_stream(spark, src), table, ["event_id"],
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination()
+    assert T.snapshot_read(spark, table).count() == n1
+    assert T.current_version(table) == v1
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+def test_append_new_column_requires_merge_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    wider = _mk(spark, range(3, 5)).withColumn("score", F.lit(0.5))
+    with pytest.raises(T.SchemaEvolutionError):
+        T.snapshot_write(spark, wider, path, mode="append")
+    T.snapshot_write(spark, wider, path, mode="append", merge_schema=True)
+    out = T.snapshot_read(spark, path)
+    assert out.columns == ["id", "val", "score"]
+    got = {r.id: r.score for r in out.collect()}
+    # pre-evolution files null-fill the new column
+    assert got[0] is None and got[4] == 0.5
+    # time travel to v0 reads with THAT version's schema
+    assert T.snapshot_read(spark, path, version=0).columns == ["id", "val"]
+
+
+def test_merge_new_column_and_omitted_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_merge(spark, _mk(spark, range(4)), path, ["id"])
+    batch = _mk(spark, [2, 9], "w").withColumn("score", F.lit(1.0))
+    T.snapshot_merge(spark, batch, path, ["id"], merge_schema=True)
+    got = {r.id: (r.val, r.score) for r in T.snapshot_read(spark, path).collect()}
+    assert got[2] == ("w2", 1.0) and got[9] == ("w9", 1.0)  # replaced + new
+    assert got[0] == ("v0", None)  # untouched row null-fills
+    # a later batch OMITTING the evolved column: new rows get null there
+    T.snapshot_merge(spark, _mk(spark, [11]), path, ["id"])
+    got = {r.id: r.score for r in T.snapshot_read(spark, path).collect()}
+    assert got[11] is None and got[9] == 1.0
+
+
+def test_type_change_always_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    bad = spark.createDataFrame([(1, 2)], "id long, val long")
+    with pytest.raises(T.SchemaEvolutionError):
+        T.snapshot_write(spark, bad, path, mode="append", merge_schema=True)
+    with pytest.raises(T.SchemaEvolutionError):
+        T.snapshot_merge(spark, bad, path, ["id"], merge_schema=True)
+
+
+def test_compact_after_evolution_keeps_evolved_schema(spark, tmp_path):
+    """Fragments written pre-evolution must compact INTO the evolved
+    schema (manifest schema drives the rewrite, not footers)."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)).coalesce(1), path)
+    wider = _mk(spark, range(3, 6)).withColumn("score", F.lit(2.0)).coalesce(1)
+    T.snapshot_write(spark, wider, path, mode="append", merge_schema=True)
+    T.snapshot_compact(spark, path, target_bytes=1 << 30)
+    out = T.snapshot_read(spark, path)
+    assert out.columns == ["id", "val", "score"]
+    got = {r.id: r.score for r in out.collect()}
+    assert got[1] is None and got[5] == 2.0
+    assert out.count() == 6

@@ -268,6 +268,52 @@ def streaming_rollup_maintenance(
     return writer.start()
 
 
+def streaming_snapshot_merge(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    txn_app: str = "streaming_snapshot_merge",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming upsert into a :mod:`..tablefmt`
+    snapshot table: each micro-batch is one versioned, atomically
+    published MERGE commit carrying ``(txn_app, epoch_id)``.
+
+    foreachBatch is AT-LEAST-ONCE — a crash between the sink call and
+    the checkpoint advance redelivers the same epoch on restart. The
+    table turns that into exactly-once: the manifest's writer-app →
+    last-version map (carried forward through every commit, so it
+    survives history expiry) makes the replayed ``snapshot_merge`` a
+    structural NO-OP — the Delta txnAppId/txnVersion pattern on the
+    plain-parquet format.
+
+    vs ``streaming_rollup_maintenance``'s merge_upsert sink: same
+    at-scale rewrite discipline (file-level pruning instead of
+    partition-level), plus readers get point-in-time snapshots and
+    time travel while the stream is mid-commit — a reader never sees
+    a half-published micro-batch.
+
+    Run with any trigger; pair with AvailableNow for the scheduled-
+    tick cadence (reference: the 12-h batch schedule, R2).
+    """
+    from .. import tablefmt as TF
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        TF.snapshot_merge(
+            batch.sparkSession,
+            batch,
+            table_path,
+            keys=keys,
+            txn_app=txn_app,
+            txn_version=int(epoch_id),
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: Callable[[DataFrame, int], None] | None = None,

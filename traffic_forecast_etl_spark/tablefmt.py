@@ -73,6 +73,11 @@ class SnapshotConflictError(RuntimeError):
     lease)."""
 
 
+class SchemaEvolutionError(TypeError):
+    """Incoming schema conflicts with the table's (same-name column
+    with a different type, or drift while ``merge_schema=False``)."""
+
+
 # ---------------------------------------------------------------------------
 # manifest plumbing
 # ---------------------------------------------------------------------------
@@ -198,7 +203,12 @@ def _stage_files(
 
 
 def _commit(
-    path: str, entries: list[dict], op: str, schema_json: str, parent: int | None
+    path: str,
+    entries: list[dict],
+    op: str,
+    schema_json: str,
+    parent: int | None,
+    txns: dict[str, int] | None = None,
 ) -> int:
     version = (parent if parent is not None else -1) + 1
     manifest = {
@@ -207,6 +217,7 @@ def _commit(
         "op": op,
         "schema": schema_json,
         "files": entries,
+        "txns": txns or {},
     }
     target = _manifest_path(path, version)
     if os.path.exists(target):
@@ -219,6 +230,59 @@ def _commit(
     return version
 
 
+def _parent_txns(path: str, parent: int | None) -> dict[str, int]:
+    """Writer-app → last-applied-version map, carried FORWARD into
+    every commit (like Delta's txnAppId/txnVersion): because the
+    LATEST manifest always holds the full map, replay detection
+    survives ``snapshot_expire`` dropping the manifest that originally
+    recorded a transaction."""
+    if parent is None:
+        return {}
+    return dict(read_manifest(path, parent).get("txns", {}))
+
+
+def last_txn_version(path: str, app: str) -> int | None:
+    """Highest transaction version committed by ``app`` (None if the
+    app never committed) — the streaming-sink replay question."""
+    v = current_version(path)
+    if v is None:
+        return None
+    return _parent_txns(path, v).get(app)
+
+
+def _evolve_schema(
+    current_json: str, incoming: StructType, merge_schema: bool
+) -> str:
+    """Validate/union the incoming commit schema against the table's.
+
+    Same-name columns must keep their exact type (silent widening on
+    plain parquet would flip per-file footer types mid-table). New
+    columns require ``merge_schema=True`` and APPEND to the schema;
+    columns the incoming frame omits stay — carried files still hold
+    them, and explicit-schema reads null-fill the new ones."""
+    cur = StructType.fromJson(json.loads(current_json))
+    cur_by_name = {f.name: f for f in cur.fields}
+    added = []
+    for f in incoming.fields:
+        have = cur_by_name.get(f.name)
+        if have is None:
+            added.append(f)
+        elif have.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name}: table has {have.dataType.simpleString()}, "
+                f"incoming {f.dataType.simpleString()} — type changes are "
+                "not supported on immutable parquet files"
+            )
+    if added and not merge_schema:
+        raise SchemaEvolutionError(
+            f"incoming frame adds columns {[f.name for f in added]}; pass "
+            "merge_schema=True to evolve the table schema"
+        )
+    if not added:
+        return current_json
+    return StructType(cur.fields + added).json()
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -229,23 +293,49 @@ def snapshot_write(
     path: str,
     mode: str = "overwrite",
     stats_cols: Sequence[str] | None = None,
+    merge_schema: bool = False,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version. ``mode='overwrite'``
     replaces the logical contents (old files stay on disk for time
     travel until expired); ``mode='append'`` carries every current
     file forward and adds the new ones — an O(metadata) commit, no
-    data rewrite. Returns the new version number."""
+    data rewrite. Returns the new version number.
+
+    ``merge_schema``: on append, allow the incoming frame to ADD
+    columns (schema evolution; carried files null-fill them at read).
+    Type changes always raise. Overwrite replaces the schema outright.
+
+    ``txn_app``/``txn_version``: idempotent-commit marker (Delta's
+    txnAppId/txnVersion pattern). If this app already committed a
+    version >= ``txn_version``, the call is a NO-OP returning the
+    current table version — the property that makes an at-least-once
+    micro-batch replay exactly-once at the table."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append: {mode}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
     os.makedirs(path, exist_ok=True)
     holder = acquire_writer_lease(path)
     try:
         parent = current_version(path)
+        txns = _parent_txns(path, parent)
+        if txn_app is not None:
+            if txns.get(txn_app, -1) >= txn_version:
+                return parent  # replayed batch: already applied
+            txns[txn_app] = txn_version
+        if mode == "append" and parent is not None:
+            schema_json = _evolve_schema(
+                read_manifest(path, parent)["schema"], df.schema, merge_schema
+            )
+        else:
+            schema_json = df.schema.json()
         stats = list(stats_cols or [])
         entries = _stage_files(spark, df, path, stats)
         if mode == "append" and parent is not None:
             entries = read_manifest(path, parent)["files"] + entries
-        return _commit(path, entries, mode, df.schema.json(), parent)
+        return _commit(path, entries, mode, schema_json, parent, txns)
     finally:
         release_writer_lease(path, holder)
 
@@ -259,10 +349,14 @@ def snapshot_read(
     the isolation plain-dir parquet readers never get."""
     m = read_manifest(path, version)
     files = [os.path.join(path, e["path"]) for e in m["files"]]
+    schema = StructType.fromJson(json.loads(m["schema"]))
     if not files:
-        schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    # the MANIFEST schema drives the read (not the first footer Spark
+    # happens to open): after schema evolution, files written before a
+    # column existed null-fill it, and time travel to an old version
+    # reads with THAT version's schema
+    return spark.read.schema(schema).parquet(*files)
 
 
 def _touched(entry: dict, key: str, lo, hi, sorted_keys: list | None) -> bool:
@@ -285,6 +379,9 @@ def snapshot_merge(
     batch: DataFrame,
     path: str,
     keys: Sequence[str],
+    merge_schema: bool = False,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """File-level copy-on-write MERGE (upsert): rows in ``batch``
     replace same-key rows; untouched FILES are carried into the new
@@ -304,17 +401,36 @@ def snapshot_merge(
     Like merge_upsert, last-writer-wins within the batch via
     dropDuplicates(keys). Key columns must carry manifest stats —
     they are added automatically on every commit this function makes.
+
+    ``merge_schema`` lets the batch ADD columns (old files null-fill
+    them); a batch that OMITS table columns always works — replaced
+    rows get nulls there (full-row replace semantics), carried files
+    keep their values. ``txn_app``/``txn_version``: same idempotent
+    replay contract as :func:`snapshot_write` — the streaming
+    foreachBatch sink passes the epoch id here, so an at-least-once
+    micro-batch redelivery commits nothing twice.
     """
     keys = list(keys)
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
     os.makedirs(path, exist_ok=True)
     holder = acquire_writer_lease(path)
     try:
         parent = current_version(path)
+        txns = _parent_txns(path, parent)
+        if txn_app is not None:
+            if txns.get(txn_app, -1) >= txn_version:
+                return parent
+            txns[txn_app] = txn_version
         deduped = batch.dropDuplicates(keys)
         if parent is None:
             entries = _stage_files(spark, deduped, path, keys)
-            return _commit(path, entries, "merge", deduped.schema.json(), None)
+            return _commit(
+                path, entries, "merge", deduped.schema.json(), None, txns
+            )
         m = read_manifest(path, parent)
+        schema_json = _evolve_schema(m["schema"], deduped.schema, merge_schema)
+        table_schema = StructType.fromJson(json.loads(schema_json))
         k0 = keys[0]
         bounds = deduped.agg(
             F.min(k0).alias("lo"),
@@ -322,7 +438,7 @@ def snapshot_merge(
             F.approx_count_distinct(k0).alias("n"),
         ).collect()[0]
         if bounds["lo"] is None:
-            return _commit(path, m["files"], "merge", m["schema"], parent)
+            return _commit(path, m["files"], "merge", schema_json, parent, txns)
         sorted_keys = None
         if bounds["n"] <= _EXACT_PRUNE_MAX_KEYS:
             sorted_keys = sorted(
@@ -335,15 +451,15 @@ def snapshot_merge(
         ]
         untouched = [e for e in m["files"] if e not in touched]
         if touched:
-            existing = spark.read.parquet(
+            existing = spark.read.schema(table_schema).parquet(
                 *[os.path.join(path, e["path"]) for e in touched]
             )
             kept = existing.join(deduped.select(keys), on=keys, how="left_anti")
-            out = kept.unionByName(deduped)
+            out = kept.unionByName(deduped, allowMissingColumns=True)
         else:
             out = deduped
         entries = untouched + _stage_files(spark, out, path, keys)
-        return _commit(path, entries, "merge", deduped.schema.json(), parent)
+        return _commit(path, entries, "merge", schema_json, parent, txns)
     finally:
         release_writer_lease(path, holder)
 
@@ -386,12 +502,17 @@ def snapshot_compact(
             else:
                 bins.append([e])
         entries = list(keep)
+        # rewrite with the MANIFEST schema: fragments written before a
+        # schema evolution must come out carrying the evolved columns
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
         for b in bins:
-            grouped = spark.read.parquet(
+            grouped = spark.read.schema(table_schema).parquet(
                 *[os.path.join(path, e["path"]) for e in b]
             ).coalesce(1)
             entries += _stage_files(spark, grouped, path, list(stats_cols))
-        return _commit(path, entries, "compact", m["schema"], parent)
+        return _commit(
+            path, entries, "compact", m["schema"], parent, _parent_txns(path, parent)
+        )
     finally:
         release_writer_lease(path, holder)
 
