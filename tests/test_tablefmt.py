@@ -378,3 +378,49 @@ def test_compact_after_evolution_keeps_evolved_schema(spark, tmp_path):
     got = {r.id: r.score for r in out.collect()}
     assert got[1] is None and got[5] == 2.0
     assert out.count() == 6
+
+
+# ---------------------------------------------------------------------------
+# incremental (CDC-style) reads
+# ---------------------------------------------------------------------------
+
+def test_incremental_read_returns_only_new_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = T.snapshot_write(spark, _mk(spark, range(5)), path)
+    v1 = T.snapshot_write(spark, _mk(spark, range(5, 9)), path, mode="append")
+    v2 = T.snapshot_write(spark, _mk(spark, range(9, 12)), path, mode="append")
+    inc = T.snapshot_incremental(spark, path, since_version=v0)
+    assert {r.id for r in inc.collect()} == set(range(5, 12))
+    inc1 = T.snapshot_incremental(spark, path, since_version=v1, version=v2)
+    assert {r.id for r in inc1.collect()} == set(range(9, 12))
+    # caught-up consumer: empty frame, table schema preserved
+    same = T.snapshot_incremental(spark, path, since_version=v2)
+    assert same.count() == 0 and same.columns == ["id", "val"]
+    with pytest.raises(ValueError):
+        T.snapshot_incremental(spark, path, since_version=v2 + 5)
+
+
+def test_incremental_read_merge_surfaces_rewritten_files(spark, tmp_path):
+    """Copy-on-write semantics documented on the function: a merge
+    surfaces every row of its rewritten files (changed keys AND their
+    co-located neighbours), never rows of carried files."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(100)).repartitionByRange(4, "id")
+    T.snapshot_merge(spark, base, path, ["id"])
+    v1 = T.current_version(path)
+    T.snapshot_merge(spark, _mk(spark, [3], "u"), path, ["id"])
+    got = {(r.id, r.val) for r in
+           T.snapshot_incremental(spark, path, since_version=v1).collect()}
+    assert ("u3" == dict(got)[3])
+    # the rewritten file's co-located rows surface; carried files don't
+    assert 0 < len(got) < 100
+
+
+def test_incremental_read_after_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = T.snapshot_write(spark, _mk(spark, range(3)), path)
+    wider = _mk(spark, range(3, 5)).withColumn("score", F.lit(9.0))
+    T.snapshot_write(spark, wider, path, mode="append", merge_schema=True)
+    inc = T.snapshot_incremental(spark, path, since_version=v0)
+    assert inc.columns == ["id", "val", "score"]
+    assert {r.id for r in inc.collect()} == {3, 4}

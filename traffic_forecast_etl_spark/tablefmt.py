@@ -359,6 +359,46 @@ def snapshot_read(
     return spark.read.schema(schema).parquet(*files)
 
 
+def snapshot_incremental(
+    spark: SparkSession, path: str, since_version: int, version: int | None = None
+) -> DataFrame:
+    """Rows in data files ADDED after ``since_version`` (exclusive),
+    up to ``version`` (default latest) — the Iceberg incremental-scan
+    concept: a downstream consumer remembers the last version it
+    processed and reads O(new data), never re-scanning the table.
+
+    File-level semantics on copy-on-write: appends surface exactly
+    the appended rows; a MERGE rewrites its touched files, so rows
+    that were merely co-located with changed keys surface again —
+    consumers needing exact row-level deltas deduplicate downstream
+    or use ``operators.relational.table_diff`` on two
+    ``snapshot_read`` views (value-exact, but scans both sides).
+    Compaction rewrites are file moves, not data changes — callers
+    stepping version-by-version should skip ``op == 'compact'``
+    manifests (``snapshot_history`` exposes the op).
+
+    Reads use the TARGET version's schema (evolution-safe). Requires
+    ``since_version`` to still be retained (raises FileNotFoundError
+    after expiry — re-bootstrap from a full ``snapshot_read``)."""
+    m_new = read_manifest(path, version)
+    if since_version == m_new["version"]:
+        return snapshot_read(spark, path, version).limit(0)
+    if since_version > m_new["version"]:
+        raise ValueError(
+            f"since_version {since_version} is ahead of version {m_new['version']}"
+        )
+    old_files = {e["path"] for e in read_manifest(path, since_version)["files"]}
+    added = [
+        os.path.join(path, e["path"])
+        for e in m_new["files"]
+        if e["path"] not in old_files
+    ]
+    schema = StructType.fromJson(json.loads(m_new["schema"]))
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*added)
+
+
 def _touched(entry: dict, key: str, lo, hi, sorted_keys: list | None) -> bool:
     """Can this file contain any batch key? Conservative on missing
     stats (counts as touched)."""
