@@ -293,6 +293,13 @@ def streaming_snapshot_merge(
     time travel while the stream is mid-commit — a reader never sees
     a half-published micro-batch.
 
+    CAVEAT (same as Delta's txnAppId contract): ``txn_app`` names a
+    (logical stream, checkpoint lineage) pair. Epoch ids restart at 0
+    under a NEW checkpoint, so pointing a fresh-checkpoint stream with
+    NEW data at the same table under the SAME txn_app silently skips
+    its early batches as "replays". Starting over on purpose →
+    new txn_app; recovering the same stream → keep both.
+
     Run with any trigger; pair with AvailableNow for the scheduled-
     tick cadence (reference: the 12-h batch schedule, R2).
     """
