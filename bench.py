@@ -87,6 +87,11 @@ HEADLINE = [
     # logistic regression), leakage-safe component-hashed split
     "c8_quality_classifier",
     "c9_leakage_safe_split",
+    # round-5 fifth wave: BPE round-1 pair statistics (the aggregate
+    # every training merge round reruns; t19's 24-round trainer loop
+    # is deliberately NOT a headline — it times 48 driver-synchronous
+    # tiny jobs, i.e. scheduler overhead, not data-plane throughput)
+    "t18_bpe_pair_freq",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

@@ -1,0 +1,167 @@
+"""Pins for distributed BPE training/encoding (operators/bpe.py):
+the Spark trainer must produce EXACTLY the merge list of a pure
+Python reference implementation of Sennrich et al. 2016 (same greedy
+scan order, same lexicographic tie-break), on hand corpora and on
+real documents; encoding round-trips (concatenated tokens rebuild
+the text) and respects merge ranks.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from traffic_forecast_etl_spark.operators import bpe as B
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference (Sennrich et al. 2016, algorithm 1)
+# ---------------------------------------------------------------------------
+
+def _ref_word_freqs(texts):
+    wf = collections.Counter()
+    for t in texts:
+        wf.update(t.split())
+    return {tuple(list(w) + [B.END_OF_WORD]): c for w, c in wf.items()}
+
+
+def _ref_pair_stats(wf):
+    stats = collections.Counter()
+    for syms, freq in wf.items():
+        for i in range(len(syms) - 1):
+            stats[(syms[i], syms[i + 1])] += freq
+    return stats
+
+
+def _ref_merge(wf, pair):
+    a, b = pair
+    out = {}
+    for syms, freq in wf.items():
+        new, i = [], 0
+        for x in syms:  # greedy left-to-right, same as the engine fold
+            if new and new[-1] == a and x == b:
+                new[-1] = a + b
+            else:
+                new.append(x)
+        out[tuple(new)] = out.get(tuple(new), 0) + freq
+    return out
+
+
+def _ref_train(texts, num_merges, min_pair_freq=2):
+    wf = _ref_word_freqs(texts)
+    merges = []
+    for _ in range(num_merges):
+        stats = _ref_pair_stats(wf)
+        if not stats:
+            break
+        # max freq, lexicographic tie-break — the engine's argmax order
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < min_pair_freq:
+            break
+        merges.append(best)
+        wf = _ref_merge(wf, best)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# trainer pins
+# ---------------------------------------------------------------------------
+
+def test_train_matches_reference_on_classic_corpus(spark):
+    """Sennrich's paper corpus shape: low/lower/newest/widest."""
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = B.train_bpe(df, "text", num_merges=10)
+    want = _ref_train(texts, 10)
+    assert got == want, (got, want)
+    assert ("e", "s") in got  # "es" dominates (newest+widest = 9)
+
+
+def test_train_matches_reference_on_real_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    texts = [r.text for r in docs.select("text").collect()]
+    got = B.train_bpe(docs, "text", num_merges=30, checkpoint_every=5)
+    want = _ref_train(texts, 30)
+    assert got == want
+
+
+def test_train_is_layout_independent(spark):
+    texts = ["the cat sat", "the cat ran", "a cat sat"] * 7
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = B.train_bpe(df, "text", num_merges=8)
+    b = B.train_bpe(df.repartition(13), "text", num_merges=8)
+    assert a == b
+
+
+def test_train_stops_below_min_pair_freq(spark):
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    # every pair occurs once -> nothing reaches min_pair_freq=2
+    assert B.train_bpe(df, "text", num_merges=5) == []
+    with pytest.raises(ValueError):
+        B.train_bpe(df, "text", num_merges=0)
+
+
+# ---------------------------------------------------------------------------
+# encoder pins
+# ---------------------------------------------------------------------------
+
+def test_apply_bpe_rebuilds_text_and_respects_ranks(spark):
+    texts = ["low lower lowest"] * 4 + ["newest widest"] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = B.train_bpe(df, "text", num_merges=12)
+    out = B.apply_bpe(df, "text", "doc_id", merges).collect()
+    for r in out:
+        original = texts[r.doc_id]
+        # stripping markers and concatenating rebuilds the exact text
+        rebuilt = "".join(r.bpe_tokens).replace(B.END_OF_WORD, " ").strip()
+        assert rebuilt == original
+        assert r.n_bpe_tokens == len(r.bpe_tokens)
+    # with zero merges every token is a single char or the marker
+    chars = B.apply_bpe(df, "text", "doc_id", []).collect()
+    assert all(len(t) == 1 for r in chars for t in r.bpe_tokens)
+
+
+def test_apply_bpe_fewer_tokens_with_more_merges(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    merges = B.train_bpe(docs, "text", num_merges=40, checkpoint_every=10)
+    n0 = B.apply_bpe(docs, "text", "doc_id", []).agg(
+        F.sum("n_bpe_tokens")
+    ).first()[0]
+    n40 = B.apply_bpe(docs, "text", "doc_id", merges).agg(
+        F.sum("n_bpe_tokens")
+    ).first()[0]
+    assert n40 < n0  # merges compress
+
+
+def test_merges_df_roundtrip(spark):
+    merges = [("a", "b"), ("ab", "c")]
+    mdf = B.merges_df(spark, merges)
+    back = [
+        (r.a, r.b) for r in mdf.orderBy("rank").collect()
+    ]
+    assert back == merges
+
+
+def test_pair_freqs_shuffles_pairs_not_words(spark):
+    """Scale shape: the pair aggregate exchanges hash-partition on the
+    (a, b) pair columns, never on the symbols array or raw text."""
+    df = spark.createDataFrame([("aa bb aa",)] * 10, "text string")
+    words = B.word_freqs(df, "text").select(
+        B._to_symbols(F.col("word")).alias("symbols"), "freq"
+    )
+    plan = (
+        B.pair_freqs(words)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "symbols" not in ex and "text" not in ex, ex

@@ -47,6 +47,9 @@ def test_oracle_coverage(spark):
         "a10_approx_distinct",
         # trained-model scoring (L-BFGS logistic fit not SQL-expressible)
         "c8_quality_classifier",
+        # iterative argmax loop (merge list pinned vs a pure-Python
+        # reference in test_bpe.py)
+        "t19_bpe_train",
     }
 
 

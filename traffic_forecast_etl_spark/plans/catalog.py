@@ -4438,6 +4438,62 @@ def c9_leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "group_id", "split")
 
 
+@query(
+    "t18_bpe_pair_freq",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT word, count(*) AS freq FROM tok GROUP BY word
+    ), pairs AS (
+      SELECT substr(word, i, 1) AS a,
+             CASE WHEN i = length(word) THEN '▁'
+                  ELSE substr(word, i + 1, 1) END AS b,
+             freq
+      FROM wf, unnest(generate_series(1, length(word))) AS u(i)
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM pairs GROUP BY a, b
+    """,
+)
+def t18_bpe_pair_freq(spark, sf_dir):
+    """Round-1 BPE pair statistics (Sennrich et al. 2016 get_stats):
+    corpus-weighted adjacent-symbol pair counts over the word-
+    frequency table — the aggregate every merge iteration of
+    distributed BPE training reruns. Corpus scans once into (word,
+    freq); pairs explode from the VOCABULARY, not the token stream,
+    and only (char, char) keys shuffle. Oracle recomputes the
+    character pairing + end-of-word marker with substr arithmetic."""
+    from ..operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    words = B.word_freqs(docs, "text").select(
+        B._to_symbols(F.col("word")).alias("symbols"), "freq"
+    )
+    return B.pair_freqs(words).select(
+        "a", "b", F.col("pair_freq").cast("long").alias("pair_freq")
+    )
+
+
+@query("t19_bpe_train")
+def t19_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training, 24 merges (Sennrich et al.
+    2016; the GPT-2 tokenizer recipe): one corpus scan builds the
+    word-frequency table, then each merge round is two small jobs
+    over that table (weighted pair argmax with lexicographic
+    tie-break + native-fold symbol rewrite; lineage checkpointed).
+    Rows-only: the iterative argmax is not SQL-expressible; the merge
+    list is pinned EXACTLY against a pure-Python reference
+    implementation on real documents (tests/test_bpe.py)."""
+    from ..operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, "text", num_merges=24, checkpoint_every=8)
+    return B.merges_df(spark, merges)
+
+
 # ---------------------------------------------------------------------------
 # Sweep-priority registration order
 #
@@ -4473,6 +4529,8 @@ _SWEEP_PRIORITY = [
     # NEW in round 5, fourth wave: model-based quality classifier,
     # leakage-safe component-hashed train/eval split
     "c8_quality_classifier", "c9_leakage_safe_split",
+    # NEW in round 5, fifth wave: distributed BPE tokenizer training
+    "t18_bpe_pair_freq", "t19_bpe_train",
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
