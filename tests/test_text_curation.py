@@ -533,3 +533,60 @@ def test_bm25_plan_stays_narrow(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode of the token stream
+
+
+def test_blocklist_filter_token_not_substring_and_edges(spark):
+    """The published pitfall: substring lists flag 'class' for 'ass'.
+    Token matching must NOT; edge punctuation and case must."""
+    from traffic_forecast_etl_spark.operators.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a classy document about classification"),  # substrings only
+            (2, "utter SPAM! here"),  # case + trailing punct
+            (3, "(spam) and spam and junk."),  # distinct-hit counting
+            (4, "clean text entirely"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.blocked, r.n_blockword_hits)
+        for r in blocklist_filter(
+            docs, "text", "doc_id", ["ass", "spam", "junk"]
+        ).collect()
+    }
+    assert out[1] == (False, 0)
+    assert out[2] == (True, 1)
+    assert out[3] == (True, 2)  # spam + junk, spam counted once
+    assert out[4] == (False, 0)
+    assert out[5] == (False, 0)
+
+
+def test_blocklist_filter_join_regime_matches_literal(spark, sf_dir):
+    """Above max_literal_words the broadcast-join path must return
+    row-for-row the same flags as the literal-array path."""
+    from traffic_forecast_etl_spark.operators.text import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = ["dup", "slow", "legacy"]
+    lit = blocklist_filter(docs, "text", "doc_id", words)
+    joined = blocklist_filter(docs, "text", "doc_id", words, max_literal_words=1)
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, joined.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocklist_filter(docs, "text", "doc_id", [])
+
+
+def test_blocklist_filter_literal_path_is_shuffle_free(spark, sf_dir):
+    from traffic_forecast_etl_spark.operators.text import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        blocklist_filter(docs, "text", "doc_id", ["dup", "slow"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]

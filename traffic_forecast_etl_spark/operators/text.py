@@ -504,6 +504,72 @@ def decontaminate(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blockwords: list[str],
+    max_literal_words: int = 10_000,
+) -> DataFrame:
+    """C4-style blocklist flagging (Raffel et al. 2020 removed any
+    page containing a word from the "List of Dirty, Naughty, Obscene
+    or Otherwise Bad Words"; every published crawl pipeline since has
+    an equivalent): flag documents whose WHITESPACE TOKENS
+    (lowercased, punctuation-stripped at the edges) hit the block
+    set. Token-match, not substring-match — the published pitfall of
+    substring blocklists is flagging "class" for "ass"; edge-stripping
+    catches "word!" and "(word)".
+
+    Returns (id, blocked, n_blockword_hits) for every input row.
+
+    Scale shape, two regimes:
+    - ``len(blockwords) <= max_literal_words``: the set rides the
+      PLAN as a literal array; the flag is one map-only
+      ``arrays_overlap`` / ``array_intersect`` pass — zero shuffle,
+      zero extra jobs (the common case: real blocklists are hundreds
+      to a few thousand words).
+    - bigger lists: tokens explode to (id, token) and semi-join a
+      broadcast blockword frame, distinct-collapse, rejoin the spine
+      — same decontaminate() shape, corpus text never shuffles.
+    """
+    if not blockwords:
+        raise ValueError("blockwords must be non-empty")
+    normalized = sorted({w.lower() for w in blockwords})
+    toks = F.transform(
+        tokens(text_col),
+        lambda t: F.regexp_replace(F.lower(t), r"^\W+|\W+$", ""),
+    )
+    if len(normalized) <= max_literal_words:
+        block_arr = F.lit(normalized)
+        hits = F.size(F.array_intersect(toks, block_arr))
+        return df.select(
+            F.col(id_col),
+            (hits > 0).alias("blocked"),
+            hits.alias("n_blockword_hits"),
+        )
+    spark = df.sparkSession
+    block_df = spark.createDataFrame(
+        [(w,) for w in normalized], "__bw string"
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__bw"))
+    hit_counts = (
+        exploded.join(F.broadcast(block_df), "__bw")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__bw").alias("n_blockword_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(F.broadcast(hit_counts), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_blockword_hits") > 0, F.lit(False)).alias(
+                "blocked"
+            ),
+            F.coalesce("n_blockword_hits", F.lit(0)).alias("n_blockword_hits"),
+        )
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     text_col: str,

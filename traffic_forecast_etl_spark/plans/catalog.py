@@ -4439,6 +4439,44 @@ def c9_leakage_safe_split(spark, sf_dir):
 
 
 @query(
+    "c10_blocklist_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> ''),
+               t -> regexp_replace(lower(t), '^\W+|\W+$', '', 'g')) AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, count(DISTINCT w) AS n
+      FROM toks, unnest(t) AS u(w)
+      WHERE w IN ('dup', 'slow', 'legacy')
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n > 0, false) AS blocked,
+           CAST(coalesce(h.n, 0) AS INT) AS n_blockword_hits
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def c10_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist flagging (Raffel et al. 2020's bad-words
+    filter): token-level (not substring) membership against a
+    broadcast block set, lowercased with punctuation edge-stripping.
+    The ≤10k-word regime rides the plan as a literal array — one
+    map-only array_intersect pass, zero shuffle; the demo list mixes
+    a 5%-df word, a 79%-df word, and an absent word so both flag
+    levels and the distinct-hit count are value-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.blocklist_filter(
+        docs, "text", "doc_id", ["dup", "slow", "legacy"]
+    ).select(
+        "doc_id", "blocked", F.col("n_blockword_hits").cast("int").alias("n_blockword_hits")
+    )
+
+
+@query(
     "t18_bpe_pair_freq",
     r"""
     WITH tok AS (
@@ -4529,8 +4567,9 @@ _SWEEP_PRIORITY = [
     # NEW in round 5, fourth wave: model-based quality classifier,
     # leakage-safe component-hashed train/eval split
     "c8_quality_classifier", "c9_leakage_safe_split",
-    # NEW in round 5, fifth wave: distributed BPE tokenizer training
-    "t18_bpe_pair_freq", "t19_bpe_train",
+    # NEW in round 5, fifth wave: distributed BPE tokenizer training,
+    # C4-style blocklist flagging
+    "t18_bpe_pair_freq", "t19_bpe_train", "c10_blocklist_filter",
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
