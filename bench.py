@@ -92,6 +92,7 @@ HEADLINE = [
     # is deliberately NOT a headline — it times 48 driver-synchronous
     # tiny jobs, i.e. scheduler overhead, not data-plane throughput)
     "t18_bpe_pair_freq",
+    "c10_blocklist_filter",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —
