@@ -93,6 +93,7 @@ HEADLINE = [
     # tiny jobs, i.e. scheduler overhead, not data-plane throughput)
     "t18_bpe_pair_freq",
     "c10_blocklist_filter",
+    "t20_line_dedup",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

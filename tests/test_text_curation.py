@@ -590,3 +590,44 @@ def test_blocklist_filter_literal_path_is_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_dedup_lines_within_doc_keeps_first_occurrence_in_place(spark):
+    from traffic_forecast_etl_spark.operators.text import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Accept cookies\nreal content A\nAccept cookies\nreal content B\nAccept cookies"),
+            (2, "no repeats\nat all"),
+            (3, "x\nx\nx\nx"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_within_doc(docs, "text", "doc_id").collect()}
+    assert out[1].text_deduped == "Accept cookies\nreal content A\nreal content B"
+    assert (out[1].n_lines, out[1].n_lines_kept) == (5, 3)
+    assert out[2].text_deduped == "no repeats\nat all"
+    assert out[3].text_deduped == "x" and out[3].n_lines == 4
+    assert out[4].text_deduped == "" and out[4].n_lines_kept == 1
+
+
+def test_dedup_lines_custom_sep_is_literal_not_regex(spark):
+    from traffic_forecast_etl_spark.operators.text import dedup_lines_within_doc
+
+    docs = spark.createDataFrame([(1, "a.b.a.c")], "doc_id long, text string")
+    out = dedup_lines_within_doc(docs, "text", "doc_id", sep=".").first()
+    assert out.text_deduped == "a.b.c"  # '.' treated literally
+
+
+def test_dedup_lines_plan_is_shuffle_free(spark, sf_dir):
+    from traffic_forecast_etl_spark.operators.text import dedup_lines_within_doc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        dedup_lines_within_doc(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]

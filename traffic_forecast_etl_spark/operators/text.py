@@ -570,6 +570,39 @@ def blocklist_filter(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the intra-doc half of
+    the RefinedWeb/MassiveText repetition cleanup; the cross-doc half
+    is ``dedup.segment_dedup``): keep each line's FIRST occurrence in
+    its original position, drop later repeats, rebuild the text.
+    Crawled pages repeat nav bars, cookie banners, and footers many
+    times inside one document — the duplicated-line mass that t11/t14
+    detect; this is the corresponding fix.
+
+    Entirely map-only native expressions (``array_distinct`` keeps
+    first-occurrence order by contract): zero shuffle, one pass,
+    pipelines into the scan — the same 100 TB shape as the other
+    map-only text cleaners.
+
+    Returns (id, text_deduped, n_lines, n_lines_kept).
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    kept = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("text_deduped"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     text_col: str,

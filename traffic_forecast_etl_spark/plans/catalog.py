@@ -4439,6 +4439,45 @@ def c9_leakage_safe_split(spark, sf_dir):
 
 
 @query(
+    "t20_line_dedup",
+    r"""
+    WITH lines AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), pos AS (
+      SELECT doc_id, arr[i] AS w, i
+      FROM lines, unnest(generate_series(1, len(arr))) AS u(i)
+    ), firsts AS (
+      SELECT doc_id, w, min(i) AS fi FROM pos GROUP BY doc_id, w
+    )
+    SELECT f.doc_id,
+           string_agg(f.w, ' ' ORDER BY f.fi) AS text_deduped,
+           CAST(any_value(len(l.arr)) AS INT) AS n_lines,
+           CAST(count(*) AS INT) AS n_lines_kept
+    FROM firsts f JOIN lines l USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def t20_line_dedup(spark, sf_dir):
+    """Within-document repeated-segment removal (the intra-doc half
+    of RefinedWeb/MassiveText repetition cleanup): first occurrence
+    of each segment kept in position, later repeats dropped, text
+    rebuilt — one map-only array_distinct pass, zero shuffle. The
+    synthetic corpus is delimiter-free (same note as segment_dedup),
+    so the catalog exercises sep=' ' (word-level segments, which the
+    heavy word repetition makes a real workload); production crawls
+    pass '\\n'. Oracle: order-preserving distinct as min-position
+    group-by + position-ordered string_agg — rebuilt text, line
+    counts, and kept counts all value-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dedup_lines_within_doc(docs, "text", "doc_id", sep=" ").select(
+        "doc_id",
+        "text_deduped",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+    )
+
+
+@query(
     "c10_blocklist_filter",
     r"""
     WITH toks AS (
@@ -4570,6 +4609,7 @@ _SWEEP_PRIORITY = [
     # NEW in round 5, fifth wave: distributed BPE tokenizer training,
     # C4-style blocklist flagging
     "t18_bpe_pair_freq", "t19_bpe_train", "c10_blocklist_filter",
+    "t20_line_dedup",
     # stalest: latest green row is r1
     "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
     "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
