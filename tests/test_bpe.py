@@ -165,3 +165,39 @@ def test_pair_freqs_shuffles_pairs_not_words(spark):
 
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
         assert "symbols" not in ex and "text" not in ex, ex
+
+
+def test_merge_fold_matches_python_on_random_sequences(spark):
+    """The native F.aggregate fold vs the reference greedy scan on
+    300 random symbol sequences over a tiny alphabet (maximizing
+    adjacent/overlapping pair runs), for several target pairs —
+    one Spark job per pair."""
+    import random
+
+    rng = random.Random(42)
+    seqs = [
+        [rng.choice("ab▁") for _ in range(rng.randint(0, 12))]
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i long, symbols array<string>"
+    )
+
+    def py_merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    for a, b in [("a", "a"), ("a", "b"), ("b", "▁")]:
+        got = {
+            r.i: r.m
+            for r in df.select(
+                "i", B.merge_pair_column(F.col("symbols"), a, b).alias("m")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == py_merge(s, a, b), (i, s, a, b, got[i])
