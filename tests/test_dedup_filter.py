@@ -762,6 +762,36 @@ def test_leakage_safe_split_md5_rule_matches_python(spark, sf_dir):
     assert 0.7 < n_train / len(rows) < 0.9
 
 
+def test_leakage_safe_split_string_ids(spark):
+    """String ids must hash as strings — the old long cast NULLed
+    them and silently dumped every row on the eval side. Same md5
+    rule, recomputed in Python; components still move as one unit."""
+    import hashlib
+
+    from traffic_forecast_etl_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "x") for i in range(200)], "doc_id string, text string"
+    )
+    edges = spark.createDataFrame(
+        [("doc-0", "doc-1"), ("doc-1", "doc-2")], "id1 string, id2 string"
+    )
+    rows = leakage_safe_split(docs, edges, "doc_id", 0.8).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert all(r.group_id is not None for r in rows)
+    # the 3-node component shares one group and one side
+    comp = [by_id[f"doc-{i}"] for i in range(3)]
+    assert len({r.group_id for r in comp}) == 1
+    assert len({r.split for r in comp}) == 1
+    n_train = 0
+    for r in rows:
+        bucket = int(hashlib.md5(str(r.group_id).encode()).hexdigest()[:4], 16)
+        expect = "train" if bucket < 52429 else "eval"
+        assert r.split == expect, (r.doc_id, r.group_id, bucket, r.split)
+        n_train += r.split == "train"
+    assert 0 < n_train < len(rows)
+
+
 def test_leakage_safe_split_fraction_bounds(spark):
     from traffic_forecast_etl_spark.operators.dedup import leakage_safe_split
 

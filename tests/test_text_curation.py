@@ -592,6 +592,22 @@ def test_blocklist_filter_literal_path_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan[:1500]
 
 
+def test_blocklist_filter_join_regime_no_hint_on_doc_aggregate(spark, sf_dir):
+    """The big-list regime must not FORCE-broadcast the per-document
+    hit_counts aggregate (its cardinality scales with the corpus, not
+    the blocklist). Exactly one broadcast hint is allowed in the plan:
+    the blockword frame itself."""
+    from traffic_forecast_etl_spark.operators.text import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = blocklist_filter(
+        docs, "text", "doc_id", ["dup", "slow"], max_literal_words=1
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    assert n_hints == 1, f"expected 1 broadcast hint (blockwords), got {n_hints}"
+
+
 def test_dedup_lines_within_doc_keeps_first_occurrence_in_place(spark):
     from traffic_forecast_etl_spark.operators.text import dedup_lines_within_doc
 

@@ -21,7 +21,7 @@ slow-path escape hatch (SURVEY §2.8 U2), amortized to one python
 worker call per Arrow batch.
 
 Reference anchor: the reference repo has no tokenizer plane
-(reference: notebooks/Traffic_Forecast.ipynb is numeric-only); this
+(reference: Traffic-Prediction-Modelling.ipynb is numeric-only); this
 is LLM-pipeline extension surface, cited to the published algorithm.
 """
 

@@ -961,7 +961,19 @@ def connected_components(
                 parent[hi] = lo
         nodes = {x for r in sample for x in (r[0], r[1])}
         rows = [(n, find(n)) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(rows, "node long, component long")
+        # node/component inherit the edge id type (string ids are
+        # legal — min-label is lexicographic there, matching the
+        # distributed path's F.min semantics)
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[0].dataType
+        schema = StructType(
+            [
+                StructField("node", id_type, False),
+                StructField("component", id_type, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema)
 
     # materialize the (persisted) edge list once — every propagation
     # round joins it, and without the checkpoint each round's join
@@ -1585,7 +1597,12 @@ def leakage_safe_split(
         F.col("node").alias("__lss_node"), F.col("component").alias("__lss_comp")
     )
     out = df.join(comp, df[id_col] == comp["__lss_node"], "left")
-    group = F.coalesce(F.col("__lss_comp"), F.col(id_col)).cast("long")
+    # No cast to long: string ids must hash as strings (a long cast
+    # would NULL them out and silently dump every row on the eval
+    # side). group_id keeps the id column's native type; the md5 is
+    # over its string form either way, so numeric-id assignments are
+    # unchanged.
+    group = F.coalesce(F.col("__lss_comp"), F.col(id_col))
     bucket = F.conv(
         F.substring(F.md5(group.cast("string")), 1, 4), 16, 10
     ).cast("long")

@@ -557,9 +557,13 @@ def blocklist_filter(
         .groupBy(id_col)
         .agg(F.count_distinct("__bw").alias("n_blockword_hits"))
     )
+    # No broadcast hint on hit_counts: its cardinality is one row per
+    # document with >=1 blockword hit — unbounded by the blocklist size,
+    # so a forced broadcast would blow the driver on a high-hit corpus.
+    # AQE broadcasts it at runtime when it is genuinely small.
     return (
         df.select(id_col)
-        .join(F.broadcast(hit_counts), id_col, "left")
+        .join(hit_counts, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_blockword_hits") > 0, F.lit(False)).alias(

@@ -23,7 +23,7 @@ pattern Spark-first:
   reader.
 
 Reference anchor: the reference trains sklearn regressors over a
-pandas frame (reference: notebooks/Traffic_Forecast.ipynb model
+pandas frame (reference: Traffic-Prediction-Modelling.ipynb model
 cells); this is the text-plane classification analogue built on
 Spark MLlib instead of a driver-side sklearn fit.
 """
@@ -122,9 +122,19 @@ def quality_filter(
     """Keep rows the classifier scores at or above ``threshold`` —
     the corpus-curation filter form (returns the ORIGINAL rows, all
     columns; the score is recomputed inline, not joined, so the
-    filter is still one map-only pass)."""
+    filter is still one map-only pass).
+
+    ``text_col``/``id_col`` are validated against the frame up front
+    (the model's own stage columns drive the transform, so a typo
+    here would otherwise be silently ignored)."""
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be a probability in [0,1]: {threshold}")
+    missing = [c for c in (text_col, id_col) if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"quality_filter: column(s) {missing} not in frame "
+            f"(has: {docs.columns})"
+        )
     scored = model.transform(docs)
     prob = vector_to_array(F.col("probability"))[1]
     return (

@@ -274,6 +274,7 @@ def streaming_snapshot_merge(
     keys: list[str],
     txn_app: str = "streaming_snapshot_merge",
     checkpoint: str | None = None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """EXACTLY-ONCE streaming upsert into a :mod:`..tablefmt`
     snapshot table: each micro-batch is one versioned, atomically
@@ -300,8 +301,10 @@ def streaming_snapshot_merge(
     its early batches as "replays". Starting over on purpose →
     new txn_app; recovering the same stream → keep both.
 
-    Run with any trigger; pair with AvailableNow for the scheduled-
-    tick cadence (reference: the 12-h batch schedule, R2).
+    ``trigger`` is passed straight to ``DataStreamWriter.trigger``
+    (e.g. ``{"processingTime": "10 seconds"}`` for a long-lived
+    stream); the default ``None`` → AvailableNow, the scheduled-tick
+    cadence (reference: the 12-h batch schedule, R2).
     """
     from .. import tablefmt as TF
 
@@ -315,7 +318,9 @@ def streaming_snapshot_merge(
             txn_version=int(epoch_id),
         )
 
-    writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
+    writer = stream.writeStream.foreachBatch(_merge).trigger(
+        **(trigger if trigger is not None else {"availableNow": True})
+    )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

@@ -41,7 +41,7 @@ ConcurrentWriterError contract), and a version-exists check inside
 the lease turns a lost race into an explicit conflict.
 
 Reference anchor: the reference overwrites its postgres staging
-tables in place (reference: dags/traffic_etl.py load step); this is
+tables in place (reference: dags/utils.py:98-127 load step); this is
 the warehouse-grade replacement for that pattern.
 """
 
