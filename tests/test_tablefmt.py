@@ -424,3 +424,196 @@ def test_incremental_read_after_schema_evolution(spark, tmp_path):
     inc = T.snapshot_incremental(spark, path, since_version=v0)
     assert inc.columns == ["id", "val", "score"]
     assert {r.id for r in inc.collect()} == {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# typed stats: date/timestamp/decimal/binary keys (ADVICE r5: raw
+# json.dump raised TypeError after data files were already staged)
+# ---------------------------------------------------------------------------
+
+def _mk_dated(spark, days, val="v"):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(dt.date(2026, 1, 1) + dt.timedelta(days=int(d)), f"{val}{d}")
+         for d in days],
+        "day date, val string",
+    )
+
+
+def test_stats_date_key_commit_and_merge_prune(spark, tmp_path):
+    """A date-keyed table must commit (stats encode to ISO strings)
+    and merge must still file-prune on the decoded date range."""
+    path = str(tmp_path / "t")
+    base = _mk_dated(spark, range(365)).repartitionByRange(8, "day")
+    T.snapshot_merge(spark, base, path, keys=["day"])
+    m0 = T.read_manifest(path)
+    assert len(m0["files"]) == 8
+    # stats are JSON-safe ISO strings
+    st = m0["files"][0]["stats"]["day"]
+    assert isinstance(st[0], str) and st[0].startswith("2026-")
+    # a one-week batch carries most files untouched
+    T.snapshot_merge(spark, _mk_dated(spark, range(7), "u"), path, keys=["day"])
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) >= 6, len(carried)
+    import datetime as dt
+
+    got = {r.day: r.val for r in T.snapshot_read(spark, path).collect()}
+    assert got[dt.date(2026, 1, 2)] == "u1"
+    assert got[dt.date(2026, 6, 1)].startswith("v")
+    assert len(got) == 365
+
+
+def test_stats_timestamp_decimal_binary_roundtrip(spark, tmp_path):
+    """Every advertised stats type commits and decodes back to its
+    native Python form (order-preserving for pruning)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from traffic_forecast_etl_spark.tablefmt import _dec_stat, _enc_stat
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2026, 1, 1, 8, 0, 0, 500000), Decimal("12.34"),
+             bytearray(b"ab")),
+            (dt.datetime(2026, 1, 2, 9, 30, 1), Decimal("-7.50"),
+             bytearray(b"zz")),
+        ],
+        "ts timestamp, amt decimal(10,2), blob binary",
+    )
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, df, path, stats_cols=["ts", "amt", "blob"])
+    m = T.read_manifest(path)
+    schema_json = m["schema"]
+    from traffic_forecast_etl_spark.tablefmt import _col_type
+
+    for col, expect_min in [
+        ("ts", dt.datetime(2026, 1, 1, 8, 0, 0, 500000)),
+        ("amt", Decimal("-7.50")),
+        ("blob", b"ab"),
+    ]:
+        lo = min(
+            _dec_stat(e["stats"][col][0], _col_type(schema_json, col))
+            for e in m["files"] if e["stats"].get(col)
+        )
+        assert lo == expect_min, (col, lo)
+    # enc/dec identity on JSON-native types
+    assert _enc_stat(5) == 5 and _enc_stat("x") == "x" and _enc_stat(None) is None
+
+
+def test_stats_unsupported_type_raises_before_commit(spark, tmp_path):
+    """A stats column of an unencodable type must raise a clear
+    TypeError (not a json.dump stack) — and not publish a version."""
+    df = spark.createDataFrame(
+        [([1, 2], "a")], "arr array<int>, val string"
+    )
+    path = str(tmp_path / "t")
+    with pytest.raises(TypeError, match="stats/key columns"):
+        T.snapshot_write(spark, df, path, stats_cols=["arr"])
+    assert T.current_version(path) is None
+
+
+# ---------------------------------------------------------------------------
+# snapshot_scan: manifest-stats file pruning for reads (r6 #1)
+# ---------------------------------------------------------------------------
+
+def test_scan_admits_only_overlapping_files(spark, tmp_path):
+    """The pyarrow-footer-style contract: a range query's plan admits
+    only files whose manifest [min,max] overlaps the bounds."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m, admitted = T.snapshot_scan_files(path, "id", 100, 160)
+    assert len(m["files"]) == 8
+    assert 1 <= len(admitted) <= 2, [e["stats"]["id"] for e in admitted]
+    # point lookup: exactly one file in a disjoint range layout
+    _, pt = T.snapshot_scan_files(path, "id", 500, 500)
+    assert len(pt) == 1
+    # inverted range: empty plan
+    _, none = T.snapshot_scan_files(path, "id", 9, 3)
+    assert none == []
+    # unbounded: everything
+    _, allf = T.snapshot_scan_files(path, "id")
+    assert len(allf) == 8
+
+
+def test_scan_rows_equal_read_plus_filter(spark, tmp_path):
+    """snapshot_scan must be row-identical to snapshot_read + filter
+    on every bound shape (both, lower-only, upper-only, point, empty)."""
+    path = str(tmp_path / "t")
+    T.snapshot_merge(
+        spark, _mk(spark, range(300)).repartitionByRange(6, "id"), path, ["id"]
+    )
+    full = T.snapshot_read(spark, path)
+    for lo, hi in [(50, 99), (250, None), (None, 10), (7, 7), (400, 500)]:
+        got = T.snapshot_scan(spark, path, "id", lo, hi)
+        expect = full
+        if lo is not None:
+            expect = expect.filter(F.col("id") >= lo)
+        if hi is not None:
+            expect = expect.filter(F.col("id") <= hi)
+        assert _rows(got) == _rows(expect), (lo, hi)
+
+
+def test_scan_date_key_prunes_and_matches(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    T.snapshot_merge(
+        spark,
+        _mk_dated(spark, range(365)).repartitionByRange(8, "day"),
+        path,
+        keys=["day"],
+    )
+    lo, hi = dt.date(2026, 3, 1), dt.date(2026, 3, 31)
+    _, admitted = T.snapshot_scan_files(path, "day", lo, hi)
+    assert 1 <= len(admitted) <= 2, len(admitted)
+    got = T.snapshot_scan(spark, path, "day", lo, hi)
+    expect = T.snapshot_read(spark, path).filter(
+        (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi))
+    )
+    assert _rows(got) == _rows(expect)
+    assert got.count() == 31
+
+
+def test_scan_time_travel_and_missing_stats_conservative(spark, tmp_path):
+    """Scan at an old version plans from THAT manifest; files written
+    without stats for the key are admitted conservatively."""
+    path = str(tmp_path / "t")
+    v0 = T.snapshot_write(
+        spark,
+        _mk(spark, range(100)).repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    # second version appends files with NO id stats
+    T.snapshot_write(spark, _mk(spark, range(100, 120)), path, mode="append")
+    # latest: the no-stats files must be admitted even out-of-range
+    m, admitted = T.snapshot_scan_files(path, "id", 0, 10)
+    no_stats = [e for e in admitted if not e.get("stats", {}).get("id")]
+    assert no_stats, "files without stats must be admitted"
+    got = T.snapshot_scan(spark, path, "id", 0, 10)
+    assert got.count() == 11  # residual filter still exact
+    # time travel to v0: plans from the v0 manifest (4 files, stats'd)
+    _, adm0 = T.snapshot_scan_files(path, "id", 0, 10, version=v0)
+    assert 1 <= len(adm0) <= 2
+
+
+def test_scan_after_schema_evolution(spark, tmp_path):
+    """Post-evolution scan reads with the manifest schema: old files
+    null-fill the new column; pruning still works on the key."""
+    path = str(tmp_path / "t")
+    T.snapshot_merge(
+        spark, _mk(spark, range(100)).repartitionByRange(4, "id"), path, ["id"]
+    )
+    wider = _mk(spark, range(100, 110)).withColumn("score", F.lit(9.0))
+    T.snapshot_write(
+        spark, wider, path, mode="append", merge_schema=True, stats_cols=["id"]
+    )
+    got = T.snapshot_scan(spark, path, "id", 95, 105)
+    assert got.columns == ["id", "val", "score"]
+    rows = {r.id: r.score for r in got.collect()}
+    assert rows[95] is None and rows[105] == 9.0 and len(rows) == 11
+    _, admitted = T.snapshot_scan_files(path, "id", 0, 10)
+    assert len(admitted) < len(T.read_manifest(path)["files"])

@@ -47,6 +47,9 @@ the warehouse-grade replacement for that pattern.
 
 from __future__ import annotations
 
+import base64
+import datetime as _dt
+import decimal as _decimal
 import json
 import os
 import shutil
@@ -56,7 +59,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BinaryType,
+    DataType,
+    DateType,
+    DecimalType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from .sinks import acquire_writer_lease, release_writer_lease
 
@@ -145,6 +156,69 @@ def snapshot_history(path: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# stat value (de)serialization — manifests are plain JSON, but stats/key
+# columns are routinely dates, timestamps, decimals, or binary (a
+# time-keyed table is the module's advertised use case). Values are
+# encoded to a canonical JSON-safe form at commit and decoded back to
+# the SAME native Python type at prune time, with the manifest's own
+# schema naming the type — so pruning comparisons (native batch key vs
+# decoded manifest stat) are always same-type, never string-vs-date.
+# ---------------------------------------------------------------------------
+
+def _enc_stat(v):
+    """Canonical JSON-safe encoding of a min/max stat value."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    raise TypeError(
+        f"unsupported stats value type {type(v).__name__}: {v!r} — "
+        "stats/key columns must be numeric, string, boolean, date, "
+        "timestamp, decimal, or binary"
+    )
+
+
+def _dec_stat(v, dtype: DataType):
+    """Decode a manifest stat back to the native type ``dtype`` names
+    (the inverse of :func:`_enc_stat`; identity for JSON-native
+    types)."""
+    if v is None:
+        return None
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return _dt.datetime.fromisoformat(v)
+    if isinstance(dtype, DateType):
+        return _dt.date.fromisoformat(v)
+    if isinstance(dtype, DecimalType):
+        return _decimal.Decimal(v)
+    if isinstance(dtype, BinaryType):
+        return base64.b64decode(v)
+    return v
+
+
+def _col_type(schema_json: str, col: str) -> DataType:
+    schema = StructType.fromJson(json.loads(schema_json))
+    for f in schema.fields:
+        if f.name == col:
+            return f.dataType
+    raise KeyError(f"column {col!r} not in table schema")
+
+
+def _norm_key(v):
+    """Normalize a batch-side key value for comparison against decoded
+    stats (Spark collects BinaryType as bytearray; stats decode to
+    bytes — unify so ordering comparisons are same-type)."""
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
 # data-file plumbing
 # ---------------------------------------------------------------------------
 
@@ -193,7 +267,8 @@ def _stage_files(
                 "rows": int(r["__rows"]) if r is not None else 0,
                 "bytes": os.path.getsize(abs_p),
                 "stats": {
-                    c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+                    c: [_enc_stat(r[f"__min_{c}"]), _enc_stat(r[f"__max_{c}"])]
+                    for c in stats_cols
                 }
                 if r is not None
                 else {},
@@ -359,6 +434,76 @@ def snapshot_read(
     return spark.read.schema(schema).parquet(*files)
 
 
+def snapshot_scan_files(
+    path: str,
+    key: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> tuple[dict, list[dict]]:
+    """Scan PLANNING (the Iceberg planFiles concept): return
+    ``(manifest, admitted file entries)`` for a key-range predicate,
+    admitting only files whose manifest min/max for ``key`` can
+    overlap ``[lower, upper]`` (either bound may be None =
+    unbounded). Files without stats for ``key`` are admitted
+    conservatively — pruning is an optimization, never a filter.
+
+    Planning is pure manifest arithmetic on the driver: O(files in
+    manifest) comparisons over KBs of JSON, zero footer reads, zero
+    Spark jobs — at 100 TB a key-ranged read is decided without
+    touching storage."""
+    m = read_manifest(path, version)
+    if lower is not None and upper is not None and lower > upper:
+        return m, []
+    dtype = _col_type(m["schema"], key)
+    lo, hi = _norm_key(lower), _norm_key(upper)
+    admitted = [e for e in m["files"] if _touched(e, key, lo, hi, None, dtype)]
+    return m, admitted
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Key-range read that plans its file list from the manifest's
+    per-file min/max stats — the read-side twin of
+    :func:`snapshot_merge`'s copy-on-write pruning. With
+    range-clustered keys (write sorted; compact preserves order) a
+    bounded read of a 100 TB table OPENS O(matching files): parquet
+    row-group stats can skip data inside a file Spark already opened,
+    but only the manifest can keep the file (its task, open, and
+    footer parse) out of the plan entirely.
+
+    Exactness: the pruned scan still applies the residual predicate
+    (``key >= lower AND key <= upper``) — file stats only bound what a
+    file CAN contain — so results are row-identical to
+    ``snapshot_read(...).filter(...)`` by construction (pytest-pinned
+    on every fixture, including time travel and post-evolution
+    schemas). Bounds are inclusive; pass ``lower == upper`` for point
+    lookups, one-sided bounds for open ranges.
+
+    Reference anchor: the read-side contract the reference's Postgres
+    indexes give its dashboard queries (reference:
+    dags/utils.py:98-127 DDL + dashboard.pbix consumer).
+    """
+    m, admitted = snapshot_scan_files(path, key, lower, upper, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not admitted:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, e["path"]) for e in admitted]
+    )
+    if lower is not None:
+        df = df.filter(F.col(key) >= F.lit(lower))
+    if upper is not None:
+        df = df.filter(F.col(key) <= F.lit(upper))
+    return df
+
+
 def snapshot_incremental(
     spark: SparkSession, path: str, since_version: int, version: int | None = None
 ) -> DataFrame:
@@ -399,14 +544,17 @@ def snapshot_incremental(
     return spark.read.schema(schema).parquet(*added)
 
 
-def _touched(entry: dict, key: str, lo, hi, sorted_keys: list | None) -> bool:
+def _touched(
+    entry: dict, key: str, lo, hi, sorted_keys: list | None, dtype: DataType
+) -> bool:
     """Can this file contain any batch key? Conservative on missing
-    stats (counts as touched)."""
+    stats (counts as touched). Manifest stats are decoded to the
+    column's native type before comparison (see ``_dec_stat``)."""
     st = entry.get("stats", {}).get(key)
     if not st or st[0] is None or st[1] is None:
         return True
-    fmin, fmax = st
-    if fmax < lo or fmin > hi:
+    fmin, fmax = _dec_stat(st[0], dtype), _dec_stat(st[1], dtype)
+    if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
         return False
     if sorted_keys is not None:
         i = bisect_left(sorted_keys, fmin)
@@ -479,15 +627,23 @@ def snapshot_merge(
         ).collect()[0]
         if bounds["lo"] is None:
             return _commit(path, m["files"], "merge", schema_json, parent, txns)
+        k0_type = _col_type(schema_json, k0)
         sorted_keys = None
         if bounds["n"] <= _EXACT_PRUNE_MAX_KEYS:
             sorted_keys = sorted(
-                r[k0] for r in deduped.select(k0).distinct().collect()
+                _norm_key(r[k0]) for r in deduped.select(k0).distinct().collect()
             )
         touched = [
             e
             for e in m["files"]
-            if _touched(e, k0, bounds["lo"], bounds["hi"], sorted_keys)
+            if _touched(
+                e,
+                k0,
+                _norm_key(bounds["lo"]),
+                _norm_key(bounds["hi"]),
+                sorted_keys,
+                k0_type,
+            )
         ]
         untouched = [e for e in m["files"] if e not in touched]
         if touched:
