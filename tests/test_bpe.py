@@ -201,3 +201,104 @@ def test_merge_fold_matches_python_on_random_sequences(spark):
         }
         for i, s in enumerate(seqs):
             assert got[i] == py_merge(s, a, b), (i, s, a, b, got[i])
+
+
+# ---------------------------------------------------------------------------
+# hybrid-path pins (r6): driver-side incremental trainer and the
+# distributed batched trainer must BOTH reproduce the reference
+# greedy merge order exactly
+# ---------------------------------------------------------------------------
+
+def test_driver_trainer_randomized_parity_no_spark():
+    """The indexed incremental driver algorithm vs the naive
+    recount-everything reference, on 60 random tie-heavy corpora
+    (alphabet of 3 symbols maximizes count plateaus and stale-index
+    churn). Pure Python — no Spark session in the loop."""
+    import collections
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(60):
+        n_texts = rng.randint(1, 30)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(n_texts)
+        ]
+        nm = rng.randint(1, 15)
+        mpf = rng.choice([1, 2, 3])
+        wf = collections.Counter()
+        for t in texts:
+            wf.update(t.split())
+        got = B._train_bpe_driver(wf.items(), nm, mpf)
+        want = _ref_train(texts, nm, min_pair_freq=mpf)
+        assert got == want, (trial, texts, nm, mpf, got, want)
+
+
+def test_distributed_batched_trainer_randomized_parity(spark):
+    """Forced-distributed path (driver_threshold=0): the safe-batch
+    selection must not change the greedy order's outcome — random
+    tie-heavy corpora exercise the singleton fallback, a steep-Zipf
+    corpus exercises real batches."""
+    import random
+
+    rng = random.Random(7)
+    corpora = [
+        [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(rng.randint(2, 12))
+        ]
+        for _ in range(4)
+    ]
+    # steep-Zipf with symbol-disjoint top pairs: batches must engage
+    # AND stay parity-exact
+    corpora.append(
+        ["xy"] * 512 + ["qr"] * 128 + ["mn"] * 32 + ["uv"] * 8 + ["ab"] * 2
+    )
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        st = {}
+        got = B.train_bpe(
+            df, "text", num_merges=10, driver_threshold=0, stats=st
+        )
+        assert st["path"] == "distributed"
+        want = _ref_train(texts, 10)
+        assert got == want, (texts[:5], got, want)
+
+
+def test_batching_engages_on_disjoint_zipf(spark):
+    """On a corpus whose top pairs are symbol-disjoint with strict
+    count gaps over their neighbours, one round must carry multiple
+    merges (the per-merge driver round-trip amortization the
+    distributed path exists for). Corpus shape: "aa<s>" spreads the
+    (a,·) neighbour mass over 20 suffixes, so (a,a):500 and (b,b):400
+    dominate every pair that interacts with them (<=25)."""
+    suffixes = "cdefghijklmnopqrstuv"
+    texts = ["aa" + s for s in suffixes] * 25 + ["bb" + s for s in suffixes] * 20
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    st = {}
+    merges = B.train_bpe(df, "text", num_merges=4, driver_threshold=0, stats=st)
+    assert len(merges) == 4
+    assert merges[:2] == [("a", "a"), ("b", "b")]
+    assert st["rounds"] < st["merges"], st
+    # and the batched result is still the exact greedy list
+    assert merges == _ref_train(texts, 4)
+
+
+def test_hybrid_paths_agree_on_real_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    st_drv, st_dist = {}, {}
+    drv = B.train_bpe(docs, "text", num_merges=25, stats=st_drv)
+    dist = B.train_bpe(
+        docs, "text", num_merges=25, driver_threshold=0,
+        checkpoint_every=8, stats=st_dist,
+    )
+    assert st_drv["path"] == "driver" and st_dist["path"] == "distributed"
+    assert drv == dist
+    texts = [r.text for r in docs.select("text").collect()]
+    assert drv == _ref_train(texts, 25)
