@@ -647,3 +647,76 @@ def test_dedup_lines_plan_is_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r6): shift-toward-target, determinism,
+# and the map-only scoring plan
+# ---------------------------------------------------------------------------
+
+def _dsir_fixture(spark):
+    import random
+
+    rng = random.Random(11)
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    b_words = ["zork", "quux", "blarg", "fnord", "grue"]
+
+    def doc(words):
+        return " ".join(rng.choice(words) for _ in range(rng.randint(4, 10)))
+
+    pool = [(i, doc(a_words) if i % 2 == 0 else doc(b_words)) for i in range(300)]
+    target = [(1000 + i, doc(a_words)) for i in range(40)]
+    return (
+        spark.createDataFrame(pool, "doc_id long, text string"),
+        spark.createDataFrame(target, "doc_id long, text string"),
+    )
+
+
+def test_dsir_weights_shift_toward_target(spark):
+    """Every target-like document must outweigh every off-target
+    document, and resampling must select (almost) only target-like
+    rows — the published behavior DSIR exists for."""
+    from traffic_forecast_etl_spark.operators import sampling as SM
+
+    pool, target = _dsir_fixture(spark)
+    w = {r.doc_id: r.log_weight for r in
+         SM.dsir_weights(pool, "text", "doc_id", target, num_buckets=512).collect()}
+    a_like = [v for k, v in w.items() if k % 2 == 0]
+    b_like = [v for k, v in w.items() if k % 2 == 1]
+    assert min(a_like) > max(b_like)
+    sel = SM.dsir_resample(
+        pool, "text", "doc_id", target, k=80, num_buckets=512
+    ).collect()
+    assert len(sel) == 80
+    assert sum(1 for r in sel if r.doc_id % 2 == 0) >= 78
+
+
+def test_dsir_deterministic_and_layout_independent(spark):
+    from traffic_forecast_etl_spark.operators import sampling as SM
+
+    pool, target = _dsir_fixture(spark)
+    a = sorted(map(tuple, SM.dsir_resample(
+        pool, "text", "doc_id", target, k=50, num_buckets=256).collect()))
+    b = sorted(map(tuple, SM.dsir_resample(
+        pool.repartition(13), "text", "doc_id", target.repartition(5),
+        k=50, num_buckets=256).collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SM.dsir_weights(pool, "text", "doc_id", target, num_buckets=1)
+    with _pytest.raises(ValueError):
+        SM.dsir_resample(pool, "text", "doc_id", target, k=0)
+
+
+def test_dsir_scoring_pass_is_shuffle_free(spark):
+    """The scoring pass must be map-only: the ratio table rides the
+    plan as a literal, so the only exchanges in the whole computation
+    are the two bucket-count aggregates (already collected by the
+    time the scored frame exists)."""
+    from traffic_forecast_etl_spark.operators import sampling as SM
+
+    pool, target = _dsir_fixture(spark)
+    out = SM.dsir_weights(pool, "text", "doc_id", target, num_buckets=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]

@@ -228,3 +228,138 @@ def epoch_shuffle(
         shard.alias("shard_id"),
         pos.cast("long").alias("pos_in_shard"),
     )
+
+
+def _grams(text_col: str, n: int = 2) -> Column:
+    """Word n-gram array for DSIR features: whitespace tokens
+    (unigrams) plus space-joined bigrams when ``n >= 2`` — the hashed
+    bag-of-n-grams feature space of Xie et al. 2023."""
+    from .text import tokens
+
+    toks = tokens(text_col)
+    if n < 2:
+        return toks
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def _gram_bucket(gram: Column, num_buckets: int) -> Column:
+    """Engine-portable hash bucket for a gram: first 8 hex chars of
+    md5 mod ``num_buckets`` (the d7/c9 md5 convention — bit-identical
+    in Spark, DuckDB, and Python, so the oracle value-verifies the
+    whole weight computation)."""
+    h = F.md5(F.encode(gram, "UTF-8"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_buckets
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    document by how much more likely its hashed n-gram bag is under
+    the TARGET distribution than under the raw pool —
+    ``log w(x) = Σ_grams [log p̂(bucket) − log q̂(bucket)]`` with
+    Laplace-smoothed multinomials p̂ (target) and q̂ (pool) over
+    ``num_buckets`` hashed buckets. The published next step past
+    temperature mixing (c5) and binary quality gates (c6/c8): it
+    reweights raw data TOWARD a target distribution instead of just
+    filtering.
+
+    Scale shape: two corpus-scan aggregates build the bucket count
+    tables (shuffle keys are (bucket) — ``num_buckets`` rows, KBs);
+    the log-ratio table collects to the driver (≤ ``num_buckets``
+    doubles) and rides the scoring pass as a LITERAL array, so
+    scoring is one map-only pass over the pool — zero shuffle, zero
+    join, fuses into the scan. Nothing document-sized ever moves.
+
+    Returns (id, log_weight) for every pool row, ``log_weight``
+    rounded to ``round_to`` (the float-sum rounding every oracle-
+    checked float column here uses).
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2: {num_buckets}")
+    grams = _grams(text_col, ngram_n)
+    bucket = _gram_bucket(F.col("__g"), num_buckets)
+
+    def bucket_counts(frame: DataFrame) -> dict[int, int]:
+        rows = (
+            frame.select(F.explode(grams).alias("__g"))
+            .select(bucket.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        return {int(r["__b"]): int(r["__c"]) for r in rows}
+
+    import math
+
+    tc = bucket_counts(target)
+    qc = bucket_counts(df)
+    t_total = sum(tc.values())
+    q_total = sum(qc.values())
+    ratios = [
+        math.log((tc.get(b, 0) + 1.0) / (t_total + num_buckets))
+        - math.log((qc.get(b, 0) + 1.0) / (q_total + num_buckets))
+        for b in range(num_buckets)
+    ]
+    ratio_arr = F.lit(ratios)
+    score = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(ratio_arr, _gram_bucket(g, num_buckets).cast("int") + 1),
+    )
+    return df.select(
+        F.col(id_col), F.round(score, round_to).alias("log_weight")
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: DataFrame,
+    k: int,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: keep the ``k`` pool documents with the largest
+    Gumbel-perturbed importance weights — the Gumbel top-k trick is
+    exactly sampling WITHOUT replacement proportional to w(x)
+    (Xie et al. 2023 §2.2), made deterministic and engine-portable by
+    deriving each document's uniform from the d7 md5 convention:
+    ``u = (bucket(salt||id) + 0.5) / 1e6``,
+    ``g = log w + (−ln(−ln u))``. Reproducible across runs, engines,
+    and physical layouts, like every sampler in this module.
+
+    One map-only scoring pass + a TakeOrdered top-k (no full sort);
+    ties broken by id for cross-engine determinism.
+
+    Returns (id, log_weight, gumbel_key) for the selected rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    weights = dsir_weights(
+        df, text_col, id_col, target, num_buckets=num_buckets, ngram_n=ngram_n
+    )
+    u = (hash_bucket(F.col(id_col), salt).cast("double") + 0.5) / _BUCKETS
+    g = F.round(
+        F.col("log_weight") - F.log(-F.log(u)), 6
+    ).alias("gumbel_key")
+    return (
+        weights.select(id_col, "log_weight", g)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

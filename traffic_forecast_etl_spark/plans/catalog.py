@@ -4571,6 +4571,108 @@ def t19_bpe_train(spark, sf_dir):
     return B.merges_df(spark, merges)
 
 
+_DSIR_ORACLE_CORE = r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, g FROM (
+        SELECT doc_id, source, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, source,
+               unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        FROM toks
+      )
+    ), bucketed AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS b
+      FROM grams
+    ), tgt AS (
+      SELECT b, count(*) AS c FROM bucketed
+      WHERE CAST(substr(source, 4) AS INT) < 5 GROUP BY b
+    ), pool AS (
+      SELECT b, count(*) AS c FROM bucketed GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COALESCE(sum(c), 0) FROM tgt) AS tt,
+             (SELECT COALESCE(sum(c), 0) FROM pool) AS qt
+    ), ratio AS (
+      SELECT p.b,
+             ln((COALESCE(t.c, 0) + 1.0) / (tot.tt + 512.0))
+           - ln((p.c + 1.0) / (tot.qt + 512.0)) AS r
+      FROM pool p LEFT JOIN tgt t USING (b), tot
+    ), scored AS (
+      SELECT bucketed.doc_id, sum(ratio.r) AS lw
+      FROM bucketed JOIN ratio USING (b)
+      GROUP BY bucketed.doc_id
+    )
+"""
+
+
+@query(
+    "c11_dsir_weights",
+    _DSIR_ORACLE_CORE
+    + r"""
+    SELECT d.doc_id, round(COALESCE(s.lw, 0.0), 6) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def c11_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed word
+    uni+bigram bucket log-ratio between a target slice (curated
+    sources src0-src4, the c8 convention's stricter half) and the raw
+    pool — the published reweight-toward-target step past temperature
+    mixing (c5) and quality gates (c6/c8). The md5 bucket hash is the
+    engine-portable d7 convention, so the oracle value-verifies the
+    ENTIRE computation: gramming, bucketing, smoothed log-ratios, and
+    the per-document sum (rounded 6). Scoring is one map-only pass —
+    the 512-bucket ratio table rides the plan as a literal array."""
+    from ..operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    src_rank = F.substring("source", 4, 10).cast("int")
+    target = docs.filter(src_rank < 5)
+    return SM.dsir_weights(
+        docs, "text", "doc_id", target, num_buckets=512
+    )
+
+
+@query(
+    "c12_dsir_resample",
+    _DSIR_ORACLE_CORE
+    + r"""
+    , gum AS (
+      SELECT d.doc_id,
+             round(COALESCE(s.lw, 0.0), 6) AS log_weight,
+             round(round(COALESCE(s.lw, 0.0), 6)
+                   - ln(-ln((CAST(('0x' || substr(md5('dsir' ||
+                         CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 1000000 + 0.5) / 1000000.0)), 6) AS gumbel_key
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, log_weight, gumbel_key FROM gum
+    ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+)
+def c12_dsir_resample(spark, sf_dir):
+    """DSIR selection via deterministic Gumbel top-k (Xie et al. 2023
+    §2.2): sampling-without-replacement proportional to the
+    importance weight, with each document's uniform derived from the
+    d7 md5 convention so the draw is reproducible across runs,
+    engines, and layouts — the oracle recomputes weight, Gumbel key,
+    and the top-100 selection value-exactly. One map-only scoring
+    pass + TakeOrdered; document text never shuffles."""
+    from ..operators import sampling as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    src_rank = F.substring("source", 4, 10).cast("int")
+    target = docs.filter(src_rank < 5)
+    return SM.dsir_resample(
+        docs, "text", "doc_id", target, k=100, num_buckets=512
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sweep-priority registration order
 #
@@ -4584,35 +4686,27 @@ def t19_bpe_train(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 5 rotation (VERDICT r4 #7): lead with the keys whose CODE
-    # changed this round — t14 (symbol-ratio pin adjudicated), d15
-    # (auto-scaled k), d2 (collapse_exact flood guard), c7 (self-id
-    # flag + lsh path), d6/c1 (inherit the collapse default on their
-    # baseline branch), t13 (tracker contract) — then the 32 keys
-    # whose latest green driver row is still round 1 (the stalest
-    # third of the catalog), so the ~50-key sweep window re-greens
-    # every r5-touched operator AND refreshes the oldest evidence.
-    "t14_gopher_rules", "d15_semantic_dedup", "d2_minhash_lsh",
-    "c7_embedding_decontaminate", "d6_near_dedup_filter", "c1_curate_corpus",
-    "t13_unigram_logprob",
-    "t15_bigram_logprob",  # NEW in round 5 (stupid-backoff bigram LM)
-    # NEW in round 5, second wave: fuzzy entity join, corpus-level
-    # contamination metric, first-class connected components
-    "j11_edit_distance_join", "t16_corpus_dup_ngrams",
-    "g1_connected_components",
-    # NEW in round 5, third wave: BM25 retrieval scoring, cross-source
-    # priority dedup, JL sign random projection
+    # round 6 rotation (VERDICT r5 #6): lead with the keys whose CODE
+    # changed this round — c11/c12 (NEW: DSIR importance resampling),
+    # t18/t19 (hybrid BPE trainer), c9 (string-id split fix), c10
+    # (broadcast-hint fix), g1 (driver-path schema inheritance), d2/d6/c1
+    # (inherit the connected-components change on their CC branch) —
+    # then the stalest evidence: a10/d3/d9/m2/m3 and the streaming
+    # family, whose latest green driver row predates round 5; the rest
+    # keep their r5 relative order.
+    "c11_dsir_weights", "c12_dsir_resample", "t18_bpe_pair_freq",
+    "t19_bpe_train", "c9_leakage_safe_split", "c10_blocklist_filter",
+    "g1_connected_components", "d2_minhash_lsh", "d6_near_dedup_filter",
+    "c1_curate_corpus", "a10_approx_distinct", "d3_simhash_pairs",
+    "d9_incremental_near_dup", "m2_frame_sample", "m3_resize",
+    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
+    "st4_stream_stream_join", "st5_stream_static_enrich",
+    "st6_rollup_maintenance", "t14_gopher_rules", "d15_semantic_dedup",
+    "c7_embedding_decontaminate", "t13_unigram_logprob",
+    "t15_bigram_logprob", "j11_edit_distance_join", "t16_corpus_dup_ngrams",
     "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
-    # NEW in round 5, fourth wave: model-based quality classifier,
-    # leakage-safe component-hashed train/eval split
-    "c8_quality_classifier", "c9_leakage_safe_split",
-    # NEW in round 5, fifth wave: distributed BPE tokenizer training,
-    # C4-style blocklist flagging
-    "t18_bpe_pair_freq", "t19_bpe_train", "c10_blocklist_filter",
-    "t20_line_dedup",
-    # stalest: latest green row is r1
-    "a10_approx_distinct", "a5_distinct_agg", "a6_pivot", "a7_unpivot",
-    "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
+    "c8_quality_classifier", "t20_line_dedup", "a5_distinct_agg", "a6_pivot",
+    "a7_unpivot", "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
     "f12_string_funcs", "f13_null_handling", "f1_date_roundtrip",
     "f2_multiformat_date", "f4_calendar", "f6_unit_conversion",
     "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
@@ -4620,31 +4714,26 @@ _SWEEP_PRIORITY = [
     "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
     "q17_below_avg_parts", "q18_large_orders", "q21_waiting_supplier",
     "q22_dormant_customers", "q4_order_priority", "w1_rolling_avg",
-    "w2_topk_per_group", "w3_lag_delta", "w4_cumsum",
-    # previously-fresh keys, r4 relative order kept
-    "d1_exact_dedup", "d4_ngram_jaccard", "d3_simhash_pairs",
-    "d8_incremental_dedup", "d9_incremental_near_dup",
-    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
+    "w2_topk_per_group", "w3_lag_delta", "w4_cumsum", "d1_exact_dedup",
+    "d4_ngram_jaccard", "d8_incremental_dedup", "q2_min_cost_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue",
     "q20_dominant_suppliers", "j9_asof_nearest", "j10_interval_overlap",
     "a15_equi_width_histogram", "a16_mode_per_group", "w14_seasonal_anomaly",
     "c6_adaptive_quality_gate", "d10_table_diff", "d12_epoch_shuffle",
-    "m1_media_features", "m2_frame_sample", "m3_resize", "f14_array_ops",
-    "j6_asof_join", "w13_resample_interpolate", "d13_segment_dedup",
-    "d14_duplicate_spans", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_region_volume", "q6_forecast_revenue", "j1_composite_key_join",
-    "j2_fk_lookup", "j3_semi_membership", "j4_anti_join", "j5_range_join",
+    "m1_media_features", "f14_array_ops", "j6_asof_join",
+    "w13_resample_interpolate", "d13_segment_dedup", "d14_duplicate_spans",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+    "q6_forecast_revenue", "j1_composite_key_join", "j2_fk_lookup",
+    "j3_semi_membership", "j4_anti_join", "j5_range_join",
     "j7_null_safe_join", "j8_full_outer", "a1_group_avg",
     "a2_minmax_normalize", "a3_profile", "a4_cube", "a9_rollup",
     "w5_tumbling_window", "w7_sessionize", "w12_zscore_anomaly",
     "a14_linear_trend", "s1_cosine_topk", "s4_quantize_embeddings",
     "t1_token_stats", "c2_decontaminate", "d7_stratified_sample",
     "w6_sliding_window", "w8_funnel", "w9_rank_family",
-    "w10_cohort_retention", "w11_time_range_rolling",
-    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
-    "st4_stream_stream_join", "st5_stream_static_enrich",
-    "st6_rollup_maintenance", "d5_embedding_neardup",
+    "w10_cohort_retention", "w11_time_range_rolling", "d5_embedding_neardup",
     "d11_embedding_neardup_lsh", "s2_lsh_ann", "s3_ivf_ann",
     "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
     "t2_quality_score", "t3_lang_id", "t4_fingerprint", "t5_bpe_tokens",
