@@ -94,6 +94,11 @@ HEADLINE = [
     "t18_bpe_pair_freq",
     "c10_blocklist_filter",
     "t20_line_dedup",
+    # round-6 addition: DSIR importance resampling (weights are a
+    # map-only scoring pass under a literal ratio table; resample adds
+    # the Gumbel top-k). c12 subsumes c11's weight pass, so only the
+    # end-to-end selection is a headline.
+    "c12_dsir_resample",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

@@ -302,3 +302,25 @@ def test_hybrid_paths_agree_on_real_documents(spark, sf_dir):
     assert drv == dist
     texts = [r.text for r in docs.select("text").collect()]
     assert drv == _ref_train(texts, 25)
+
+
+def test_apply_bpe_model_artifact_roundtrip(spark, tmp_path):
+    """Deployment path: train -> persist merges_df -> reload -> encode
+    must equal encoding from the in-session merge list."""
+    texts = ["low lower lowest"] * 4 + ["newest widest"] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = B.train_bpe(df, "text", num_merges=10)
+    path = str(tmp_path / "bpe_model")
+    B.merges_df(spark, merges).write.parquet(path)
+    model = spark.read.parquet(path)
+    got = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in B.apply_bpe_model(df, "text", "doc_id", model).collect()
+    )
+    want = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in B.apply_bpe(df, "text", "doc_id", merges).collect()
+    )
+    assert got == want

@@ -362,6 +362,25 @@ def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+def apply_bpe_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: DataFrame,
+) -> DataFrame:
+    """Encode with a PERSISTED merge-table artifact (the (rank, a, b)
+    frame :func:`merges_df` writes): the deployment path — a tokenize
+    job loads the model table (KBs for any practical vocabulary: 32k
+    merges ≈ a few hundred KB), reconstructs the rank order, and
+    encodes without the training session's Python state. Rank order
+    comes from the table's ``rank`` column, so the artifact is the
+    single source of truth end-to-end."""
+    merges = [
+        (r["a"], r["b"]) for r in model.select("rank", "a", "b").orderBy("rank").collect()
+    ]
+    return apply_bpe(df, text_col, id_col, merges)
+
+
 def apply_bpe(
     df: DataFrame,
     text_col: str,
