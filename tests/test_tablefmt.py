@@ -617,3 +617,70 @@ def test_scan_after_schema_evolution(spark, tmp_path):
     assert rows[95] is None and rows[105] == 9.0 and len(rows) == 11
     _, admitted = T.snapshot_scan_files(path, "id", 0, 10)
     assert len(admitted) < len(T.read_manifest(path)["files"])
+
+
+def test_scan_over_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """snapshot_scan × z-order integration: commit a Morton-clustered
+    frame with stats on BOTH cluster dims — a bounded scan on EITHER
+    dim must open a strict subset of the files (the manifest-level
+    twin of the parquet-footer pruning test in test_skew_writers),
+    and stay row-identical to read+filter."""
+    from traffic_forecast_etl_spark.sources.writers import zorder_column
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+    )
+    z = zorder_column(df, ["x", "y"], bits=6)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(16, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, clustered, path, stats_cols=["x", "y"])
+    n_total = len(T.read_manifest(path)["files"])
+    assert n_total >= 8
+    for dim in ("x", "y"):
+        _, admitted = T.snapshot_scan_files(path, dim, 0, 255)
+        assert len(admitted) < n_total, (dim, len(admitted), n_total)
+        got = T.snapshot_scan(spark, path, dim, 0, 255)
+        expect = T.snapshot_read(spark, path).filter(
+            (F.col(dim) >= 0) & (F.col(dim) <= 255)
+        )
+        assert _rows(got) == _rows(expect), dim
+
+
+def test_scan_multi_intersects_prunes_and_matches(spark, tmp_path):
+    """Conjunctive scan over a z-order layout: the admitted set is
+    the intersection of per-dim prunes (stricter than either alone),
+    rows identical to read + both filters."""
+    from traffic_forecast_etl_spark.sources.writers import zorder_column
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+    )
+    z = zorder_column(df, ["x", "y"], bits=6)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(16, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, clustered, path, stats_cols=["x", "y"])
+    _, ax = T.snapshot_scan_files(path, "x", 0, 511)
+    _, ay = T.snapshot_scan_files(path, "y", 0, 511)
+    got = T.snapshot_scan_multi(spark, path, {"x": (0, 511), "y": (0, 511)})
+    expect = T.snapshot_read(spark, path).filter(
+        (F.col("x") <= 511) & (F.col("y") <= 511) & (F.col("x") >= 0) & (F.col("y") >= 0)
+    )
+    assert _rows(got) == _rows(expect)
+    # the conjunctive prune is at most each single-dim prune
+    n_multi = len(got.inputFiles())
+    assert n_multi <= min(len(ax), len(ay)), (n_multi, len(ax), len(ay))
+    # inverted bound on one dim: empty, schema kept
+    empty = T.snapshot_scan_multi(spark, path, {"x": (9, 3), "y": (0, 511)})
+    assert empty.count() == 0 and empty.columns == ["x", "y"]

@@ -68,6 +68,10 @@ KEYS = [
     # the split. The split's 100 TB composition is measured as
     # `c9_lsh_split` below (d2 LSH edges -> CC -> md5 map).
     "c8_quality_classifier",
+    # r6: DSIR importance resampling end-to-end (two bucket-count
+    # aggregates + literal-ratio map-only scoring + Gumbel TakeOrdered
+    # — every stage linear in the corpus; bucket table is fixed-size)
+    "c12_dsir_resample",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py

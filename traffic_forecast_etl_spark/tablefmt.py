@@ -461,6 +461,43 @@ def snapshot_scan_files(
     return m, admitted
 
 
+def snapshot_scan_multi(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctive multi-column range scan: admit only files whose
+    stats overlap EVERY ``col: (lower, upper)`` bound (either bound
+    None = open). With a z-order layout (``write_zorder`` →
+    ``snapshot_write(stats_cols=dims)``) each dimension's per-file
+    min/max is tight, so the admitted set is the INTERSECTION of the
+    per-dim prunes — the two-axis (time AND entity) read the z-order
+    layout exists for. Residual predicates applied; row-identical to
+    snapshot_read + filters by construction."""
+    m = read_manifest(path, version)
+    admitted = m["files"]
+    for key, (lower, upper) in bounds.items():
+        if lower is not None and upper is not None and lower > upper:
+            admitted = []
+            break
+        dtype = _col_type(m["schema"], key)
+        lo, hi = _norm_key(lower), _norm_key(upper)
+        admitted = [e for e in admitted if _touched(e, key, lo, hi, None, dtype)]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not admitted:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, e["path"]) for e in admitted]
+    )
+    for key, (lower, upper) in bounds.items():
+        if lower is not None:
+            df = df.filter(F.col(key) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(key) <= F.lit(upper))
+    return df
+
+
 def snapshot_scan(
     spark: SparkSession,
     path: str,
