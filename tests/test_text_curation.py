@@ -720,3 +720,22 @@ def test_dsir_scoring_pass_is_shuffle_free(spark):
     out = SM.dsir_weights(pool, "text", "doc_id", target, num_buckets=128)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_dsir_null_text_scores_zero_like_oracle(spark):
+    """NULL text must score log_weight 0.0 (the SQL oracle's COALESCE
+    semantics), not NULL — a NULL would silently exclude the row from
+    resampling."""
+    from traffic_forecast_etl_spark.operators import sampling as SM
+
+    pool = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, ""), (4, "zork quux")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    w = {r.doc_id: r.log_weight for r in
+         SM.dsir_weights(pool, "text", "doc_id", target, num_buckets=64).collect()}
+    assert w[2] == 0.0 and w[3] == 0.0
+    assert w[1] is not None and w[1] > 0.0 > w[4]
+    sel = SM.dsir_resample(pool, "text", "doc_id", target, k=4, num_buckets=64)
+    assert {r.doc_id for r in sel.collect()} == {1, 2, 3, 4}

@@ -105,30 +105,45 @@ def _select_batch(
     application provably reproduces the singleton greedy merge order
     (exact parity with Sennrich's algorithm, not an approximation).
 
-    ``cands`` is the top-K pair table ordered by (count desc, a, b) —
-    the singleton greedy order; ``m_rest`` bounds the count of every
-    pair NOT in ``cands`` (the K-th count, or 0 when K covered all).
+    ``cands`` is the pair table ordered by (count desc, a, b) — the
+    singleton greedy order; ``m_rest`` bounds the count of every pair
+    NOT in ``cands`` (the K-th count when the collect truncated, 0
+    when it captured the whole table).
 
-    Why a prefix p_1..p_k can be safe: applying p_i only (a) zeroes
-    p_i itself, (b) DECREASES counts of pairs sharing a symbol with
-    p_i, and (c) CREATES/boosts pairs containing the output string
-    a_i+b_i, each creation bounded by the count of an existing
-    neighbour pair that shares a symbol with p_i. So if the selected
-    pairs are pairwise symbol-disjoint, each p_j's own count is
-    untouched, and the only threat to "greedy would still pick p_j
-    next" is a created/boosted pair outranking it. Every such
-    disruptor is bounded by ``base`` = max count over m_rest and the
-    known non-selected pairs that interact with the selection — a
-    pair can gain at most (old <= base) + two creations (<= base
-    each; distinct output strings are enforced, so no pair is created
-    by more than two selected merges), i.e. 3*base. Requiring
-    count(p_j) > 3*base therefore keeps every p_j strictly on top in
-    turn. Candidates whose elements contain an earlier output string
-    have stale counts and stop the batch; ditto output strings that
-    collide with any known symbol (their boost targets would be
-    unknown). The first pair needs no guard — it is the true greedy
-    top regardless.
+    Batching beyond the first merge requires ``m_rest == 0`` — i.e.
+    the snapshot saw the COMPLETE pair table. Every symbol appears in
+    at least one pair (the end-of-word marker guarantees a partner),
+    so a complete table makes the symbol universe known, and the
+    output-collision break below is then airtight: each selected
+    merge's output string is a genuinely NEW symbol. That closes the
+    hole a truncated snapshot leaves open (an output colliding with a
+    corpus symbol invisible to the window lets created pairs chain
+    and compound past any fixed multiple of the observable bound).
+
+    Soundness with a complete table: applying p_i only (a) zeroes
+    p_i, (b) DECREASES counts of pairs sharing a symbol with p_i, and
+    (c) CREATES pairs with the new symbol a_i+b_i as an element.
+    Selected pairs are pairwise symbol-disjoint, so each p_j's own
+    count is untouched, and the only threat to "greedy still picks
+    p_j next" is a created pair outranking it. A created pair starts
+    at 0 (its output element is new) and receives exactly ONE
+    creation contribution (a pair (u, v) is creatable only by the
+    merge whose output is u or v, and outputs are distinct and
+    ordered in time), bounded by its source's count at application —
+    and every source either shares a symbol with a selected pair
+    (count <= ``base``) or is itself a created pair (<= ``base`` by
+    induction). So every disruptor is <= base; requiring
+    count(p_j) > 3*base keeps every p_j strictly on top with margin.
+    Candidates whose elements contain an earlier output string have
+    stale counts and stop the batch. The first pair needs no guard —
+    it is the true greedy top regardless.
     """
+    if m_rest > 0:
+        # truncated snapshot: the symbol universe is unknown, so no
+        # batch extension is provably order-safe — singleton round
+        if cands and cands[0][2] >= min_pair_freq:
+            return [(cands[0][0], cands[0][1])]
+        return []
     all_symbols: set[str] = set()
     for a, b, _ in cands:
         all_symbols.add(a)
@@ -252,7 +267,7 @@ def train_bpe(
     min_pair_freq: int = 2,
     checkpoint_every: int = 8,
     max_batch: int = 32,
-    candidate_k: int = 256,
+    candidate_k: int = 8192,
     driver_threshold: int = 1_000_000,
     stats: dict | None = None,
 ) -> list[tuple[str, str]]:
@@ -280,10 +295,13 @@ def train_bpe(
     collecting the top ``candidate_k`` candidates (ties broken
     lexicographically, so training is layout-independent); (2) a
     driver-side selection of the longest provably-safe merge BATCH
-    from that one snapshot (see :func:`_select_batch`) — amortizing
-    one driver round-trip over up to ``max_batch`` merges, falling
-    back to singleton rounds exactly where greedy order would be at
-    risk; (3) one map-only symbol rewrite applying the whole batch.
+    from that one snapshot (see :func:`_select_batch`; batches beyond
+    one merge require the snapshot to have captured the complete pair
+    table — size ``candidate_k`` generously, it is KB-sized rows) —
+    amortizing one driver round-trip over up to ``max_batch`` merges,
+    falling back to singleton rounds exactly where greedy order would
+    be at risk; (3) one map-only symbol rewrite applying the whole
+    batch.
     ``localCheckpoint`` after every ``checkpoint_every`` applied
     merges truncates lineage — without it the plan nests one fold per
     merge and Catalyst analysis, not data, becomes the wall. Stops

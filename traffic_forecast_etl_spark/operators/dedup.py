@@ -1599,9 +1599,13 @@ def leakage_safe_split(
     out = df.join(comp, df[id_col] == comp["__lss_node"], "left")
     # No cast to long: string ids must hash as strings (a long cast
     # would NULL them out and silently dump every row on the eval
-    # side). group_id keeps the id column's native type; the md5 is
-    # over its string form either way, so numeric-id assignments are
-    # unchanged.
+    # side). group_id keeps the id column's native type; integer and
+    # string ids hash identically to before. Fractional ids (double/
+    # decimal) now hash their EXACT string form — the old truncating
+    # cast collapsed distinct ids like 123.1 and 123.9 into one group,
+    # which was a correctness bug, but a float's string form is
+    # engine-specific: use integral or string ids when the split must
+    # be reproduced outside Spark.
     group = F.coalesce(F.col("__lss_comp"), F.col(id_col))
     bucket = F.conv(
         F.substring(F.md5(group.cast("string")), 1, 4), 16, 10

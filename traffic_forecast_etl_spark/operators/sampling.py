@@ -28,15 +28,19 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def hash_bucket(key: Column | str, salt: str = "") -> Column:
-    """Uniform deterministic bucket in [0, 1e6) from md5(salt||key).
+def hash_bucket(
+    key: Column | str, salt: str = "", buckets: int = _BUCKETS
+) -> Column:
+    """Uniform deterministic bucket in [0, ``buckets``) from
+    md5(salt||key) — the single home of the engine-portable md5
+    bucketing idiom (every DuckDB oracle reproduces it bit-for-bit).
 
     The salt decorrelates independent samples over the same keys
     (e.g. a 1% eval split and a 10% training subsample must not nest).
     """
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.encode(F.concat(F.lit(salt), c.cast("string")), "UTF-8"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 
 def hash_sample(
@@ -233,10 +237,12 @@ def epoch_shuffle(
 def _grams(text_col: str, n: int = 2) -> Column:
     """Word n-gram array for DSIR features: whitespace tokens
     (unigrams) plus space-joined bigrams when ``n >= 2`` — the hashed
-    bag-of-n-grams feature space of Xie et al. 2023."""
+    bag-of-n-grams feature space of Xie et al. 2023. NULL text yields
+    an EMPTY array (not NULL), so downstream folds score 0.0 — the
+    same value the SQL oracle's COALESCE produces."""
     from .text import tokens
 
-    toks = tokens(text_col)
+    toks = F.coalesce(tokens(text_col), F.expr("CAST(array() AS array<string>)"))
     if n < 2:
         return toks
     bigrams = F.zip_with(
@@ -248,12 +254,11 @@ def _grams(text_col: str, n: int = 2) -> Column:
 
 
 def _gram_bucket(gram: Column, num_buckets: int) -> Column:
-    """Engine-portable hash bucket for a gram: first 8 hex chars of
-    md5 mod ``num_buckets`` (the d7/c9 md5 convention — bit-identical
-    in Spark, DuckDB, and Python, so the oracle value-verifies the
-    whole weight computation)."""
-    h = F.md5(F.encode(gram, "UTF-8"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_buckets
+    """Engine-portable hash bucket for a gram: :func:`hash_bucket`
+    (the d7/c9 md5 convention — bit-identical in Spark, DuckDB, and
+    Python, so the oracle value-verifies the whole weight
+    computation) with the DSIR modulus."""
+    return hash_bucket(gram, "", num_buckets)
 
 
 def dsir_weights(
