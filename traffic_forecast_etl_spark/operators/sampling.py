@@ -297,20 +297,28 @@ def dsir_weights(
     grams = _grams(text_col, ngram_n)
     bucket = _gram_bucket(F.col("__g"), num_buckets)
 
-    def bucket_counts(frame: DataFrame) -> dict[int, int]:
-        rows = (
-            frame.select(F.explode(grams).alias("__g"))
-            .select(bucket.alias("__b"))
-            .groupBy("__b")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .collect()
+    # both bucket-count tables in ONE aggregate: union the two gram
+    # streams with a side tag, conditional-count per bucket — one job
+    # and one shuffle instead of two (the shuffle key stays the
+    # KB-sized bucket id either way)
+    tagged = df.select(
+        F.explode(grams).alias("__g"), F.lit(0).alias("__t")
+    ).unionByName(
+        target.select(F.explode(grams).alias("__g"), F.lit(1).alias("__t"))
+    )
+    rows = (
+        tagged.select(bucket.alias("__b"), "__t")
+        .groupBy("__b")
+        .agg(
+            F.count(F.when(F.col("__t") == 0, 1)).alias("__q"),
+            F.count(F.when(F.col("__t") == 1, 1)).alias("__tc"),
         )
-        return {int(r["__b"]): int(r["__c"]) for r in rows}
-
+        .collect()
+    )
     import math
 
-    tc = bucket_counts(target)
-    qc = bucket_counts(df)
+    tc = {int(r["__b"]): int(r["__tc"]) for r in rows if r["__tc"]}
+    qc = {int(r["__b"]): int(r["__q"]) for r in rows if r["__q"]}
     t_total = sum(tc.values())
     q_total = sum(qc.values())
     ratios = [
