@@ -294,6 +294,15 @@ def dsir_weights(
     """
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2: {num_buckets}")
+    # md5-per-gram is CPU-dense: a degenerately under-split local scan
+    # (one parquet file = one input partition) would serialize both the
+    # count pass and the scoring pass onto one core — same gate as the
+    # dedup plane's shingle scans; never fires on a production-split
+    # table (operators/dedup.spread_small_scan)
+    from .dedup import spread_small_scan
+
+    df = spread_small_scan(df)
+    target = spread_small_scan(target)
     grams = _grams(text_col, ngram_n)
     bucket = _gram_bucket(F.col("__g"), num_buckets)
 
