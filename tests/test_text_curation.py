@@ -739,3 +739,63 @@ def test_dsir_null_text_scores_zero_like_oracle(spark):
     assert w[1] is not None and w[1] > 0.0 > w[4]
     sel = SM.dsir_resample(pool, "text", "doc_id", target, k=4, num_buckets=64)
     assert {r.doc_id for r in sel.collect()} == {1, 2, 3, 4}
+
+
+def test_dsir_weights_match_pure_python_recompute(spark):
+    """Property pin: the whole DSIR weight computation (gramming,
+    md5 bucketing, Laplace smoothing, per-doc sum) recomputed in pure
+    Python must match the Spark values to the rounding contract —
+    the engine-independent twin of the DuckDB oracle."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(3)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    pool_rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 7))))
+        for i in range(120)
+    ]
+    target_rows = [
+        (500 + i, " ".join(rng.choice(words[:3]) for _ in range(rng.randint(1, 5))))
+        for i in range(30)
+    ]
+    m = 128
+
+    def grams(t):
+        toks = t.split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    tc: dict[int, int] = {}
+    qc: dict[int, int] = {}
+    for _, t in target_rows:
+        for g in grams(t):
+            b = bucket(g); tc[b] = tc.get(b, 0) + 1
+    for _, t in pool_rows:
+        for g in grams(t):
+            b = bucket(g); qc[b] = qc.get(b, 0) + 1
+    tt, qt = sum(tc.values()), sum(qc.values())
+    expect = {}
+    for i, t in pool_rows:
+        s = 0.0
+        for g in grams(t):
+            b = bucket(g)
+            s += math.log((tc.get(b, 0) + 1.0) / (tt + m)) - math.log(
+                (qc.get(b, 0) + 1.0) / (qt + m)
+            )
+        expect[i] = round(s, 6)
+
+    from traffic_forecast_etl_spark.operators import sampling as SM
+
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {r.doc_id: r.log_weight for r in
+           SM.dsir_weights(pool, "text", "doc_id", target, num_buckets=m).collect()}
+    import pytest as _pytest
+
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == _pytest.approx(expect[k], abs=2e-6), k
