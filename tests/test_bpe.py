@@ -324,3 +324,16 @@ def test_apply_bpe_model_artifact_roundtrip(spark, tmp_path):
         for r in B.apply_bpe(df, "text", "doc_id", merges).collect()
     )
     assert got == want
+
+
+def test_driver_trainer_parity_deep_merges(spark, sf_dir):
+    """Driver-path parity at depth: 100 merges on real documents must
+    reproduce the naive-recount reference exactly (the incremental
+    stats/index bookkeeping has 100 rounds to drift if wrong)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    texts = [r.text for r in docs.select("text").collect()]
+    st = {}
+    got = B.train_bpe(docs, "text", num_merges=100, min_pair_freq=1, stats=st)
+    assert st["path"] == "driver"
+    want = _ref_train(texts, 100, min_pair_freq=1)
+    assert got == want
