@@ -131,6 +131,84 @@ _SMALL_SF = {
 }
 
 
+def _code_fingerprint() -> str:
+    """Hash of the engine package (same convention as
+    tools/scale_bench.py): floor campaigns in BENCH_FLOORS.json are
+    only min-merged when the fingerprint matches, so an operator
+    rewrite can't inherit stale minima from the old implementation."""
+    import hashlib
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "traffic_forecast_etl_spark"
+    )
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(pkg)):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                with open(os.path.join(root, name), "rb") as f:
+                    h.update(name.encode())
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _floors_main(only: list[str], campaigns: int) -> None:
+    """Subset floor campaign (VERDICT r6 #3): time ONLY the named
+    headline keys, with the same warmup/settle discipline as the full
+    run, and min-merge the results into BENCH_FLOORS.json keyed by
+    the engine-code fingerprint. Repeated invocations across
+    epochs/days tighten the floors; a fingerprint change starts a
+    fresh floor set (stale minima from old code never survive).
+    Does NOT touch BENCH_DETAIL.json or the driver's headline line."""
+    unknown = [k for k in only if k not in QUERIES]
+    if unknown:
+        raise SystemExit(f"--only keys not in catalog: {unknown}")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fp = _code_fingerprint()
+    floors_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json"
+    )
+    state = {"fingerprint": fp, "sf_dir": sf_dir, "floors": {}, "campaigns": {}}
+    if os.path.exists(floors_path):
+        with open(floors_path) as f:
+            prior = json.load(f)
+        if prior.get("fingerprint") == fp and prior.get("sf_dir") == sf_dir:
+            state = prior
+    spark = get_spark("bench")
+    QUERIES["a3_profile"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).repartition(32).select(_warm("id")).collect()
+    for name in only:
+        QUERIES[name](spark, sf_dir).collect()
+        spark.catalog.clearCache()
+    for c in range(campaigns):
+        for name in only:
+            best, spread = _timed(spark, QUERIES[name], sf_dir)
+            old = state["floors"].get(name)
+            state["floors"][name] = round(
+                best if old is None else min(old, best), 3
+            )
+            state["campaigns"][name] = state["campaigns"].get(name, 0) + 1
+            print(
+                json.dumps(
+                    {
+                        "key": name,
+                        "campaign": c,
+                        "min_sec": round(best, 3),
+                        "spread": round(spread, 2),
+                        "floor": state["floors"][name],
+                    }
+                )
+            )
+    with open(floors_path, "w") as f:
+        json.dump(state, f, indent=2)
+    print(json.dumps({"metric": "floors", "value": state["floors"], "fingerprint": fp}))
+
+
 def _settle(spark) -> None:
     """Quiesce between measurements: dropping a query's persisted
     intermediates (clearCache) is ASYNC — block removal and context-
@@ -287,4 +365,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    _only: list[str] | None = None
+    _campaigns = 1
+    for _a in sys.argv[1:]:
+        if _a.startswith("--only="):
+            _only = _a.split("=", 1)[1].split(",")
+        elif _a.startswith("--campaigns="):
+            _campaigns = int(_a.split("=", 1)[1])
+    if _only:
+        _floors_main(_only, _campaigns)
+    else:
+        main()

@@ -337,3 +337,50 @@ def test_driver_trainer_parity_deep_merges(spark, sf_dir):
     assert st["path"] == "driver"
     want = _ref_train(texts, 100, min_pair_freq=1)
     assert got == want
+
+
+def test_byte_budget_routes_long_word_corpus_to_distributed(spark):
+    """ADVICE r6: the driver-path guard must be byte-aware — a corpus
+    of few-but-huge words (URLs, no-whitespace text) routes to the
+    distributed loop even though the row count is tiny, and parity
+    with the forced-driver path stays exact."""
+    texts = [
+        "aaaab" * 40 + f"tail{i % 3}" for i in range(30)
+    ]  # ~210-char "words", 3 distinct
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    st_routed: dict = {}
+    got = B.train_bpe(
+        df, "text", num_merges=6, driver_byte_budget=100, stats=st_routed
+    )
+    assert st_routed["path"] == "distributed"
+    st_driver: dict = {}
+    want = B.train_bpe(df, "text", num_merges=6, stats=st_driver)
+    assert st_driver["path"] == "driver"
+    assert got == want
+
+
+def test_apply_bpe_model_rejects_corrupt_rank_table(spark):
+    """ADVICE r6: duplicate, gapped, or NULL ranks in a persisted
+    model table must raise, not silently encode with a wrong merge
+    order."""
+    df = spark.createDataFrame([("1", "low low")], "doc_id string, text string")
+    dup = spark.createDataFrame(
+        [(0, "l", "o"), (0, "o", "w")], "rank int, a string, b string"
+    )
+    with pytest.raises(ValueError, match="duplicates or gaps"):
+        B.apply_bpe_model(df, "text", "doc_id", dup)
+    gap = spark.createDataFrame(
+        [(0, "l", "o"), (2, "o", "w")], "rank int, a string, b string"
+    )
+    with pytest.raises(ValueError, match="duplicates or gaps"):
+        B.apply_bpe_model(df, "text", "doc_id", gap)
+    nul = spark.createDataFrame(
+        [(None, "l", "o"), (1, "o", "w")], "rank int, a string, b string"
+    )
+    with pytest.raises(ValueError, match="NULL rank"):
+        B.apply_bpe_model(df, "text", "doc_id", nul)
+    ok = spark.createDataFrame(
+        [(1, "o", "w"), (0, "l", "o")], "rank int, a string, b string"
+    )
+    out = B.apply_bpe_model(df, "text", "doc_id", ok).collect()
+    assert out[0]["bpe_tokens"][0] == "lo"

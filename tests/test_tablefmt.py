@@ -758,3 +758,346 @@ def test_randomized_workload_matches_shadow_model(spark):
                 got_scan = {r.id: r.val
                             for r in T.snapshot_scan(spark, path, "id", lo, hi).collect()}
                 assert got_scan == {k: v for k, v in shadow.items() if lo <= k <= hi}
+
+
+# ---------------------------------------------------------------------------
+# row-level DELETE + change-data-feed (VERDICT r6 #1)
+# ---------------------------------------------------------------------------
+
+def test_delete_by_keys_equals_anti_join(spark, tmp_path):
+    """delete(keys_df) ≡ snapshot_read anti-join keys_df; the parent
+    version keeps the rows (time travel)."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(100)), path, stats_cols=["id"])
+    dels = spark.createDataFrame([(i,) for i in (3, 7, 50, 99)], "id long")
+    v = T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)
+    assert v == 1
+    expect = _rows(
+        T.snapshot_read(spark, path, version=0).join(dels, "id", "left_anti")
+    )
+    assert _rows(T.snapshot_read(spark, path)) == expect
+    assert len(_rows(T.snapshot_read(spark, path, version=0))) == 100
+
+
+def test_delete_prunes_untouched_files(spark, tmp_path):
+    """Deletes prune like merges: a narrow-key delete rewrites only
+    files whose stats range can contain the keys (admitted-file count
+    assert, the VERDICT done criterion)."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m0 = T.read_manifest(path)
+    dels = spark.createDataFrame([(i,) for i in range(11)], "id long")
+    T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) >= 6, (len(carried), len(m0["files"]))
+    got = {r.id for r in T.snapshot_read(spark, path).collect()}
+    assert got == set(range(11, 1000))
+
+
+def test_delete_exact_prune_skips_range_overlap(spark, tmp_path):
+    """Sparse delete keys [0, 999]: exact-membership prune keeps the
+    6 middle files out of the rewrite even though the range overlaps
+    all 8."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m0 = T.read_manifest(path)
+    dels = spark.createDataFrame([(0,), (999,)], "id long")
+    T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) == 6, len(carried)
+    assert len(_rows(T.snapshot_read(spark, path))) == 998
+
+
+def test_delete_predicate_null_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are
+    KEPT, not deleted."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, score int"
+    )
+    T.snapshot_write(spark, df, path)
+    T.snapshot_delete(spark, path, predicate="score > 15")
+    got = sorted(r.id for r in T.snapshot_read(spark, path).collect())
+    assert got == [1, 2]  # id=2 (NULL predicate) survives
+
+
+def test_delete_predicate_prune_bounds(spark, tmp_path):
+    """Predicate delete with prune_bounds: only files overlapping the
+    bounds are rewritten."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m0 = T.read_manifest(path)
+    T.snapshot_delete(
+        spark, path, predicate="id >= 5 and id <= 10",
+        prune_bounds={"id": (5, 10)},
+    )
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) >= 6
+    assert len(_rows(T.snapshot_read(spark, path))) == 994
+
+
+def test_delete_txn_replay_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(20)), path, stats_cols=["id"])
+    dels = spark.createDataFrame([(1,), (2,)], "id long")
+    v1 = T.snapshot_delete(
+        spark, path, keys=["id"], keys_df=dels, txn_app="gdpr", txn_version=7
+    )
+    # replay: same txn version → no new commit, same table version
+    v2 = T.snapshot_delete(
+        spark, path, keys=["id"], keys_df=dels, txn_app="gdpr", txn_version=7
+    )
+    assert v2 == v1 == T.current_version(path)
+    assert len(_rows(T.snapshot_read(spark, path))) == 18
+
+
+def test_delete_empty_keys_is_carry_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+    empty = spark.createDataFrame([], "id long")
+    v = T.snapshot_delete(spark, path, keys=["id"], keys_df=empty)
+    assert v == 1
+    assert len(_rows(T.snapshot_read(spark, path))) == 5
+
+
+def test_delete_mode_validation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    dels = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="exactly one"):
+        T.snapshot_delete(spark, path, keys=["id"], keys_df=dels,
+                          predicate="id = 1")
+    with pytest.raises(ValueError, match="exactly one"):
+        T.snapshot_delete(spark, path, keys=["id"])
+    with pytest.raises(ValueError, match="keys column list"):
+        T.snapshot_delete(spark, path, keys_df=dels)
+
+
+def test_delete_after_schema_evolution(spark, tmp_path):
+    """Delete on an evolved table: kept rows in rewritten files carry
+    the evolved schema (null-filled where the file predates the
+    column)."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    evolved = spark.createDataFrame(
+        [(100, "x100", 1.5)], "id long, val string, score double"
+    )
+    T.snapshot_write(spark, evolved, path, mode="append", merge_schema=True)
+    dels = spark.createDataFrame([(0,), (100,)], "id long")
+    T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)
+    rows = T.snapshot_read(spark, path).collect()
+    assert {r.id for r in rows} == set(range(1, 10))
+    assert all(r.score is None for r in rows)
+
+
+def test_delete_on_zorder_layout(spark, tmp_path):
+    """Delete over a z-ordered two-dim layout via prune_bounds on
+    both dims: result ≡ read + anti-filter, and pruning admits a
+    strict subset of files."""
+    from traffic_forecast_etl_spark.sources.writers import zorder_column
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(x, y, f"p{x}_{y}") for x in range(32) for y in range(32)],
+        "x int, y int, payload string",
+    )
+    z = zorder_column(df, ["x", "y"], bits=6)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(16, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    T.snapshot_write(spark, clustered, path, stats_cols=["x", "y"])
+    m0 = T.read_manifest(path)
+    T.snapshot_delete(
+        spark, path,
+        predicate="x between 4 and 7 and y between 4 and 7",
+        prune_bounds={"x": (4, 7), "y": (4, 7)},
+    )
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) > 0  # z-order locality keeps distant tiles out
+    got = {(r.x, r.y) for r in T.snapshot_read(spark, path).collect()}
+    assert got == {(x, y) for x in range(32) for y in range(32)
+                   if not (4 <= x <= 7 and 4 <= y <= 7)}
+
+
+def test_change_feed_delete_records_removed_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    dels = spark.createDataFrame([(2,), (5,)], "id long")
+    T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    rows = sorted((r.id, r.val, r._change_type, r._commit_version)
+                  for r in chg.collect())
+    assert rows == [(2, "v2", "delete", 1), (5, "v5", "delete", 1)]
+
+
+def test_change_feed_merge_records_both_sides(spark, tmp_path):
+    """A CDF-enabled merge records delete-preimages of replaced rows
+    plus inserts of the batch — an update reads as delete(old) +
+    insert(new)."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+    batch = spark.createDataFrame(
+        [(2, "u2"), (9, "u9")], "id long, val string"
+    )
+    T.snapshot_merge(spark, batch, path, keys=["id"], change_feed=True)
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    rows = sorted((r.id, r.val, r._change_type) for r in chg.collect())
+    assert rows == [
+        (2, "u2", "insert"), (2, "v2", "delete"), (9, "u9", "insert"),
+    ]
+
+
+def test_change_feed_net_equals_table_diff(spark, tmp_path):
+    """The pinned equivalence: net CDF of an adjacent-version range,
+    mapped to added/removed/changed per key, equals table_diff of the
+    two snapshots — including a no-op rewrite (same value re-merged)
+    netting to NOTHING."""
+    from traffic_forecast_etl_spark.operators.relational import table_diff
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    batch = spark.createDataFrame(
+        # v3 is a no-op rewrite (same value); v4 changes; id 77 is new
+        [(3, "v3"), (4, "u4"), (77, "n77")], "id long, val string"
+    )
+    T.snapshot_merge(spark, batch, path, keys=["id"], change_feed=True)
+    dels = spark.createDataFrame([(0,)], "id long")
+    T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)
+
+    for since, upto in [(0, 1), (1, 2)]:
+        chg = T.read_snapshot_changes(
+            spark, path, since_version=since, version=upto, net=True
+        )
+        per_key = {}
+        for r in chg.collect():
+            per_key.setdefault(r.id, set()).add(r._change_type)
+        cdf_status = {
+            k: ("changed" if v == {"insert", "delete"}
+                else "added" if v == {"insert"} else "removed")
+            for k, v in per_key.items()
+        }
+        diff = {
+            r.id: r.diff_status
+            for r in table_diff(
+                T.snapshot_read(spark, path, version=since),
+                T.snapshot_read(spark, path, version=upto),
+                keys=["id"],
+            ).collect()
+        }
+        assert cdf_status == diff, (since, upto)
+    # the no-op rewrite of id=3 must not appear at all in net mode
+    chg01 = T.read_snapshot_changes(spark, path, 0, 1, net=True)
+    assert 3 not in {r.id for r in chg01.collect()}
+
+
+def test_change_feed_append_and_overwrite_synthesized(spark, tmp_path):
+    """Appends and overwrites need no recorded change files: inserts
+    come from added files, overwrite deletes from the parent's."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    T.snapshot_write(spark, _mk(spark, range(3, 5)), path, mode="append")
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    rows = sorted((r.id, r._change_type) for r in chg.collect())
+    assert rows == [(3, "insert"), (4, "insert")]
+    T.snapshot_write(spark, _mk(spark, [9], "w"), path)  # overwrite
+    chg2 = T.read_snapshot_changes(spark, path, since_version=1)
+    rows2 = sorted((r.id, r._change_type, r._commit_version)
+                   for r in chg2.collect())
+    assert rows2 == [
+        (0, "delete", 2), (1, "delete", 2), (2, "delete", 2),
+        (3, "delete", 2), (4, "delete", 2), (9, "insert", 2),
+    ]
+
+
+def test_change_feed_unrecorded_merge_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+    T.snapshot_merge(
+        spark, _mk(spark, [1], "u"), path, keys=["id"]  # change_feed off
+    )
+    with pytest.raises(ValueError, match="no recorded change feed"):
+        T.read_snapshot_changes(spark, path, since_version=0)
+
+
+def test_change_feed_skips_compact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(3):
+        T.snapshot_write(spark, _mk(spark, [i]), path, mode="append")
+    T.snapshot_compact(spark, path, target_bytes=1 << 20)
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    rows = sorted((r.id, r._change_type) for r in chg.collect())
+    assert rows == [(1, "insert"), (2, "insert")]
+
+
+def test_change_feed_gc_with_expire_and_vacuum(spark, tmp_path):
+    """Expire deletes change files only when no retained manifest
+    references them; vacuum never touches referenced change files."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    dels = spark.createDataFrame([(1,)], "id long")
+    T.snapshot_delete(spark, path, keys=["id"], keys_df=dels)  # v1 + changes
+    T.snapshot_write(spark, _mk(spark, range(3), "w"), path)   # v2
+    T.snapshot_write(spark, _mk(spark, range(4), "x"), path)   # v3
+    chg_dir = os.path.join(path, "_changes")
+    assert os.path.isdir(chg_dir) and len(os.listdir(chg_dir)) > 0
+    removed_vac = T.vacuum(path)
+    assert not any(p.startswith("_changes/") for p in removed_vac)
+    T.snapshot_expire(path, keep_last=2)  # drops v0, v1 → changes orphaned
+    assert all(
+        not n.endswith(".parquet") for n in
+        (os.listdir(chg_dir) if os.path.isdir(chg_dir) else [])
+    )
+
+
+def test_change_feed_empty_range_and_ahead_raise(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    assert chg.count() == 0
+    assert "_change_type" in chg.columns
+    with pytest.raises(ValueError, match="ahead"):
+        T.read_snapshot_changes(spark, path, since_version=5)
+
+
+def test_change_feed_first_commit_synthesizes_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_merge(spark, _mk(spark, range(4)), path, keys=["id"])
+    chg = T.read_snapshot_changes(spark, path, since_version=-1)
+    rows = sorted((r.id, r._change_type, r._commit_version)
+                  for r in chg.collect())
+    assert rows == [(i, "insert", 0) for i in range(4)]
+
+
+def test_scan_bound_type_mismatch_raises_clearly(spark, tmp_path):
+    """ADVICE r6: mixed-type scan bounds raise a descriptive
+    ValueError naming the column, the bound's type, and the expected
+    type — not a bare TypeError mid-prune."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 6, 1))],
+        "id long, d date",
+    )
+    T.snapshot_write(spark, df, path, stats_cols=["id", "d"])
+    with pytest.raises(ValueError, match="column 'id'.*str.*bigint"):
+        T.snapshot_scan_files(path, "id", "0", 5)
+    # datetime on a date column: rejected explicitly (datetime IS a
+    # date subclass — the silent-wrong-comparison trap)
+    with pytest.raises(ValueError, match="column 'd'.*datetime"):
+        T.snapshot_scan_files(path, "d", dt.datetime(2024, 1, 1), None)
+    with pytest.raises(ValueError, match="column 'id'"):
+        T.snapshot_scan_multi(spark, path, {"id": (None, "9")})
+    # valid bounds still work
+    _, adm = T.snapshot_scan_files(path, "d", dt.date(2024, 5, 1), None)
+    assert len(adm) >= 1

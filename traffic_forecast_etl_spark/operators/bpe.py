@@ -134,9 +134,14 @@ def _select_batch(
     (count <= ``base``) or is itself a created pair (<= ``base`` by
     induction). So every disruptor is <= base; requiring
     count(p_j) > 3*base keeps every p_j strictly on top with margin.
-    Candidates whose elements contain an earlier output string have
-    stale counts and stop the batch. The first pair needs no guard —
-    it is the true greedy top regardless.
+    Candidates either of whose elements EQUALS an earlier output
+    string (not substring — adjacency pairs are whole symbols) have
+    stale counts and stop the batch; with a complete table this
+    cannot actually occur (elements come from ``all_symbols``,
+    outputs are new by the collision guard), so the ``in outs``
+    membership checks below are belt-and-braces, kept deliberately
+    (ADVICE r6). The first pair needs no guard — it is the true
+    greedy top regardless.
     """
     if m_rest > 0:
         # truncated snapshot: the symbol universe is unknown, so no
@@ -159,6 +164,8 @@ def _select_batch(
         if selected:
             if len(selected) >= max_batch:
                 break
+            # `in outs` arms are provably dead with a complete table
+            # (see docstring) — kept as belt-and-braces
             if a in used or b in used or a in outs or b in outs:
                 break
             if a + b in all_symbols or a + b in outs:
@@ -269,6 +276,7 @@ def train_bpe(
     max_batch: int = 32,
     candidate_k: int = 8192,
     driver_threshold: int = 1_000_000,
+    driver_byte_budget: int = 128 * 1024 * 1024,
     stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
@@ -289,6 +297,16 @@ def train_bpe(
     published trainers work: the word table of even a 100 TB corpus
     is vocabulary-bounded, and the iteration is driver-cheap once
     aggregated.
+
+    The driver-path guard is row-count AND byte aware (ADVICE r6):
+    ``driver_byte_budget`` caps ``sum(length(word))`` — measured in
+    the SAME aggregate that counts the rows — so a long-token corpus
+    (URLs, no-whitespace text, CJK run-ons) whose word table is few
+    rows but many bytes routes to the distributed loop instead of
+    collecting multi-GB of Row objects. The default 128 MiB of raw
+    word bytes keeps worst-case driver residency (Row overhead plus
+    the per-word symbol lists the incremental index builds, ~20-40x
+    raw) comfortably inside a mid-size driver heap.
 
     Above the threshold, the distributed loop runs. Each ROUND:
     (1) one weighted pair-count aggregate over the word table,
@@ -319,8 +337,13 @@ def train_bpe(
     from pyspark import StorageLevel
 
     wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
-    n_words = wf.count()
-    if n_words <= driver_threshold:
+    sizing = wf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("word")).alias("word_bytes"),
+    ).collect()[0]
+    n_words = sizing["n"]
+    word_bytes = sizing["word_bytes"] or 0
+    if n_words <= driver_threshold and word_bytes <= driver_byte_budget:
         rows = wf.collect()
         wf.unpersist()
         merges = _train_bpe_driver(
@@ -392,10 +415,31 @@ def apply_bpe_model(
     merges ≈ a few hundred KB), reconstructs the rank order, and
     encodes without the training session's Python state. Rank order
     comes from the table's ``rank`` column, so the artifact is the
-    single source of truth end-to-end."""
-    merges = [
-        (r["a"], r["b"]) for r in model.select("rank", "a", "b").orderBy("rank").collect()
-    ]
+    single source of truth end-to-end.
+
+    The artifact is VALIDATED before use (ADVICE r6): ranks must be
+    exactly 0..n-1 with no NULLs, duplicates, or gaps — a partially
+    written or doubly-appended model table would otherwise silently
+    encode with a wrong merge order."""
+    rows = model.select("rank", "a", "b").collect()
+    ranks = [r["rank"] for r in rows]
+    if any(r is None for r in ranks):
+        raise ValueError(
+            "corrupt BPE model table: NULL rank values (partially "
+            "written artifact?) — refusing to encode"
+        )
+    if sorted(ranks) != list(range(len(ranks))):
+        raise ValueError(
+            f"corrupt BPE model table: ranks must be exactly "
+            f"0..{len(ranks) - 1} with no duplicates or gaps (got "
+            f"{len(ranks)} rows, rank range "
+            f"[{min(ranks) if ranks else None}, "
+            f"{max(ranks) if ranks else None}], "
+            f"{len(set(ranks))} distinct) — a doubly-appended or "
+            "truncated artifact would silently encode with a wrong "
+            "merge order"
+        )
+    merges = [(r["a"], r["b"]) for r in sorted(rows, key=lambda r: r["rank"])]
     return apply_bpe(df, text_col, id_col, merges)
 
 
