@@ -14,9 +14,24 @@ expired (time travel).
 Layout::
 
     <table>/data/<uuid>-partNNN.parquet   immutable data files
+    <table>/_changes/<uuid>.parquet       row-level change-feed files
     <table>/_manifests/v00000017.json     {"version", "parent", "op",
                                            "schema", "files": [...]}
+                                          -- or, sharded (v2):
+                                           {..., "segments": [{"path":
+                                           "seg-...json", "n_files",
+                                           "n_rows", "stats"}, ...]}
+    <table>/_manifests/seg-<uuid>.json    immutable file-entry shard,
+                                          shared across versions
     <table>/_manifests/LATEST             {"version": 17}  (os.replace)
+
+Past ``_INLINE_MAX_FILES`` entries the manifest shards into segment
+files (the Iceberg manifest-list design): an append writes O(new
+files) JSON and references every parent segment by name; a
+merge/delete rewrites only segments that lost files; planning streams
+segments and skips any whose aggregate stats can't overlap the
+predicate. Below the threshold the single-JSON manifest remains the
+small-table fast path.
 
 Each manifest entry carries per-file row counts and per-column
 min/max stats for the table's key columns — the metadata that makes
@@ -80,6 +95,17 @@ _CHANGES_DIR = "_changes"
 # above this many distinct batch keys, prune on the batch's overall
 # [min, max] range instead of the exact sorted-key bisect
 _EXACT_PRUNE_MAX_KEYS = 100_000
+# manifest scale-out (VERDICT r6 #2, the Iceberg manifest-list
+# design): up to this many files the manifest inlines its file list
+# (the small-table fast path — one JSON read plans the whole table);
+# above it, entries shard into immutable SEGMENT files referenced by
+# the manifest with per-segment aggregate stats, so a commit writes
+# O(new files) JSON plus only the segments it actually edits, and a
+# millions-of-files table never rewrites its whole file list
+_INLINE_MAX_FILES = 1024
+# consolidate when the segment list grows past this (many small
+# per-commit segments otherwise accrete one per append forever)
+_MAX_SEGMENTS = 64
 
 
 class SnapshotConflictError(RuntimeError):
@@ -141,22 +167,205 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 def snapshot_history(path: str) -> list[dict]:
     """All retained manifests, oldest first, without file lists —
-    the ``DESCRIBE HISTORY`` surface."""
+    the ``DESCRIBE HISTORY`` surface. Sharded (v2) manifests answer
+    from the per-segment counts in the manifest list — no segment
+    reads, O(segments) per version."""
     out = []
     for name in sorted(os.listdir(_mdir(path))):
         if name.startswith("v") and name.endswith(".json"):
             with open(os.path.join(_mdir(path), name)) as f:
                 m = json.load(f)
+            if "segments" in m:
+                n_files = sum(s["n_files"] for s in m["segments"])
+                n_rows = sum(s["n_rows"] for s in m["segments"])
+            else:
+                n_files = len(m["files"])
+                n_rows = sum(e["rows"] for e in m["files"])
             out.append(
                 {
                     "version": m["version"],
                     "parent": m["parent"],
                     "op": m["op"],
-                    "n_files": len(m["files"]),
-                    "n_rows": sum(e["rows"] for e in m["files"]),
+                    "n_files": n_files,
+                    "n_rows": n_rows,
                 }
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# manifest sharding (format v2 — the Iceberg two-level design)
+#
+# A v1 manifest holds ``"files": [entry, ...]`` inline. A v2 manifest
+# holds ``"segments": [descriptor, ...]`` where each descriptor names
+# an immutable ``_manifests/seg-<uuid>.json`` file (``{"files":
+# [...]}``) plus its aggregate n_files/n_rows/n_bytes and per-column
+# min/max over the member files. Segments are shared across versions
+# BY REFERENCE: an append carries every parent segment untouched and
+# adds one new segment for the staged files; a merge/delete rewrites
+# only the segments that lost files. Segment-level stats let scan
+# planning and merge pruning skip reading entire segments whose
+# aggregate key range cannot overlap the predicate — the manifest
+# list is the only thing always parsed.
+# ---------------------------------------------------------------------------
+
+def _seg_path(path: str, name: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR, name)
+
+
+def _seg_stats(entries: list[dict], schema_json: str) -> dict:
+    """Aggregate per-column [min, max] over member entries, for the
+    columns where EVERY entry has complete stats (a column any member
+    lacks is omitted — segment-level pruning must stay conservative
+    exactly like file-level)."""
+    if not entries:
+        return {}
+    cols = set(entries[0].get("stats", {}).keys())
+    for e in entries[1:]:
+        cols &= set(e.get("stats", {}).keys())
+    out = {}
+    for c in cols:
+        try:
+            dtype = _col_type(schema_json, c)
+        except KeyError:
+            continue
+        lo = hi = None
+        ok = True
+        for e in entries:
+            st = e["stats"].get(c)
+            if not st or st[0] is None or st[1] is None:
+                ok = False
+                break
+            mn, mx = _dec_stat(st[0], dtype), _dec_stat(st[1], dtype)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok:
+            out[c] = [_enc_stat(lo), _enc_stat(hi)]
+    return out
+
+
+def _write_segment(path: str, entries: list[dict], schema_json: str) -> dict:
+    """Persist ``entries`` as one immutable segment file; return its
+    manifest-list descriptor."""
+    name = f"seg-{uuid.uuid4().hex}.json"
+    clean = [{k: v for k, v in e.items() if k != "_seg"} for e in entries]
+    os.makedirs(_mdir(path), exist_ok=True)
+    _atomic_write_json(_seg_path(path, name), {"files": clean})
+    return {
+        "path": name,
+        "n_files": len(clean),
+        "n_rows": sum(e["rows"] for e in clean),
+        "n_bytes": sum(e["bytes"] for e in clean),
+        "stats": _seg_stats(clean, schema_json),
+    }
+
+
+def _write_segments_chunked(
+    path: str, entries: list[dict], schema_json: str
+) -> list[dict]:
+    """Write ``entries`` as one or more segments of at most
+    ``_INLINE_MAX_FILES`` files each. Entries arrive in staging order
+    (range-clustered writes stay contiguous), so chunks inherit tight
+    key ranges — the per-segment stats that let merge/scan pruning
+    skip whole segments. A single mega-segment would defeat that: the
+    first narrow merge would rewrite the entire file list."""
+    if not entries:
+        return []
+    chunk = max(_INLINE_MAX_FILES, 1)
+    return [
+        _write_segment(path, entries[i : i + chunk], schema_json)
+        for i in range(0, len(entries), chunk)
+    ]
+
+
+def _read_segment(path: str, seg: dict) -> list[dict]:
+    with open(_seg_path(path, seg["path"])) as f:
+        return json.load(f)["files"]
+
+
+def _seg_admits(seg: dict, key: str, lo, hi, dtype: DataType) -> bool:
+    """Can any file in this segment overlap [lo, hi]? Conservative on
+    missing segment stats (admits → the segment gets read and its
+    files checked individually)."""
+    st = seg.get("stats", {}).get(key)
+    if not st or st[0] is None or st[1] is None:
+        return True
+    smin, smax = _dec_stat(st[0], dtype), _dec_stat(st[1], dtype)
+    if (lo is not None and smax < lo) or (hi is not None and smin > hi):
+        return False
+    return True
+
+
+def manifest_files(path: str, m: dict, tag_segments: bool = False) -> list[dict]:
+    """Materialize a manifest's full file-entry list (reads segment
+    files for v2 manifests; identity for v1). ``tag_segments``
+    annotates each entry with ``"_seg": <index>`` so callers that
+    REMOVE files can name the affected segments without a second
+    membership scan."""
+    if "segments" not in m:
+        if tag_segments:
+            return [dict(e, _seg=None) for e in m["files"]]
+        return list(m["files"])
+    out: list[dict] = []
+    for i, seg in enumerate(m["segments"]):
+        for e in _read_segment(path, seg):
+            out.append(dict(e, _seg=i) if tag_segments else e)
+    return out
+
+
+def _fileset_for_commit(
+    path: str,
+    m_parent: dict | None,
+    removed_paths: set[str],
+    affected_segs: set[int],
+    new_entries: list[dict],
+    schema_json: str,
+) -> dict:
+    """Build the next version's file-set representation, writing new
+    segment files as needed, and return ``{"files": [...]}`` (inline
+    v1) or ``{"segments": [...]}`` (sharded v2) for ``_commit``.
+
+    Commit cost: O(new files) + O(files in the segments that lost
+    members) — carried segments are referenced by name, never read.
+    ``affected_segs`` comes from the caller's own pruning pass (each
+    touched entry knows its segment via ``manifest_files(...,
+    tag_segments=True)``), so membership is never re-derived. The
+    v1→v2 upgrade triggers when the total file count passes
+    ``_INLINE_MAX_FILES``; v2 stays sharded (a table that grew once
+    will grow again). When the segment list passes ``_MAX_SEGMENTS``,
+    sub-threshold segments consolidate — amortized O(new) commits."""
+    if m_parent is None or "segments" not in m_parent:
+        parent_files = list(m_parent["files"]) if m_parent else []
+        survivors = [e for e in parent_files if e["path"] not in removed_paths]
+        total = survivors + new_entries
+        if len(total) <= _INLINE_MAX_FILES:
+            return {"files": total}
+        return {
+            "segments": _write_segments_chunked(path, survivors, schema_json)
+            + _write_segments_chunked(path, new_entries, schema_json)
+        }
+    segs: list[dict] = []
+    for i, seg in enumerate(m_parent["segments"]):
+        if i in affected_segs:
+            survivors = [
+                e
+                for e in _read_segment(path, seg)
+                if e["path"] not in removed_paths
+            ]
+            segs.extend(_write_segments_chunked(path, survivors, schema_json))
+        else:
+            segs.append(seg)
+    segs.extend(_write_segments_chunked(path, new_entries, schema_json))
+    if len(segs) > _MAX_SEGMENTS:
+        small_cut = max(_INLINE_MAX_FILES // 4, 2)
+        small = [s for s in segs if s["n_files"] < small_cut]
+        if len(small) > 1:
+            keep = [s for s in segs if s["n_files"] >= small_cut]
+            merged: list[dict] = []
+            for s in small:
+                merged.extend(_read_segment(path, s))
+            segs = keep + _write_segments_chunked(path, merged, schema_json)
+    return {"segments": segs}
 
 
 # ---------------------------------------------------------------------------
@@ -341,21 +550,25 @@ def _stage_files(
 
 def _commit(
     path: str,
-    entries: list[dict],
+    entries: list[dict] | dict,
     op: str,
     schema_json: str,
     parent: int | None,
     txns: dict[str, int] | None = None,
     changes: list[dict] | None = None,
 ) -> int:
+    """``entries`` is a plain list (inline v1 file list) or a fileset
+    dict from :func:`_fileset_for_commit` ({"files": ...} or
+    {"segments": ...})."""
+    fileset = entries if isinstance(entries, dict) else {"files": entries}
     version = (parent if parent is not None else -1) + 1
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "schema": schema_json,
-        "files": entries,
         "txns": txns or {},
+        **fileset,
     }
     if changes is not None:
         # presence of the key (even []) means "row-level change feed
@@ -475,9 +688,15 @@ def snapshot_write(
             schema_json = df.schema.json()
         stats = list(stats_cols or [])
         entries = _stage_files(spark, df, path, stats)
-        if mode == "append" and parent is not None:
-            entries = read_manifest(path, parent)["files"] + entries
-        return _commit(path, entries, mode, schema_json, parent, txns)
+        m_parent = (
+            read_manifest(path, parent)
+            if mode == "append" and parent is not None
+            else None
+        )
+        fileset = _fileset_for_commit(
+            path, m_parent, set(), set(), entries, schema_json
+        )
+        return _commit(path, fileset, mode, schema_json, parent, txns)
     finally:
         release_writer_lease(path, holder)
 
@@ -490,7 +709,7 @@ def snapshot_read(
     consistent point-in-time view no concurrent commit can shear —
     the isolation plain-dir parquet readers never get."""
     m = read_manifest(path, version)
-    files = [os.path.join(path, e["path"]) for e in m["files"]]
+    files = [os.path.join(path, e["path"]) for e in manifest_files(path, m)]
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
@@ -525,6 +744,19 @@ def snapshot_scan_files(
     hi = _check_bound(upper, dtype, key, "upper")
     if lo is not None and hi is not None and lo > hi:
         return m, []
+    if "segments" in m:
+        # stream segments, skipping whole segments whose aggregate
+        # range can't overlap — the manifest list is all that's
+        # always parsed
+        admitted = []
+        for seg in m["segments"]:
+            if _seg_admits(seg, key, lo, hi, dtype):
+                admitted.extend(
+                    e
+                    for e in _read_segment(path, seg)
+                    if _touched(e, key, lo, hi, None, dtype)
+                )
+        return m, admitted
     admitted = [e for e in m["files"] if _touched(e, key, lo, hi, None, dtype)]
     return m, admitted
 
@@ -544,15 +776,44 @@ def snapshot_scan_multi(
     layout exists for. Residual predicates applied; row-identical to
     snapshot_read + filters by construction."""
     m = read_manifest(path, version)
-    admitted = m["files"]
+    norm: dict[str, tuple] = {}
+    empty = False
     for key, (lower, upper) in bounds.items():
         dtype = _col_type(m["schema"], key)
         lo = _check_bound(lower, dtype, key, "lower")
         hi = _check_bound(upper, dtype, key, "upper")
         if lo is not None and hi is not None and lo > hi:
-            admitted = []
+            empty = True
             break
-        admitted = [e for e in admitted if _touched(e, key, lo, hi, None, dtype)]
+        norm[key] = (lo, hi, dtype)
+    if empty:
+        admitted = []
+    elif "segments" in m:
+        # a segment is read only if its aggregate ranges overlap
+        # EVERY bound — the intersection prune at segment level
+        admitted = []
+        for seg in m["segments"]:
+            if all(
+                _seg_admits(seg, k, lo, hi, dt)
+                for k, (lo, hi, dt) in norm.items()
+            ):
+                admitted.extend(
+                    e
+                    for e in _read_segment(path, seg)
+                    if all(
+                        _touched(e, k, lo, hi, None, dt)
+                        for k, (lo, hi, dt) in norm.items()
+                    )
+                )
+    else:
+        admitted = [
+            e
+            for e in m["files"]
+            if all(
+                _touched(e, k, lo, hi, None, dt)
+                for k, (lo, hi, dt) in norm.items()
+            )
+        ]
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not admitted:
         return spark.createDataFrame([], schema)
@@ -638,16 +899,59 @@ def snapshot_incremental(
         raise ValueError(
             f"since_version {since_version} is ahead of version {m_new['version']}"
         )
-    old_files = {e["path"] for e in read_manifest(path, since_version)["files"]}
-    added = [
-        os.path.join(path, e["path"])
-        for e in m_new["files"]
-        if e["path"] not in old_files
-    ]
+    m_old = read_manifest(path, since_version)
+    if "segments" in m_new:
+        # segment-diff: segments shared by reference contain no new
+        # files by construction (immutable), so only NEW segments are
+        # read, and old-path membership needs only the RETIRED old
+        # segments — the incremental read costs O(changed), never
+        # O(table)
+        new_seg_paths = {s["path"] for s in m_new["segments"]}
+        if "segments" in m_old:
+            shared = {s["path"] for s in m_old["segments"]} & new_seg_paths
+            retired = [
+                s for s in m_old["segments"] if s["path"] not in shared
+            ]
+            old_files = {
+                e["path"] for s in retired for e in _read_segment(path, s)
+            }
+        else:
+            shared = set()
+            old_files = {e["path"] for e in m_old["files"]}
+        added = [
+            os.path.join(path, e["path"])
+            for s in m_new["segments"]
+            if s["path"] not in shared
+            for e in _read_segment(path, s)
+            if e["path"] not in old_files
+        ]
+    else:
+        old_files = {e["path"] for e in manifest_files(path, m_old)}
+        added = [
+            os.path.join(path, e["path"])
+            for e in m_new["files"]
+            if e["path"] not in old_files
+        ]
     schema = StructType.fromJson(json.loads(m_new["schema"]))
     if not added:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*added)
+
+
+def _candidate_pool(
+    path: str, m: dict, key: str, lo, hi, dtype: DataType
+) -> list[dict]:
+    """Entries that could contain keys in [lo, hi], tagged with their
+    segment index (``_seg``): for sharded manifests only segments
+    whose aggregate range overlaps are READ at all — commit-time
+    pruning costs O(overlapping files), never O(table)."""
+    if "segments" not in m:
+        return [dict(e, _seg=None) for e in m["files"]]
+    pool: list[dict] = []
+    for i, seg in enumerate(m["segments"]):
+        if _seg_admits(seg, key, lo, hi, dtype):
+            pool.extend(dict(e, _seg=i) for e in _read_segment(path, seg))
+    return pool
 
 
 def _touched(
@@ -726,7 +1030,11 @@ def snapshot_merge(
             txns[txn_app] = txn_version
         deduped = batch.dropDuplicates(keys)
         if parent is None:
-            entries = _stage_files(spark, deduped, path, keys)
+            entries = _fileset_for_commit(
+                path, None, set(), set(),
+                _stage_files(spark, deduped, path, keys),
+                deduped.schema.json(),
+            )
             changes = None
             if change_feed:
                 changes = _stage_files(
@@ -750,8 +1058,9 @@ def snapshot_merge(
             F.approx_count_distinct(k0).alias("n"),
         ).collect()[0]
         if bounds["lo"] is None:
+            carry = _fileset_for_commit(path, m, set(), set(), [], schema_json)
             return _commit(
-                path, m["files"], "merge", schema_json, parent, txns,
+                path, carry, "merge", schema_json, parent, txns,
                 changes=[] if change_feed else None,
             )
         k0_type = _col_type(schema_json, k0)
@@ -760,19 +1069,12 @@ def snapshot_merge(
             sorted_keys = sorted(
                 _norm_key(r[k0]) for r in deduped.select(k0).distinct().collect()
             )
+        lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
         touched = [
             e
-            for e in m["files"]
-            if _touched(
-                e,
-                k0,
-                _norm_key(bounds["lo"]),
-                _norm_key(bounds["hi"]),
-                sorted_keys,
-                k0_type,
-            )
+            for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
+            if _touched(e, k0, lo, hi, sorted_keys, k0_type)
         ]
-        untouched = [e for e in m["files"] if e not in touched]
         removed = None
         if touched:
             existing = spark.read.schema(table_schema).parquet(
@@ -786,7 +1088,14 @@ def snapshot_merge(
                 )
         else:
             out = deduped
-        entries = untouched + _stage_files(spark, out, path, keys)
+        fileset = _fileset_for_commit(
+            path,
+            m,
+            {e["path"] for e in touched},
+            {e["_seg"] for e in touched if e.get("_seg") is not None},
+            _stage_files(spark, out, path, keys),
+            schema_json,
+        )
         changes = None
         if change_feed:
             change_df = deduped.withColumn("_change_type", F.lit("insert"))
@@ -798,7 +1107,7 @@ def snapshot_merge(
                 spark, change_df, path, [], subdir=_CHANGES_DIR
             )
         return _commit(
-            path, entries, "merge", schema_json, parent, txns, changes=changes
+            path, fileset, "merge", schema_json, parent, txns, changes=changes
         )
     finally:
         release_writer_lease(path, holder)
@@ -877,8 +1186,11 @@ def snapshot_delete(
             ).collect()[0]
             if bounds["lo"] is None:
                 # empty key set: no-op commit (still records txns)
+                carry = _fileset_for_commit(
+                    path, m, set(), set(), [], schema_json
+                )
                 return _commit(
-                    path, m["files"], "delete", schema_json, parent, txns
+                    path, carry, "delete", schema_json, parent, txns
                 )
             k0_type = _col_type(schema_json, k0)
             sorted_keys = None
@@ -887,38 +1199,42 @@ def snapshot_delete(
                     _norm_key(r[k0])
                     for r in del_keys.select(k0).distinct().collect()
                 )
+            lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
             candidates = [
                 e
-                for e in m["files"]
-                if _touched(
-                    e,
-                    k0,
-                    _norm_key(bounds["lo"]),
-                    _norm_key(bounds["hi"]),
-                    sorted_keys,
-                    k0_type,
-                )
+                for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
+                if _touched(e, k0, lo, hi, sorted_keys, k0_type)
             ]
         else:
             cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-            candidates = list(m["files"])
             if prune_bounds:
+                norm: dict[str, tuple] = {}
+                impossible = False
                 for key, (lower, upper) in prune_bounds.items():
                     dtype = _col_type(schema_json, key)
                     lo = _check_bound(lower, dtype, key, "lower")
                     hi = _check_bound(upper, dtype, key, "upper")
                     if lo is not None and hi is not None and lo > hi:
-                        candidates = []
+                        impossible = True
                         break
+                    norm[key] = (lo, hi, dtype)
+                if impossible:
+                    candidates = []
+                else:
+                    first = next(iter(norm))
+                    flo, fhi, fdt = norm[first]
                     candidates = [
                         e
-                        for e in candidates
-                        if _touched(e, key, lo, hi, None, dtype)
+                        for e in _candidate_pool(path, m, first, flo, fhi, fdt)
+                        if all(
+                            _touched(e, k, lo, hi, None, dt)
+                            for k, (lo, hi, dt) in norm.items()
+                        )
                     ]
+            else:
+                candidates = manifest_files(path, m, tag_segments=True)
 
-        untouched = [e for e in m["files"] if e not in candidates]
         changes: list[dict] | None = [] if change_feed else None
-        entries = untouched
         if candidates:
             existing = spark.read.schema(table_schema).parquet(
                 *[os.path.join(path, e["path"]) for e in candidates]
@@ -931,7 +1247,14 @@ def snapshot_delete(
                 kept = existing.filter(~hit)
                 removed = existing.filter(hit)
             stats_cols = list(candidates[0].get("stats", {}).keys())
-            entries = untouched + _stage_files(spark, kept, path, stats_cols)
+            fileset = _fileset_for_commit(
+                path,
+                m,
+                {e["path"] for e in candidates},
+                {e["_seg"] for e in candidates if e.get("_seg") is not None},
+                _stage_files(spark, kept, path, stats_cols),
+                schema_json,
+            )
             if change_feed:
                 changes = _stage_files(
                     spark,
@@ -940,8 +1263,10 @@ def snapshot_delete(
                     [],
                     subdir=_CHANGES_DIR,
                 )
+        else:
+            fileset = _fileset_for_commit(path, m, set(), set(), [], schema_json)
         return _commit(
-            path, entries, "delete", schema_json, parent, txns, changes=changes
+            path, fileset, "delete", schema_json, parent, txns, changes=changes
         )
     finally:
         release_writer_lease(path, holder)
@@ -1029,24 +1354,26 @@ def read_snapshot_changes(
             # inserts; snapshot_delete writes its deletions (it has
             # no inserts). Nothing is synthesized from data files.
         elif m["parent"] is None or m["op"] in ("overwrite", "append"):
-            parent_files = (
-                {e["path"] for e in read_manifest(path, m["parent"])["files"]}
+            m_files = manifest_files(path, m)
+            parent_entries = (
+                manifest_files(path, read_manifest(path, m["parent"]))
                 if m["parent"] is not None
-                else set()
+                else []
             )
+            parent_files = {e["path"] for e in parent_entries}
             added = [
                 os.path.join(path, e["path"])
-                for e in m["files"]
+                for e in m_files
                 if e["path"] not in parent_files
             ]
             pieces = []
             if added:
                 pieces.append(_tagged(added, "insert", v))
             if m["op"] == "overwrite" and m["parent"] is not None:
-                cur_files = {e["path"] for e in m["files"]}
+                cur_files = {e["path"] for e in m_files}
                 dropped = [
                     os.path.join(path, e["path"])
-                    for e in read_manifest(path, m["parent"])["files"]
+                    for e in parent_entries
                     if e["path"] not in cur_files
                 ]
                 if dropped:
@@ -1123,12 +1450,12 @@ def snapshot_compact(
     try:
         parent = current_version(path)
         m = read_manifest(path, parent)
-        small = [e for e in m["files"] if e["bytes"] < target_bytes / 2]
+        all_entries = manifest_files(path, m, tag_segments=True)
+        small = [e for e in all_entries if e["bytes"] < target_bytes / 2]
         if len(small) <= 1:
             return parent  # nothing to do; no empty commit
-        keep = [e for e in m["files"] if e["bytes"] >= target_bytes / 2]
         if stats_cols is None:
-            stats_cols = list(m["files"][0].get("stats", {}).keys())
+            stats_cols = list(all_entries[0].get("stats", {}).keys())
         # first-fit bin packing by accumulated bytes
         bins: list[list[dict]] = []
         for e in sorted(small, key=lambda e: -e["bytes"]):
@@ -1138,7 +1465,7 @@ def snapshot_compact(
                     break
             else:
                 bins.append([e])
-        entries = list(keep)
+        new_entries: list[dict] = []
         # rewrite with the MANIFEST schema: fragments written before a
         # schema evolution must come out carrying the evolved columns
         table_schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1146,9 +1473,18 @@ def snapshot_compact(
             grouped = spark.read.schema(table_schema).parquet(
                 *[os.path.join(path, e["path"]) for e in b]
             ).coalesce(1)
-            entries += _stage_files(spark, grouped, path, list(stats_cols))
+            new_entries += _stage_files(spark, grouped, path, list(stats_cols))
+        fileset = _fileset_for_commit(
+            path,
+            m,
+            {e["path"] for e in small},
+            {e["_seg"] for e in small if e.get("_seg") is not None},
+            new_entries,
+            m["schema"],
+        )
         return _commit(
-            path, entries, "compact", m["schema"], parent, _parent_txns(path, parent)
+            path, fileset, "compact", m["schema"], parent,
+            _parent_txns(path, parent),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1171,9 +1507,12 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
         drop, keep = versions[:-keep_last], versions[-keep_last:]
         referenced = set()
         chg_referenced = set()
+        seg_referenced = set()
         for v in keep:
             m = read_manifest(path, v)
-            for e in m["files"]:
+            for s in m.get("segments") or []:
+                seg_referenced.add(s["path"])
+            for e in manifest_files(path, m):
                 referenced.add(os.path.basename(e["path"]))
             for e in m.get("changes") or []:
                 chg_referenced.add(os.path.basename(e["path"]))
@@ -1192,6 +1531,11 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
                     removed.append(f"{_CHANGES_DIR}/{name}")
         for v in drop:
             os.remove(_manifest_path(path, v))
+        # segment files referenced only by dropped manifests
+        for name in sorted(os.listdir(_mdir(path))):
+            if name.startswith("seg-") and name not in seg_referenced:
+                os.remove(_seg_path(path, name))
+                removed.append(f"{_MANIFEST_DIR}/{name}")
         return removed
     finally:
         release_writer_lease(path, holder)
@@ -1204,11 +1548,14 @@ def vacuum(path: str) -> list[str]:
     try:
         referenced = set()
         chg_referenced = set()
+        seg_referenced = set()
         for name in os.listdir(_mdir(path)):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(_mdir(path), name)) as f:
                     m = json.load(f)
-                for e in m["files"]:
+                for s in m.get("segments") or []:
+                    seg_referenced.add(s["path"])
+                for e in manifest_files(path, m):
                     referenced.add(os.path.basename(e["path"]))
                 for e in m.get("changes") or []:
                     chg_referenced.add(os.path.basename(e["path"]))
@@ -1229,6 +1576,11 @@ def vacuum(path: str) -> list[str]:
                 if name.endswith(".parquet") and name not in chg_referenced:
                     os.remove(os.path.join(chg_dir, name))
                     removed.append(f"{_CHANGES_DIR}/{name}")
+        # orphaned segment files (written by a crashed commit)
+        for name in sorted(os.listdir(_mdir(path))):
+            if name.startswith("seg-") and name not in seg_referenced:
+                os.remove(_seg_path(path, name))
+                removed.append(f"{_MANIFEST_DIR}/{name}")
         return removed
     finally:
         release_writer_lease(path, holder)
