@@ -99,6 +99,10 @@ HEADLINE = [
     # the Gumbel top-k). c12 subsumes c11's weight pass, so only the
     # end-to-end selection is a headline.
     "c12_dsir_resample",
+    # round-7 additions: IVF-PQ ANN (compressed inverted lists + ADC
+    # shortlist + exact refine) and the streaming CDF replica loop
+    "s6_ivf_pq_ann",
+    "st7_snapshot_cdf_replica",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

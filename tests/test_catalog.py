@@ -44,6 +44,9 @@ def test_oracle_coverage(spark):
         "d15_semantic_dedup",
         "s2_lsh_ann",
         "s3_ivf_ann",
+        # IVF routing + k-means PQ codebooks (iterative/seeded);
+        # recall >= 0.8 vs exact s1 pinned in test_similarity.py
+        "s6_ivf_pq_ann",
         "a10_approx_distinct",
         # trained-model scoring (L-BFGS logistic fit not SQL-expressible)
         "c8_quality_classifier",

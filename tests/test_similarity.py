@@ -638,3 +638,92 @@ def test_random_projection_plan_is_map_only(spark, emb):
     out = random_projection(emb, "embedding", "vec_id", in_dim=64, out_dim=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+def test_ivf_pq_recall_vs_exact(spark, emb, exact):
+    """The VERDICT done criterion: IVF-PQ with the catalog's settings
+    (nprobe=6/8 lists, m=8 codes, refine=16) must recover >= 0.8 of
+    the exact top-5 — measured 0.90 on this fixture, 0.92 at sf0.01."""
+    from traffic_forecast_etl_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = _pairs(
+        ivf_pq_topk(
+            emb, queries, "vec_id", "vec_id", "embedding",
+            k=5, n_centroids=8, nprobe=6, m=8, refine=16,
+        )
+    )
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f}"
+
+
+def test_ivf_pq_structure_and_exact_cosines(spark, emb):
+    """Refine returns EXACT cosines: every reported (query, neighbor,
+    cosine) must match the brute-force cosine for that pair, ranks
+    are 1..k descending, no self-matches."""
+    from traffic_forecast_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_pq_topk(
+        emb, queries, "vec_id", "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=6, m=8, refine=16,
+    ).collect()
+    exact_all = {
+        (r.vec_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(
+            emb, queries, "vec_id", "vec_id", "embedding", k=500
+        ).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.vec_id
+        got_exact = exact_all.get((r.vec_id, r.neighbor_id))
+        if got_exact is not None:
+            assert abs(r.cosine - got_exact) < 1e-6, (r, got_exact)
+        by_q.setdefault(r.vec_id, []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        ordered = sorted(rows, key=lambda r: r.rank)
+        cosines = [r.cosine for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    from traffic_forecast_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb, "embedding", m=8, nbits=8, seed=7)
+    assert len(books) == 8
+    assert all(b.shape[1] == 8 for b in books)  # d=64 / m=8
+    codes_a = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(emb, "embedding", "vec_id", books).collect()
+    }
+    codes_b = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(
+            emb.repartition(13), "embedding", "vec_id", books
+        ).collect()
+    }
+    assert codes_a == codes_b  # layout-independent
+    assert all(len(c) == 8 for c in codes_a.values())
+    ksub = max(b.shape[0] for b in books)
+    assert all(0 <= x < ksub for c in codes_a.values() for x in c)
+
+
+def test_pq_train_validation(spark, emb):
+    from traffic_forecast_etl_spark.operators.similarity import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, "embedding", m=7)
+    with pytest.raises(ValueError, match="bad PQ shape"):
+        pq_train(emb, "embedding", m=0)

@@ -72,6 +72,9 @@ KEYS = [
     # aggregates + literal-ratio map-only scoring + Gumbel TakeOrdered
     # — every stage linear in the corpus; bucket table is fixed-size)
     "c12_dsir_resample",
+    # r7: IVF-PQ — train/encode/route/ADC/refine all linear in the
+    # corpus (codebooks fixed-size, shortlist k*refine per query)
+    "s6_ivf_pq_ann",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py

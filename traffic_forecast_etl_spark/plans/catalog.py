@@ -2279,6 +2279,24 @@ def s3_ivf_ann(spark, sf_dir):
     return S.ivf_topk(emb, queries, "vec_id", "vec_id", "embedding", k=5, n_centroids=8, nprobe=3)
 
 
+@query("s6_ivf_pq_ann")
+def s6_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ ANN search (VERDICT r6 #4): s3's coarse-quantizer
+    routing, but inverted lists carry m-byte product-quantization
+    codes instead of raw vectors — asymmetric-distance shortlist per
+    query (one m×256 table + m lookups per candidate), exact-cosine
+    refine of the top k·refine only. The 32-384× index compression is
+    what fits a 100 TB embedding corpus's ANN tier in memory.
+    Rows-only (k-means codebooks are iterative/seeded); recall ≥ 0.8
+    vs the exact s1 baseline pinned in test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk(
+        emb, queries, "vec_id", "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=6, m=8, refine=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (engine extensions)
 # ---------------------------------------------------------------------------
@@ -4798,6 +4816,7 @@ _SWEEP_PRIORITY = [
     "w6_sliding_window", "w8_funnel", "w9_rank_family",
     "w10_cohort_retention", "w11_time_range_rolling", "d5_embedding_neardup",
     "d11_embedding_neardup_lsh", "s2_lsh_ann", "s3_ivf_ann",
+    "s6_ivf_pq_ann",
     "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
     "t2_quality_score", "t3_lang_id", "t4_fingerprint", "t5_bpe_tokens",
     "t6_winnow_fingerprint", "t7_tfidf_topterms", "t8_redact_pii",
