@@ -35,7 +35,6 @@ def test_oracle_coverage(spark):
     assert rows_only == {
         "c1_curate_corpus",
         "d2_minhash_lsh",
-        "d3_simhash_pairs",
         "d9_incremental_near_dup",
         "d6_near_dedup_filter",
         # precision 1 vs d5 by construction; LSH bounds recall < 1

@@ -807,3 +807,50 @@ def test_leakage_safe_split_fraction_bounds(spark):
 
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, edges, "doc_id", 1.5)
+
+
+def test_simhash_md5_mode_matches_xxhash_semantics(spark):
+    """d3's oracle promotion (VERDICT r6 #8): the md5 60-bit sketch
+    mode must find the same planted near-duplicates as the default
+    xxhash64 mode, be layout-independent, and respect the Hamming
+    bound; bad hash_fn raises."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the quiet green forest before the sun sets"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("quiet", "silent")),  # near-dup of 1
+        (3, "completely different content about spark manifests and "
+            "segment pruning with nothing shared at all here"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in ("xxhash64", "md5"):
+        got = {
+            (r.id1, r.id2): r.hamming
+            for r in simhash_pairs(
+                df, "text", "doc_id", max_hamming=8, hash_fn=fn
+            ).collect()
+        }
+        assert (1, 4) in got and got[(1, 4)] == 0, (fn, got)
+        assert (1, 2) in got and got[(1, 2)] <= 8, (fn, got)
+        assert all(h <= 8 for h in got.values())
+        assert not any(3 in p for p in got), (fn, got)
+    # md5-mode sketch fits 60 bits and is layout-independent
+    sig_a = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id", hash_fn="md5").collect()}
+    sig_b = {
+        r.doc_id: r.simhash
+        for r in simhash(df.repartition(7), "text", "doc_id", hash_fn="md5").collect()
+    }
+    assert sig_a == sig_b
+    assert all(0 <= s < (1 << 60) for s in sig_a.values())
+    with _pytest.raises(ValueError, match="hash_fn"):
+        simhash(df, "text", "doc_id", hash_fn="sha1")

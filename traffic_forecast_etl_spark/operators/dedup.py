@@ -811,28 +811,50 @@ def _pairs_from_packed(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
-    """64-bit SimHash per document (Charikar random-hyperplane sketch
-    over shingle hashes): bit i of the signature is the sign of
-    sum over shingles of (+1 if bit i of xxhash64(shingle) else -1).
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document (Charikar random-hyperplane sketch over
+    shingle hashes): bit i of the signature is the sign of sum over
+    shingles of (+1 if bit i of hash(shingle) else -1).
 
-    Computed as one explode + one 64-column conditional-sum aggregate
-    (map-side partials) + bit reassembly — fully native, one shuffle
-    keyed by doc id.
+    ``hash_fn``: "xxhash64" (default — 64-bit sketch, the fastest
+    scale path) or "md5" (60-bit sketch from a 15-hex-char md5 prefix
+    — the d7/d12 engine-reproducibility convention, so a DuckDB/any-
+    SQL oracle replays the EXACT arithmetic and the d3 catalog entry
+    is value-verified instead of rows-only).
+
+    Computed as one explode + one n_bits-column conditional-sum
+    aggregate (map-side partials) + bit reassembly — fully native,
+    one shuffle keyed by doc id.
     """
-    hashed = exploded_char_shingles(df, text_col, id_col, shingle_k).withColumn(
-        "__h", F.xxhash64("__s")
-    )
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be xxhash64 or md5")
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    sh = exploded_char_shingles(df, text_col, id_col, shingle_k)
+    if hash_fn == "xxhash64":
+        hashed = sh.withColumn("__h", F.xxhash64("__s"))
+    else:
+        hashed = sh.withColumn(
+            "__h",
+            F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
     bit_sums = hashed.groupBy("__id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"__b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
@@ -840,19 +862,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> Da
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, shingle_k: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation by the pigeonhole principle: split 64 bits
-    into ``max_hamming+1`` chunks; any pair within distance must agree
-    on ≥1 whole chunk → equi-join per chunk (keyed shuffle), then
-    exact popcount verify. This is the classic scalable simhash
-    join (Manku et al., WWW'07 formulation) — no all-pairs scan.
+    Candidate generation by the pigeonhole principle: split the
+    sketch bits into ``max_hamming+1`` chunks; any pair within
+    distance must agree on ≥1 whole chunk → equi-join per chunk
+    (keyed shuffle), then exact popcount verify. This is the classic
+    scalable simhash join (Manku et al., WWW'07 formulation) — no
+    all-pairs scan. ``hash_fn`` as in :func:`simhash` ("md5" → the
+    60-bit oracle-replayable sketch the d3 catalog entry uses).
     """
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sigs = simhash(df, text_col, id_col).select(
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    width = n_bits // chunks
+    sigs = simhash(df, text_col, id_col, shingle_k, hash_fn=hash_fn).select(
         F.col(id_col).alias("__id"), "simhash"
     )
     entries = sigs.select(

@@ -2093,12 +2093,62 @@ def d2_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("d3_simhash_pairs")
+_D3_BITS = ", ".join(
+    f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) AS b{i}"
+    for i in range(60)
+)
+_D3_SIG = " + ".join(
+    f"(case when b{i} > 0 then (1::BIGINT << {i}) else 0 end)"
+    for i in range(60)
+)
+
+
+@query(
+    "d3_simhash_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')) AS n
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([substr(n, i, 5)
+                     for i in range(1, greatest(length(n) - 4, 1) + 1)]) AS s
+      FROM norm
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+    ), bits AS (
+      SELECT doc_id, {_D3_BITS} FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_D3_SIG} AS simhash FROM bits
+    ), entries AS (
+      SELECT doc_id, simhash, CAST(ci AS INT) AS ci,
+             (simhash >> (CAST(ci AS INT) * 15)) & 32767 AS cv
+      FROM sig, range(0, 4) AS r(ci)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             l.simhash AS s1, r.simhash AS s2
+      FROM entries l JOIN entries r
+        ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
 def d3_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit sketch, pigeonhole-chunk
-    candidate join, popcount verify). Approximate → rows-only check."""
+    """SimHash near-dup pairs: pigeonhole-chunk candidate equi-join
+    (sketch split into max_hamming+1 chunks — a qualifying pair must
+    agree on >= 1 whole chunk), exact popcount verify. Uses the md5
+    sketch mode (60 bits from a 15-hex md5 prefix — the d7/d12
+    engine-reproducibility convention), so the DuckDB oracle replays
+    the ENTIRE pipeline — shingling, per-bit votes, sign bits, chunk
+    join, Hamming filter — value-exactly (promoted from rows-only,
+    VERDICT r6 #8; it was the only rows-only key with no fundamental
+    blocker). The xxhash64 64-bit mode remains the default scale
+    path; both are deterministic, the pigeonhole recall argument is
+    identical."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 @query(
