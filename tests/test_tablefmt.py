@@ -1446,3 +1446,151 @@ def test_consume_snapshot_changes_batches_and_cursor(spark, tmp_path):
                      stats_cols=["id"])
     consume_snapshot_changes(spark, src, proc, cursor)
     assert seen == [(3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# UPDATE / RESTORE / as-of-timestamp (r7 completions)
+# ---------------------------------------------------------------------------
+
+def test_update_rows_and_change_feed(spark, tmp_path):
+    """CoW UPDATE: matched rows get set_exprs, others carry verbatim;
+    the change feed records delete-preimage + insert-postimage; the
+    match flag is evaluated on PRE-update values (the bal<100 +100
+    trap)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 150.0), (3, 99.0), (4, None)],
+        "id long, bal double",
+    )
+    T.snapshot_write(spark, df, path, stats_cols=["id"])
+    T.snapshot_update(
+        spark, path, {"bal": "bal + 100"}, predicate="bal < 100"
+    )
+    got = {r.id: r.bal for r in T.snapshot_read(spark, path).collect()}
+    # NULL predicate keeps the row unchanged (SQL semantics)
+    assert got == {1: 150.0, 2: 150.0, 3: 199.0, 4: None}
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    rows = sorted((r.id, r.bal, r._change_type) for r in chg.collect())
+    assert rows == [
+        (1, 50.0, "delete"), (1, 150.0, "insert"),
+        (3, 99.0, "delete"), (3, 199.0, "insert"),
+    ]
+
+
+def test_update_prunes_and_validates(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_merge(spark, base, path, keys=["id"])
+    m0 = T.read_manifest(path)
+    T.snapshot_update(
+        spark, path, {"val": "upper(val)"},
+        predicate="id between 3 and 9", prune_bounds={"id": (3, 9)},
+    )
+    m1 = T.read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried) >= 6
+    got = {r.id: r.val for r in T.snapshot_read(spark, path).collect()}
+    assert got[5] == "V5" and got[500] == "v500"
+    with pytest.raises(ValueError, match="not in the table schema"):
+        T.snapshot_update(spark, path, {"nope": "1"}, predicate="id = 1")
+    with pytest.raises(ValueError, match="at least one column"):
+        T.snapshot_update(spark, path, {}, predicate="id = 1")
+    # txn replay is a no-op
+    v = T.snapshot_update(
+        spark, path, {"val": "'x'"}, predicate="id = 0",
+        txn_app="fix", txn_version=1,
+    )
+    assert T.snapshot_update(
+        spark, path, {"val": "'y'"}, predicate="id = 0",
+        txn_app="fix", txn_version=1,
+    ) == v
+    assert {r.val for r in T.snapshot_read(spark, path)
+            .filter(F.col("id") == 0).collect()} == {"x"}
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(i,) for i in range(9)], "id long"),
+    )  # oops: deleted almost everything
+    assert T.snapshot_read(spark, path).count() == 1
+    v = T.snapshot_restore(path, 0)
+    assert v == 2  # a NEW commit, not a pointer rewind
+    assert _rows(T.snapshot_read(spark, path)) == _rows(_mk(spark, range(10)))
+    # the bad version stays readable for forensics
+    assert T.snapshot_read(spark, path, version=1).count() == 1
+    # restore-to-current is a no-op
+    assert T.snapshot_restore(path, 2) == 2
+    # CDF synthesizes the restore delta file-level exactly
+    chg = T.read_snapshot_changes(spark, path, since_version=1, net=True)
+    assert sorted(r.id for r in chg.collect() if r._change_type == "insert") \
+        == list(range(9))
+
+
+def test_restore_sharded_is_metadata_only(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(T, "_INLINE_MAX_FILES", 4)
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, _mk(spark, range(100)).repartition(8), path, stats_cols=["id"]
+    )
+    m0 = T.read_manifest(path)
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(1,)], "id long"),
+    )
+    T.snapshot_restore(path, 0)
+    m2 = T.read_manifest(path)
+    assert {s["path"] for s in m2["segments"]} == {
+        s["path"] for s in m0["segments"]
+    }  # pure reference re-publish, zero data movement
+    assert T.snapshot_read(spark, path).count() == 100
+
+
+def test_version_as_of_timestamp(spark, tmp_path):
+    import datetime as dt
+    import time
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    t0 = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.05)
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    t1 = dt.datetime.now(dt.timezone.utc)
+    assert T.snapshot_version_as_of(path, t0) == 0
+    assert T.snapshot_version_as_of(path, t1) == 1
+    assert T.snapshot_read(
+        spark, path, version=T.snapshot_version_as_of(path, t0)
+    ).count() == 3
+    with pytest.raises(ValueError, match="at or before"):
+        T.snapshot_version_as_of(path, t0 - dt.timedelta(days=1))
+
+
+def test_streaming_write_to_cdf_replica_loop(spark, tmp_path):
+    """The full loop: a stream MERGES into a source table with CDF
+    recording on, and the replica consumer rebuilds an identical
+    table purely from the change feed — streaming write -> storage ->
+    streaming read, exactly-once on both sides."""
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        read_events_stream,
+        streaming_snapshot_merge,
+        streaming_snapshot_replica,
+    )
+
+    src_table = str(tmp_path / "src")
+    dst_table = str(tmp_path / "dst")
+    q = streaming_snapshot_merge(
+        read_events_stream(spark, "/root/testdata/sf0.001/events.parquet"),
+        src_table, ["event_id"],
+        checkpoint=str(tmp_path / "ck"),
+        change_feed=True,
+    )
+    q.awaitTermination()
+    streaming_snapshot_replica(
+        spark, src_table, dst_table, ["event_id"],
+        cursor_path=str(tmp_path / "cursor"),
+    )
+    assert _rows(T.snapshot_read(spark, dst_table)) == _rows(
+        T.snapshot_read(spark, src_table)
+    )

@@ -275,6 +275,7 @@ def streaming_snapshot_merge(
     txn_app: str = "streaming_snapshot_merge",
     checkpoint: str | None = None,
     trigger: dict | None = None,
+    change_feed: bool = False,
 ) -> StreamingQuery:
     """EXACTLY-ONCE streaming upsert into a :mod:`..tablefmt`
     snapshot table: each micro-batch is one versioned, atomically
@@ -305,6 +306,12 @@ def streaming_snapshot_merge(
     (e.g. ``{"processingTime": "10 seconds"}`` for a long-lived
     stream); the default ``None`` → AvailableNow, the scheduled-tick
     cadence (reference: the 12-h batch schedule, R2).
+
+    ``change_feed=True`` records row-level change files per
+    micro-batch commit, so a downstream
+    :func:`streaming_snapshot_replica`/:func:`consume_snapshot_changes`
+    consumer gets exact deltas — the full streaming write → CDF →
+    read loop through the storage layer.
     """
     from .. import tablefmt as TF
 
@@ -316,6 +323,7 @@ def streaming_snapshot_merge(
             keys=keys,
             txn_app=txn_app,
             txn_version=int(epoch_id),
+            change_feed=change_feed,
         )
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(

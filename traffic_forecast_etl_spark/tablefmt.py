@@ -566,6 +566,10 @@ def _commit(
         "version": version,
         "parent": parent,
         "op": op,
+        # commit wall-clock (UTC micros) — powers as-of-timestamp time
+        # travel (snapshot_version_as_of); informational, never used
+        # for correctness decisions
+        "ts": int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1e6),
         "schema": schema_json,
         "txns": txns or {},
         **fileset,
@@ -1272,6 +1276,197 @@ def snapshot_delete(
         release_writer_lease(path, holder)
 
 
+def snapshot_version_as_of(path: str, ts) -> int:
+    """Version visible at wall-clock time ``ts`` (datetime or epoch
+    seconds) — the AS OF TIMESTAMP half of time travel: the newest
+    retained version whose commit time <= ts. Raises if every
+    retained commit is later (expired history or a before-creation
+    timestamp — re-bootstrap from an explicit version)."""
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts_us = int(ts.timestamp() * 1e6)
+    else:
+        ts_us = int(float(ts) * 1e6)
+    best = None
+    for name in sorted(os.listdir(_mdir(path))):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(_mdir(path), name)) as f:
+                m = json.load(f)
+            if m.get("ts") is not None and m["ts"] <= ts_us:
+                best = m["version"] if best is None else max(best, m["version"])
+    if best is None:
+        raise ValueError(
+            f"no retained version of {path} at or before the requested "
+            "timestamp (history expired, or the table did not exist yet)"
+        )
+    return best
+
+
+def snapshot_restore(path: str, version: int) -> int:
+    """Roll the table back to ``version`` AS A NEW COMMIT (the Delta
+    RESTORE concept): the target version's file set and schema are
+    re-published under a new version number — pure metadata, zero
+    data movement (files are immutable and still referenced), and the
+    bad versions stay in history for forensics until expired. The
+    change feed synthesizes restore deltas file-level exactly, like
+    overwrite."""
+    holder = acquire_writer_lease(path)
+    try:
+        parent = current_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        if version == parent:
+            return parent  # restoring to the current version: no-op
+        m_target = read_manifest(path, version)
+        fileset = (
+            {"segments": m_target["segments"]}
+            if "segments" in m_target
+            else {"files": m_target["files"]}
+        )
+        return _commit(
+            path, fileset, "restore", m_target["schema"], parent,
+            _parent_txns(path, parent),
+        )
+    finally:
+        release_writer_lease(path, holder)
+
+
+def snapshot_update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    predicate=None,
+    prune_bounds: dict[str, tuple] | None = None,
+    change_feed: bool = True,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """Row-level UPDATE (copy-on-write): rows matching ``predicate``
+    get ``set_exprs`` (column -> Column or SQL string) applied;
+    everything else is carried verbatim — the rectification dual of
+    :func:`snapshot_delete` (same NULL-keeps-row predicate semantics,
+    same ``prune_bounds`` manifest pruning, same txn replay contract).
+    ``predicate=None`` updates every row (pass it explicitly-None
+    semantics like SQL UPDATE without WHERE). Set columns must
+    already exist with their schema type — UPDATE never evolves the
+    schema. ``change_feed`` records delete-preimage + insert-postimage
+    rows per matched row."""
+    if not set_exprs:
+        raise ValueError("set_exprs must name at least one column")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    holder = acquire_writer_lease(path)
+    try:
+        parent = current_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        txns = _parent_txns(path, parent)
+        if txn_app is not None:
+            if txns.get(txn_app, -1) >= txn_version:
+                return parent
+            txns[txn_app] = txn_version
+        m = read_manifest(path, parent)
+        schema_json = m["schema"]
+        table_schema = StructType.fromJson(json.loads(schema_json))
+        known = {f.name for f in table_schema.fields}
+        unknown = [c for c in set_exprs if c not in known]
+        if unknown:
+            raise ValueError(
+                f"set_exprs name columns not in the table schema: {unknown} "
+                "— UPDATE never evolves the schema"
+            )
+        if prune_bounds:
+            norm: dict[str, tuple] = {}
+            impossible = False
+            for key, (lower, upper) in prune_bounds.items():
+                dtype = _col_type(schema_json, key)
+                lo = _check_bound(lower, dtype, key, "lower")
+                hi = _check_bound(upper, dtype, key, "upper")
+                if lo is not None and hi is not None and lo > hi:
+                    impossible = True
+                    break
+                norm[key] = (lo, hi, dtype)
+            if impossible:
+                candidates = []
+            else:
+                first = next(iter(norm))
+                flo, fhi, fdt = norm[first]
+                candidates = [
+                    e
+                    for e in _candidate_pool(path, m, first, flo, fhi, fdt)
+                    if all(
+                        _touched(e, k, lo, hi, None, dt)
+                        for k, (lo, hi, dt) in norm.items()
+                    )
+                ]
+        else:
+            candidates = manifest_files(path, m, tag_segments=True)
+        changes: list[dict] | None = [] if change_feed else None
+        if candidates:
+            existing = spark.read.schema(table_schema).parquet(
+                *[os.path.join(path, e["path"]) for e in candidates]
+            )
+            if predicate is None:
+                hit = F.lit(True)
+            else:
+                cond = (
+                    F.expr(predicate) if isinstance(predicate, str) else predicate
+                )
+                hit = F.coalesce(cond, F.lit(False))
+            sets = {
+                c: (F.expr(v) if isinstance(v, str) else v)
+                for c, v in set_exprs.items()
+            }
+            # the match flag is computed ONCE against pre-update
+            # values and carried through — re-evaluating the
+            # predicate on updated rows would mis-tag the change feed
+            # (e.g. predicate "bal < 100" with set bal = bal + 100)
+            flagged = existing.withColumn("__hit", hit)
+            out_flagged = flagged.select(
+                *[
+                    (
+                        F.when(F.col("__hit"), sets[f.name].cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in sets
+                        else F.col(f.name)
+                    )
+                    for f in table_schema.fields
+                ],
+                "__hit",
+            )
+            out = out_flagged.drop("__hit")
+            stats_cols = list(candidates[0].get("stats", {}).keys())
+            fileset = _fileset_for_commit(
+                path,
+                m,
+                {e["path"] for e in candidates},
+                {e["_seg"] for e in candidates if e.get("_seg") is not None},
+                _stage_files(spark, out, path, stats_cols),
+                schema_json,
+            )
+            if change_feed:
+                pre = existing.filter(hit).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                post = (
+                    out_flagged.filter(F.col("__hit"))
+                    .drop("__hit")
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+                changes = _stage_files(
+                    spark, pre.unionByName(post), path, [], subdir=_CHANGES_DIR
+                )
+        else:
+            fileset = _fileset_for_commit(path, m, set(), set(), [], schema_json)
+        return _commit(
+            path, fileset, "update", schema_json, parent, txns, changes=changes
+        )
+    finally:
+        release_writer_lease(path, holder)
+
+
 def read_snapshot_changes(
     spark: SparkSession,
     path: str,
@@ -1353,7 +1548,7 @@ def read_snapshot_changes(
             # snapshot_merge writes both delete-preimages and batch
             # inserts; snapshot_delete writes its deletions (it has
             # no inserts). Nothing is synthesized from data files.
-        elif m["parent"] is None or m["op"] in ("overwrite", "append"):
+        elif m["parent"] is None or m["op"] in ("overwrite", "append", "restore"):
             m_files = manifest_files(path, m)
             parent_entries = (
                 manifest_files(path, read_manifest(path, m["parent"]))
@@ -1369,7 +1564,7 @@ def read_snapshot_changes(
             pieces = []
             if added:
                 pieces.append(_tagged(added, "insert", v))
-            if m["op"] == "overwrite" and m["parent"] is not None:
+            if m["op"] in ("overwrite", "restore") and m["parent"] is not None:
                 cur_files = {e["path"] for e in m_files}
                 dropped = [
                     os.path.join(path, e["path"])
