@@ -4172,6 +4172,69 @@ def st7_snapshot_cdf_replica(spark, sf_dir):
 
 
 @query(
+    "tf1_snapshot_update_cdf",
+    """
+    SELECT s_suppkey, s_name,
+           round(CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END, 2)
+             AS bal,
+           CASE WHEN s_acctbal < 0 THEN 'clamped' ELSE 'kept' END
+             AS status
+    FROM supplier
+    WHERE s_suppkey % 5 <> 0
+    """,
+)
+def tf1_snapshot_update_cdf(spark, sf_dir):
+    """Row-level UPDATE + DELETE through the snapshot table format
+    (r7): suppliers land in a snapshot table, negative balances are
+    CLAMPED to zero via copy-on-write ``snapshot_update`` (predicate
+    evaluated on pre-update values), every 5th supplier is deleted,
+    and the result is read back — final state plus a status column
+    derived from the UPDATE's own change feed (clamped = the supplier
+    appears as an update postimage), so the oracle cross-checks both
+    the table contents AND the recorded CDF against from-scratch SQL.
+    """
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf1_upd_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(spark, sup, path, stats_cols=["s_suppkey"])
+        TF.snapshot_update(
+            spark, path, {"s_acctbal": "0.0"}, predicate="s_acctbal < 0"
+        )
+        dels = sup.filter(F.col("s_suppkey") % 5 == 0).select("s_suppkey")
+        TF.snapshot_delete(spark, path, keys=["s_suppkey"], keys_df=dels)
+        updated = (
+            TF.read_snapshot_changes(spark, path, since_version=0, version=1)
+            .filter(F.col("_change_type") == "insert")
+            .select(F.col("s_suppkey").alias("__uk"))
+            .distinct()
+        )
+        out = (
+            TF.snapshot_read(spark, path)
+            .join(updated, F.col("s_suppkey") == F.col("__uk"), "left")
+            .select(
+                "s_suppkey",
+                "s_name",
+                F.round("s_acctbal", 2).alias("bal"),
+                F.when(F.col("__uk").isNotNull(), F.lit("clamped"))
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "j11_edit_distance_join",
     """
     WITH names AS (
@@ -4816,23 +4879,34 @@ def c12_dsir_resample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 6 rotation (VERDICT r5 #6): lead with the keys whose CODE
-    # changed this round — c11/c12 (NEW: DSIR importance resampling),
-    # t18/t19 (hybrid BPE trainer), c9 (string-id split fix), c10
-    # (broadcast-hint fix), g1 (driver-path schema inheritance), d2/d6/c1
-    # (inherit the connected-components change on their CC branch) —
-    # then the stalest evidence: a10/d3/d9/m2/m3 and the streaming
-    # family, whose latest green driver row predates round 5; the rest
-    # keep their r5 relative order.
-    "c11_dsir_weights", "c12_dsir_resample", "t18_bpe_pair_freq",
-    "t19_bpe_train", "c9_leakage_safe_split", "c10_blocklist_filter",
-    "g1_connected_components", "d2_minhash_lsh", "d6_near_dedup_filter",
-    "c1_curate_corpus", "a10_approx_distinct", "d3_simhash_pairs",
+    # round 7 rotation (VERDICT r6 #7): lead with the r7-touched keys —
+    # tf1 (NEW: snapshot UPDATE + delete + CDF cross-check), st7 (NEW:
+    # streaming CDF replica), s6 (NEW: IVF-PQ), d3 (promoted to a
+    # value-verified md5-mode oracle), t19/t18 (bpe.py byte-budget +
+    # model-validation edits) — then the stalest evidence: the whole
+    # q-family and w-family, whose latest green driver rows predate
+    # round 5; the rest keep their r6 relative order.
+    "tf1_snapshot_update_cdf", "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",
+    "d3_simhash_pairs", "t19_bpe_train", "t18_bpe_pair_freq",
+    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
+    "q17_below_avg_parts", "q18_large_orders", "q21_waiting_supplier",
+    "q22_dormant_customers", "q4_order_priority", "w1_rolling_avg",
+    "w2_topk_per_group", "w3_lag_delta", "w4_cumsum", "q2_min_cost_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "w14_seasonal_anomaly",
+    "w13_resample_interpolate", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_volume", "q6_forecast_revenue", "w5_tumbling_window",
+    "w7_sessionize", "w12_zscore_anomaly", "w6_sliding_window", "w8_funnel",
+    "w9_rank_family", "w10_cohort_retention", "w11_time_range_rolling",
+    "c11_dsir_weights", "c12_dsir_resample", "c9_leakage_safe_split",
+    "c10_blocklist_filter", "g1_connected_components", "d2_minhash_lsh",
+    "d6_near_dedup_filter", "c1_curate_corpus", "a10_approx_distinct",
     "d9_incremental_near_dup", "m2_frame_sample", "m3_resize",
     "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
     "st4_stream_stream_join", "st5_stream_static_enrich",
-    "st6_rollup_maintenance", "st7_snapshot_cdf_replica",
-    "t14_gopher_rules", "d15_semantic_dedup",
+    "st6_rollup_maintenance", "t14_gopher_rules", "d15_semantic_dedup",
     "c7_embedding_decontaminate", "t13_unigram_logprob",
     "t15_bigram_logprob", "j11_edit_distance_join", "t16_corpus_dup_ngrams",
     "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
@@ -4842,31 +4916,18 @@ _SWEEP_PRIORITY = [
     "f2_multiformat_date", "f4_calendar", "f6_unit_conversion",
     "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
     "p_const_first_row", "p_project_filter", "p_rename_replace_cast",
-    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
-    "q17_below_avg_parts", "q18_large_orders", "q21_waiting_supplier",
-    "q22_dormant_customers", "q4_order_priority", "w1_rolling_avg",
-    "w2_topk_per_group", "w3_lag_delta", "w4_cumsum", "d1_exact_dedup",
-    "d4_ngram_jaccard", "d8_incremental_dedup", "q2_min_cost_supplier",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_count", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers", "j9_asof_nearest", "j10_interval_overlap",
-    "a15_equi_width_histogram", "a16_mode_per_group", "w14_seasonal_anomaly",
-    "c6_adaptive_quality_gate", "d10_table_diff", "d12_epoch_shuffle",
-    "m1_media_features", "f14_array_ops", "j6_asof_join",
-    "w13_resample_interpolate", "d13_segment_dedup", "d14_duplicate_spans",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q6_forecast_revenue", "j1_composite_key_join", "j2_fk_lookup",
-    "j3_semi_membership", "j4_anti_join", "j5_range_join",
-    "j7_null_safe_join", "j8_full_outer", "a1_group_avg",
-    "a2_minmax_normalize", "a3_profile", "a4_cube", "a9_rollup",
-    "w5_tumbling_window", "w7_sessionize", "w12_zscore_anomaly",
-    "a14_linear_trend", "s1_cosine_topk", "s4_quantize_embeddings",
-    "t1_token_stats", "c2_decontaminate", "d7_stratified_sample",
-    "w6_sliding_window", "w8_funnel", "w9_rank_family",
-    "w10_cohort_retention", "w11_time_range_rolling", "d5_embedding_neardup",
+    "d1_exact_dedup", "d4_ngram_jaccard", "d8_incremental_dedup",
+    "j9_asof_nearest", "j10_interval_overlap", "a15_equi_width_histogram",
+    "a16_mode_per_group", "c6_adaptive_quality_gate", "d10_table_diff",
+    "d12_epoch_shuffle", "m1_media_features", "f14_array_ops",
+    "j6_asof_join", "d13_segment_dedup", "d14_duplicate_spans",
+    "j1_composite_key_join", "j2_fk_lookup", "j3_semi_membership",
+    "j4_anti_join", "j5_range_join", "j7_null_safe_join", "j8_full_outer",
+    "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
+    "a9_rollup", "a14_linear_trend", "s1_cosine_topk",
+    "s4_quantize_embeddings", "t1_token_stats", "c2_decontaminate",
+    "d7_stratified_sample", "d5_embedding_neardup",
     "d11_embedding_neardup_lsh", "s2_lsh_ann", "s3_ivf_ann",
-    "s6_ivf_pq_ann",
     "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
     "t2_quality_score", "t3_lang_id", "t4_fingerprint", "t5_bpe_tokens",
     "t6_winnow_fingerprint", "t7_tfidf_topterms", "t8_redact_pii",
