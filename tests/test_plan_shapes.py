@@ -181,7 +181,8 @@ _CARTESIAN_OK = {
     # broadcast query-side × corpus is the documented exact baseline
     "s1_cosine_topk",
     # |queries| × n_centroids shortlist — bounded by centroid count
-    "s3_ivf_ann", "s2_lsh_ann",
+    # (s6 = the same routing shape, scored from PQ codes)
+    "s3_ivf_ann", "s2_lsh_ann", "s6_ivf_pq_ann",
     # blocked all-pairs cosine is O(n²) BY CONTRACT (oracle baseline;
     # guard-railed: auto-sized blocks + >1M-row refusal)
     "d5_embedding_neardup",
