@@ -1594,3 +1594,118 @@ def test_streaming_write_to_cdf_replica_loop(spark, tmp_path):
     assert _rows(T.snapshot_read(spark, dst_table)) == _rows(
         T.snapshot_read(spark, src_table)
     )
+
+
+# ---------------------------------------------------------------------------
+# native Structured Streaming CDF source (PySpark 4 Python Data Source)
+# ---------------------------------------------------------------------------
+
+def _drain_stream(spark, stream, name):
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}")
+
+
+def test_cdf_stream_source_equals_batch_feed(spark, tmp_path):
+    """The native readStream source must deliver exactly the batch
+    read_snapshot_changes rows — recorded merge/delete files AND
+    synthesized first-commit inserts."""
+    from traffic_forecast_etl_spark.streaming.cdf_source import (
+        read_snapshot_changes_stream,
+    )
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    T.snapshot_merge(
+        spark, _mk(spark, [3, 77], "u"), path, keys=["id"], change_feed=True
+    )
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(5,)], "id long"),
+    )
+    got = _rows(_drain_stream(
+        spark, read_snapshot_changes_stream(spark, path), "cdf_eq_batch"
+    ))
+    want = _rows(T.read_snapshot_changes(spark, path, since_version=-1))
+    assert got == want
+
+
+def test_cdf_stream_checkpoint_resumes_at_version_cursor(spark, tmp_path):
+    """Offsets ARE table versions: a restart from the checkpoint must
+    surface ONLY versions committed after the first run."""
+    from traffic_forecast_etl_spark.streaming.cdf_source import (
+        read_snapshot_changes_stream,
+    )
+
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+
+    def run_once():
+        q = (
+            read_snapshot_changes_stream(spark, path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 5
+    T.snapshot_merge(
+        spark, _mk(spark, [1, 9], "u"), path, keys=["id"], change_feed=True
+    )
+    run_once()
+    df = spark.read.parquet(out)
+    assert df.count() == n1 + 3  # delete(1) + insert(1) + insert(9) only
+    assert df.filter(F.col("_commit_version") == 0).count() == 5  # not re-read
+
+
+def test_cdf_stream_starting_version_and_schema_evolution(spark, tmp_path):
+    from traffic_forecast_etl_spark.streaming.cdf_source import (
+        read_snapshot_changes_stream,
+    )
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path, stats_cols=["id"])
+    evolved = spark.createDataFrame(
+        [(50, "x", 1.5)], "id long, val string, score double"
+    )
+    T.snapshot_write(spark, evolved, path, mode="append", merge_schema=True)
+    got = _drain_stream(
+        spark,
+        read_snapshot_changes_stream(spark, path, starting_version=0),
+        "cdf_startv",
+    ).collect()
+    assert [(r.id, r.score, r._change_type) for r in got] == [(50, 1.5, "insert")]
+    # pre-evolution files null-fill the new column through the source
+    all_rows = _drain_stream(
+        spark, read_snapshot_changes_stream(spark, path), "cdf_evol"
+    ).collect()
+    assert {r.score for r in all_rows if r.id < 3} == {None}
+
+
+def test_cdf_stream_unrecorded_merge_fails_loudly(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from traffic_forecast_etl_spark.streaming.cdf_source import (
+        read_snapshot_changes_stream,
+    )
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path, stats_cols=["id"])
+    T.snapshot_merge(spark, _mk(spark, [1], "u"), path, keys=["id"])  # no CDF
+    q = (
+        read_snapshot_changes_stream(spark, path)
+        .writeStream.format("memory").queryName("cdf_fail")
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="no recorded change feed"):
+        q.awaitTermination()

@@ -4172,6 +4172,62 @@ def st7_snapshot_cdf_replica(spark, sf_dir):
 
 
 @query(
+    "st8_native_cdf_stream",
+    """
+    SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def st8_native_cdf_stream(spark, sf_dir):
+    """Native Structured Streaming change-feed SOURCE (PySpark 4
+    Python Data Source API, streaming/cdf_source.py): offsets are
+    table versions, planning is driver-side manifest arithmetic,
+    reading is one pyarrow partition per change/data file on
+    executors. A customer-backed snapshot table takes a full write
+    (synthesized inserts) and a CDF-recorded keyed delete; the
+    readStream drains through a memory sink and the per-change-type
+    counts must equal the from-scratch SQL. The streamed ROWS
+    themselves are pinned ≡ batch read_snapshot_changes in
+    test_tablefmt (value-exact); this entry keeps the native source
+    under the driver's oracle gate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .. import tablefmt as TF
+    from ..streaming.cdf_source import read_snapshot_changes_stream
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    tmp = tempfile.mkdtemp(prefix="st8_cdf_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(spark, cust, path, stats_cols=["c_custkey"])
+        dels = cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+        TF.snapshot_delete(spark, path, keys=["c_custkey"], keys_df=dels)
+        sink = f"st8_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            read_snapshot_changes_stream(spark, path)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(sink)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "tf1_snapshot_update_cdf",
     """
     SELECT s_suppkey, s_name,
@@ -4886,7 +4942,8 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
-    "tf1_snapshot_update_cdf", "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",
+    "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
+    "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",
     "d3_simhash_pairs", "t19_bpe_train", "t18_bpe_pair_freq",
     "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
     "q17_below_avg_parts", "q18_large_orders", "q21_waiting_supplier",
