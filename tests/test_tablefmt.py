@@ -1709,3 +1709,146 @@ def test_cdf_stream_unrecorded_merge_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="no recorded change feed"):
         q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (r7 — the Iceberg v2 delete-file concept)
+# ---------------------------------------------------------------------------
+
+def test_mor_delete_touches_no_data_files(spark, tmp_path):
+    """The point of MoR: a keyed delete writes ONE small delete file
+    and carries every data file by name — zero rewrites — yet reads
+    exclude the keys; time travel still shows them."""
+    path = str(tmp_path / "t")
+    base = _mk(spark, range(1000)).repartitionByRange(8, "id")
+    T.snapshot_write(spark, base, path, stats_cols=["id"])
+    m0 = T.read_manifest(path)
+    dels = spark.createDataFrame([(3,), (500,), (999,)], "id long")
+    T.snapshot_delete(
+        spark, path, keys=["id"], keys_df=dels, mode="mor", change_feed=False
+    )
+    m1 = T.read_manifest(path)
+    assert {e["path"] for e in m1["files"]} == {e["path"] for e in m0["files"]}
+    assert len(m1["eq_deletes"]) >= 1
+    got = {r.id for r in T.snapshot_read(spark, path).collect()}
+    assert got == set(range(1000)) - {3, 500, 999}
+    assert T.snapshot_read(spark, path, version=0).count() == 1000
+    # scans apply the deletes too, still ≡ read+filter
+    scan = {r.id for r in T.snapshot_scan(spark, path, "id", 0, 10).collect()}
+    assert scan == set(range(11)) - {3}
+
+
+def test_mor_reinsert_after_delete_is_visible(spark, tmp_path):
+    """Sequencing rule: a key re-inserted AFTER its equality delete
+    must be visible (the delete applies only to older files)."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(5,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    assert 5 not in {r.id for r in T.snapshot_read(spark, path).collect()}
+    T.snapshot_merge(spark, _mk(spark, [5], "re"), path, keys=["id"])
+    got = {r.id: r.val for r in T.snapshot_read(spark, path).collect()}
+    assert got[5] == "re5"
+    assert len(got) == 10
+
+
+def test_mor_merge_does_not_resurrect_and_compact_materializes(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, _mk(spark, range(100)).repartition(6), path, stats_cols=["id"]
+    )
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(7,), (8,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    # a merge rewriting the files that HELD 7/8 (for other keys) must
+    # not bring them back
+    T.snapshot_merge(spark, _mk(spark, [6, 9], "u"), path, keys=["id"])
+    got = {r.id for r in T.snapshot_read(spark, path).collect()}
+    assert 7 not in got and 8 not in got and len(got) == 98
+    # compaction rewrites everything -> deletes materialized + retired
+    T.snapshot_compact(spark, path, target_bytes=1 << 20)
+    m = T.read_manifest(path)
+    assert not m.get("eq_deletes"), m.get("eq_deletes")
+    got2 = {r.id for r in T.snapshot_read(spark, path).collect()}
+    assert got2 == got
+
+
+def test_mor_change_feed_records_removed_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(2,), (4,)], "id long"),
+        mode="mor",  # change_feed defaults on
+    )
+    chg = T.read_snapshot_changes(spark, path, since_version=0)
+    rows = sorted((r.id, r.val, r._change_type) for r in chg.collect())
+    assert rows == [(2, "v2", "delete"), (4, "v4", "delete")]
+
+
+def test_mor_validation_and_gc(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    with pytest.raises(ValueError, match="equality deletes"):
+        T.snapshot_delete(spark, path, predicate="id = 1", mode="mor")
+    with pytest.raises(ValueError, match="cow\\|mor"):
+        T.snapshot_delete(
+            spark, path, keys=["id"],
+            keys_df=spark.createDataFrame([(1,)], "id long"), mode="lazy",
+        )
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(1,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    del_dir = os.path.join(path, "_deletes")
+    assert len(os.listdir(del_dir)) > 0
+    # referenced delete files survive vacuum
+    removed = T.vacuum(path)
+    assert not any(p.startswith("_deletes/") for p in removed)
+    # overwrite drops the deletes; expire retires the old version and
+    # its delete file is GC'd
+    T.snapshot_write(spark, _mk(spark, range(3), "w"), path)
+    T.snapshot_write(spark, _mk(spark, range(3), "x"), path)
+    T.snapshot_expire(path, keep_last=2)
+    assert all(
+        not n.endswith(".parquet") for n in os.listdir(del_dir)
+    )
+
+
+def test_mor_native_stream_synthesis_excludes_masked_rows(spark, tmp_path):
+    """Overwrite-delta synthesis through the NATIVE streaming source:
+    the parent's 'delete' rows must exclude keys already masked by a
+    merge-on-read delete (9 visible rows, not 10)."""
+    from traffic_forecast_etl_spark.streaming.cdf_source import (
+        read_snapshot_changes_stream,
+    )
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(3,)], "id long"),
+        mode="mor",
+    )
+    T.snapshot_write(spark, _mk(spark, [77], "w"), path)  # overwrite
+    got = _drain_stream(
+        spark,
+        read_snapshot_changes_stream(spark, path, starting_version=1),
+        "cdf_mor_syn",
+    ).collect()
+    dels = sorted(r.id for r in got if r._change_type == "delete")
+    assert dels == [0, 1, 2, 4, 5, 6, 7, 8, 9]  # 3 masked, not resurfaced
+    assert [r.id for r in got if r._change_type == "insert"] == [77]
+    # and the batch feed agrees
+    batch = T.read_snapshot_changes(spark, path, since_version=1)
+    assert sorted(
+        r.id for r in batch.collect() if r._change_type == "delete"
+    ) == dels

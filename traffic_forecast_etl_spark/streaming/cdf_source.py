@@ -65,26 +65,70 @@ def _oldest_version(path: str) -> int:
     return min(versions)
 
 
-def _files_of(path: str, m: dict) -> list[str]:
-    """Relative data-file paths of a manifest (inline or sharded)."""
+def _entries_of(path: str, m: dict) -> list[dict]:
+    """Data-file entries of a manifest (inline or sharded)."""
     if "segments" in m:
-        out: list[str] = []
+        out: list[dict] = []
         for seg in m["segments"]:
             with open(os.path.join(path, "_manifests", seg["path"])) as f:
-                out.extend(e["path"] for e in json.load(f)["files"])
+                out.extend(json.load(f)["files"])
         return out
-    return [e["path"] for e in m["files"]]
+    return list(m["files"])
+
+
+_MAX_EMBEDDED_DELETE_KEYS = 100_000
+
+
+def _delete_filters(path: str, m: dict, file_seq: int) -> list[tuple]:
+    """(key_cols, key_tuple_set) filters for the equality-delete files
+    that apply to a data file of sequence ``file_seq`` under the
+    merge-on-read sequencing rule. Keys are loaded driver-side with
+    pyarrow and EMBEDDED in the partition (delete files are key-only
+    and small by design); a feed whose pending deletes exceed the
+    embed cap should be consumed through the batch
+    read_snapshot_changes / foreachBatch path instead."""
+    import pyarrow.parquet as pq
+
+    appl = [
+        d for d in (m.get("eq_deletes") or []) if d["seq"] > file_seq
+    ]
+    if not appl:
+        return []
+    total = sum(d["rows"] for d in appl)
+    if total > _MAX_EMBEDDED_DELETE_KEYS:
+        raise ValueError(
+            f"{total} pending merge-on-read delete keys exceed the "
+            f"streaming source's embed cap ({_MAX_EMBEDDED_DELETE_KEYS}) — "
+            "compact the table to materialize them, or consume via "
+            "tablefmt.read_snapshot_changes / consume_snapshot_changes"
+        )
+    by_keys: dict[tuple, set] = {}
+    for d in appl:
+        cols = tuple(d["keys"])
+        tbl = pq.read_table(os.path.join(path, d["path"]), columns=list(cols))
+        rows = zip(*(tbl.column(c).to_pylist() for c in cols))
+        by_keys.setdefault(cols, set()).update(rows)
+    return [(cols, keys) for cols, keys in by_keys.items()]
 
 
 class _ChangeFilePartition(InputPartition):
     """One parquet file to read on an executor: either a recorded
     change file (carries its own _change_type column) or a data file
-    synthesized with a constant change type."""
+    synthesized with a constant change type. ``del_filters`` carries
+    the applicable merge-on-read delete-key sets (empty for recorded
+    change files — those are exact rows already)."""
 
-    def __init__(self, abs_path: str, change_type: str | None, version: int):
+    def __init__(
+        self,
+        abs_path: str,
+        change_type: str | None,
+        version: int,
+        del_filters: list[tuple] | None = None,
+    ):
         self.abs_path = abs_path
         self.change_type = change_type
         self.version = version
+        self.del_filters = del_filters or []
 
 
 class SnapshotChangesStreamReader(DataSourceStreamReader):
@@ -124,27 +168,32 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 )
                 continue
             if m["parent"] is None or op in ("overwrite", "append", "restore"):
-                cur = _files_of(self._path, m)
-                parent_files: list[str] = []
+                cur = _entries_of(self._path, m)
+                parent_entries: list[dict] = []
+                m_par = None
                 if m["parent"] is not None:
-                    parent_files = _files_of(
-                        self._path, _manifest(self._path, m["parent"])
-                    )
-                pset, cset = set(parent_files), set(cur)
+                    m_par = _manifest(self._path, m["parent"])
+                    parent_entries = _entries_of(self._path, m_par)
+                pset = {e["path"] for e in parent_entries}
+                cset = {e["path"] for e in cur}
                 parts.extend(
                     _ChangeFilePartition(
-                        os.path.join(self._path, p), "insert", v
+                        os.path.join(self._path, e["path"]), "insert", v,
+                        _delete_filters(self._path, m, e.get("seq", 0)),
                     )
-                    for p in cur
-                    if p not in pset
+                    for e in cur
+                    if e["path"] not in pset
                 )
-                if op in ("overwrite", "restore") and m["parent"] is not None:
+                if op in ("overwrite", "restore") and m_par is not None:
                     parts.extend(
                         _ChangeFilePartition(
-                            os.path.join(self._path, p), "delete", v
+                            os.path.join(self._path, e["path"]), "delete", v,
+                            _delete_filters(
+                                self._path, m_par, e.get("seq", 0)
+                            ),
                         )
-                        for p in parent_files
-                        if p not in cset
+                        for e in parent_entries
+                        if e["path"] not in cset
                     )
                 continue
             raise ValueError(
@@ -170,8 +219,18 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         else:
             ctypes = tbl.column("_change_type").to_pylist()
         ver = [partition.version] * n
-        for row in zip(*cols, ctypes, ver):
-            yield row
+        keep = None
+        if partition.del_filters:
+            col_idx = {c: i for i, c in enumerate(self._data_cols)}
+            keep = [True] * n
+            for key_cols, key_set in partition.del_filters:
+                idxs = [col_idx[c] for c in key_cols]
+                for i in range(n):
+                    if keep[i] and tuple(cols[j][i] for j in idxs) in key_set:
+                        keep[i] = False
+        for i, row in enumerate(zip(*cols, ctypes, ver)):
+            if keep is None or keep[i]:
+                yield row
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint

@@ -92,6 +92,7 @@ from .sinks import acquire_writer_lease, release_writer_lease
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
+_DELETES_DIR = "_deletes"
 # above this many distinct batch keys, prune on the batch's overall
 # [min, max] range instead of the exact sorted-key bisect
 _EXACT_PRUNE_MAX_KEYS = 100_000
@@ -246,7 +247,9 @@ def _seg_stats(entries: list[dict], schema_json: str) -> dict:
 
 def _write_segment(path: str, entries: list[dict], schema_json: str) -> dict:
     """Persist ``entries`` as one immutable segment file; return its
-    manifest-list descriptor."""
+    manifest-list descriptor. ``min_seq`` (lowest member data
+    sequence) lets :func:`_commit` retire equality-delete files
+    without reading segments."""
     name = f"seg-{uuid.uuid4().hex}.json"
     clean = [{k: v for k, v in e.items() if k != "_seg"} for e in entries]
     os.makedirs(_mdir(path), exist_ok=True)
@@ -256,6 +259,7 @@ def _write_segment(path: str, entries: list[dict], schema_json: str) -> dict:
         "n_files": len(clean),
         "n_rows": sum(e["rows"] for e in clean),
         "n_bytes": sum(e["bytes"] for e in clean),
+        "min_seq": min((e.get("seq", 0) for e in clean), default=0),
         "stats": _seg_stats(clean, schema_json),
     }
 
@@ -313,6 +317,56 @@ def manifest_files(path: str, m: dict, tag_segments: bool = False) -> list[dict]
     return out
 
 
+def _visible_read(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    entries: list[dict],
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read data-file ``entries`` with the manifest's equality-delete
+    files applied — the merge-on-read plane. Files group by WHICH
+    deletes apply (a delete file applies only to data files with a
+    lower sequence); each group is one parquet read anti-joined with
+    the applicable delete-key sets. With no eq_deletes this is
+    exactly the plain schema-driven read."""
+    if schema is None:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+    if not entries:
+        return spark.createDataFrame([], schema)
+    eqd = m.get("eq_deletes") or []
+    live = [
+        d for d in eqd
+        if any(e.get("seq", 0) < d["seq"] for e in entries)
+    ]
+    if not live:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, e["path"]) for e in entries]
+        )
+    groups: dict[tuple, list[str]] = {}
+    for e in entries:
+        s = e.get("seq", 0)
+        appl = tuple(i for i, d in enumerate(live) if d["seq"] > s)
+        groups.setdefault(appl, []).append(os.path.join(path, e["path"]))
+    out: DataFrame | None = None
+    for appl, files in groups.items():
+        df = spark.read.schema(schema).parquet(*files)
+        by_keys: dict[tuple, list[dict]] = {}
+        for i in appl:
+            by_keys.setdefault(tuple(live[i]["keys"]), []).append(live[i])
+        for keys, ds in by_keys.items():
+            dels = (
+                spark.read.parquet(
+                    *[os.path.join(path, d["path"]) for d in ds]
+                )
+                .select(*keys)
+                .distinct()
+            )
+            df = df.join(dels, on=list(keys), how="left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _fileset_for_commit(
     path: str,
     m_parent: dict | None,
@@ -333,7 +387,17 @@ def _fileset_for_commit(
     v1→v2 upgrade triggers when the total file count passes
     ``_INLINE_MAX_FILES``; v2 stays sharded (a table that grew once
     will grow again). When the segment list passes ``_MAX_SEGMENTS``,
-    sub-threshold segments consolidate — amortized O(new) commits."""
+    sub-threshold segments consolidate — amortized O(new) commits.
+
+    New entries are stamped with the commit's data SEQUENCE (= the
+    version being created): equality-delete files apply only to data
+    files with a LOWER sequence (the Iceberg v2 sequencing rule), so
+    a key re-inserted after a merge-on-read delete is visible, and a
+    rewrite retires the deletes for the rows it materialized."""
+    new_seq = (m_parent["version"] if m_parent is not None else -1) + 1
+    new_entries = [
+        e if "seq" in e else dict(e, seq=new_seq) for e in new_entries
+    ]
     if m_parent is None or "segments" not in m_parent:
         parent_files = list(m_parent["files"]) if m_parent else []
         survivors = [e for e in parent_files if e["path"] not in removed_paths]
@@ -556,11 +620,25 @@ def _commit(
     parent: int | None,
     txns: dict[str, int] | None = None,
     changes: list[dict] | None = None,
+    eq_deletes: list[dict] | None = None,
 ) -> int:
     """``entries`` is a plain list (inline v1 file list) or a fileset
     dict from :func:`_fileset_for_commit` ({"files": ...} or
-    {"segments": ...})."""
+    {"segments": ...}). ``eq_deletes`` (merge-on-read equality-delete
+    file entries) are pruned before recording: a delete whose
+    sequence is <= every remaining data file's sequence can never
+    apply again (the rows it masked were rewritten) and is retired."""
     fileset = entries if isinstance(entries, dict) else {"files": entries}
+    if eq_deletes:
+        if "segments" in fileset:
+            min_seq = min(
+                (s.get("min_seq", 0) for s in fileset["segments"]), default=0
+            )
+        else:
+            min_seq = min(
+                (e.get("seq", 0) for e in fileset["files"]), default=0
+            )
+        eq_deletes = [d for d in eq_deletes if d["seq"] > min_seq]
     version = (parent if parent is not None else -1) + 1
     manifest = {
         "version": version,
@@ -578,6 +656,8 @@ def _commit(
         # presence of the key (even []) means "row-level change feed
         # RECORDED for this commit"; absence means not recorded
         manifest["changes"] = changes
+    if eq_deletes:
+        manifest["eq_deletes"] = eq_deletes
     target = _manifest_path(path, version)
     if os.path.exists(target):
         raise SnapshotConflictError(
@@ -700,7 +780,12 @@ def snapshot_write(
         fileset = _fileset_for_commit(
             path, m_parent, set(), set(), entries, schema_json
         )
-        return _commit(path, fileset, mode, schema_json, parent, txns)
+        return _commit(
+            path, fileset, mode, schema_json, parent, txns,
+            # append keeps pending merge-on-read deletes in force;
+            # overwrite replaces the table, so they die with it
+            eq_deletes=(m_parent or {}).get("eq_deletes"),
+        )
     finally:
         release_writer_lease(path, holder)
 
@@ -713,15 +798,12 @@ def snapshot_read(
     consistent point-in-time view no concurrent commit can shear —
     the isolation plain-dir parquet readers never get."""
     m = read_manifest(path, version)
-    files = [os.path.join(path, e["path"]) for e in manifest_files(path, m)]
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    if not files:
-        return spark.createDataFrame([], schema)
     # the MANIFEST schema drives the read (not the first footer Spark
     # happens to open): after schema evolution, files written before a
     # column existed null-fill it, and time travel to an old version
-    # reads with THAT version's schema
-    return spark.read.schema(schema).parquet(*files)
+    # reads with THAT version's schema. Merge-on-read equality
+    # deletes, if any, are applied per the sequencing rule.
+    return _visible_read(spark, path, m, manifest_files(path, m))
 
 
 def snapshot_scan_files(
@@ -818,12 +900,7 @@ def snapshot_scan_multi(
                 for k, (lo, hi, dt) in norm.items()
             )
         ]
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    if not admitted:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, e["path"]) for e in admitted]
-    )
+    df = _visible_read(spark, path, m, admitted)
     for key, (lower, upper) in bounds.items():
         if lower is not None:
             df = df.filter(F.col(key) >= F.lit(lower))
@@ -862,12 +939,7 @@ def snapshot_scan(
     dags/utils.py:98-127 DDL + dashboard.pbix consumer).
     """
     m, admitted = snapshot_scan_files(path, key, lower, upper, version)
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    if not admitted:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, e["path"]) for e in admitted]
-    )
+    df = _visible_read(spark, path, m, admitted)
     if lower is not None:
         df = df.filter(F.col(key) >= F.lit(lower))
     if upper is not None:
@@ -895,7 +967,12 @@ def snapshot_incremental(
 
     Reads use the TARGET version's schema (evolution-safe). Requires
     ``since_version`` to still be retained (raises FileNotFoundError
-    after expiry — re-bootstrap from a full ``snapshot_read``)."""
+    after expiry — re-bootstrap from a full ``snapshot_read``).
+
+    Merge-on-read caveat: this is a FILE-level delta, so rows masked
+    by an equality-delete file (snapshot_delete mode='mor') inside
+    the range are not subtracted — consumers of MoR tables should use
+    ``read_snapshot_changes`` (exact row deltas) instead."""
     m_new = read_manifest(path, version)
     if since_version == m_new["version"]:
         return snapshot_read(spark, path, version).limit(0)
@@ -1066,6 +1143,7 @@ def snapshot_merge(
             return _commit(
                 path, carry, "merge", schema_json, parent, txns,
                 changes=[] if change_feed else None,
+                eq_deletes=m.get("eq_deletes"),
             )
         k0_type = _col_type(schema_json, k0)
         sorted_keys = None
@@ -1081,9 +1159,7 @@ def snapshot_merge(
         ]
         removed = None
         if touched:
-            existing = spark.read.schema(table_schema).parquet(
-                *[os.path.join(path, e["path"]) for e in touched]
-            )
+            existing = _visible_read(spark, path, m, touched, schema=table_schema)
             kept = existing.join(deduped.select(keys), on=keys, how="left_anti")
             out = kept.unionByName(deduped, allowMissingColumns=True)
             if change_feed:
@@ -1127,12 +1203,27 @@ def snapshot_delete(
     change_feed: bool = True,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Row-level DELETE (copy-on-write): remove matching rows and
-    commit a new version; non-candidate FILES carry into the new
-    manifest by name — never read, never rewritten. The
-    GDPR/right-to-erasure path every production table format needs
-    (VERDICT r6 #1).
+    """Row-level DELETE: remove matching rows and commit a new
+    version. The GDPR/right-to-erasure path every production table
+    format needs (VERDICT r6 #1).
+
+    ``mode="cow"`` (default, copy-on-write): candidate files are
+    rewritten without the matched rows; non-candidates carry by name.
+    ``mode="mor"`` (merge-on-read, the Iceberg v2 equality-delete
+    concept): the delete keys are written as a small DELETE FILE and
+    NO data file is touched — O(|keys|) commit cost however scattered
+    the keys, the right shape when a keyed delete on a 100 TB table
+    would rewrite thousands of files. Readers apply delete files by
+    anti-join under the SEQUENCING rule (a delete applies only to
+    data files committed before it), so later re-inserts of a deleted
+    key are visible; rewrites (merge/compact) materialize the deletes
+    for the rows they touch, and a delete file retires automatically
+    once no older data file remains. MoR requires the keys_df form
+    (equality deletes); with ``change_feed=True`` the removed rows
+    are still read once to record the feed — pass False for the pure
+    O(|keys|) commit.
 
     Two match modes (exactly one):
 
@@ -1159,10 +1250,17 @@ def snapshot_delete(
     Postgres rows (reference: dags/utils.py:98-127) — deletion is
     table-stakes for the contract tablefmt replaces.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor: {mode}")
     if (keys_df is None) == (predicate is None):
         raise ValueError("pass exactly one of keys_df or predicate")
     if keys_df is not None and not keys:
         raise ValueError("keys_df requires the keys column list")
+    if mode == "mor" and keys_df is None:
+        raise ValueError(
+            "merge-on-read deletes are equality deletes — pass keys_df "
+            "(predicate deletes need the cow mode's rewrite)"
+        )
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
     holder = acquire_writer_lease(path)
@@ -1194,7 +1292,8 @@ def snapshot_delete(
                     path, m, set(), set(), [], schema_json
                 )
                 return _commit(
-                    path, carry, "delete", schema_json, parent, txns
+                    path, carry, "delete", schema_json, parent, txns,
+                    eq_deletes=m.get("eq_deletes"),
                 )
             k0_type = _col_type(schema_json, k0)
             sorted_keys = None
@@ -1209,6 +1308,41 @@ def snapshot_delete(
                 for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
                 if _touched(e, k0, lo, hi, sorted_keys, k0_type)
             ]
+            if mode == "mor":
+                new_version = parent + 1
+                d_staged = _stage_files(
+                    spark, del_keys, path, [], subdir=_DELETES_DIR
+                )
+                d_entries = [
+                    {
+                        "path": e["path"],
+                        "rows": e["rows"],
+                        "bytes": e["bytes"],
+                        "keys": list(keys),
+                        "seq": new_version,
+                    }
+                    for e in d_staged
+                ]
+                changes = None
+                if change_feed:
+                    removed = _visible_read(
+                        spark, path, m, candidates, schema=table_schema
+                    ).join(del_keys, on=keys, how="left_semi")
+                    changes = _stage_files(
+                        spark,
+                        removed.withColumn("_change_type", F.lit("delete")),
+                        path,
+                        [],
+                        subdir=_CHANGES_DIR,
+                    )
+                carry = _fileset_for_commit(
+                    path, m, set(), set(), [], schema_json
+                )
+                return _commit(
+                    path, carry, "delete", schema_json, parent, txns,
+                    changes=changes,
+                    eq_deletes=list(m.get("eq_deletes") or []) + d_entries,
+                )
         else:
             cond = F.expr(predicate) if isinstance(predicate, str) else predicate
             if prune_bounds:
@@ -1240,8 +1374,8 @@ def snapshot_delete(
 
         changes: list[dict] | None = [] if change_feed else None
         if candidates:
-            existing = spark.read.schema(table_schema).parquet(
-                *[os.path.join(path, e["path"]) for e in candidates]
+            existing = _visible_read(
+                spark, path, m, candidates, schema=table_schema
             )
             if keys_df is not None:
                 kept = existing.join(del_keys, on=keys, how="left_anti")
@@ -1270,7 +1404,8 @@ def snapshot_delete(
         else:
             fileset = _fileset_for_commit(path, m, set(), set(), [], schema_json)
         return _commit(
-            path, fileset, "delete", schema_json, parent, txns, changes=changes
+            path, fileset, "delete", schema_json, parent, txns, changes=changes,
+            eq_deletes=m.get("eq_deletes"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1326,7 +1461,7 @@ def snapshot_restore(path: str, version: int) -> int:
         )
         return _commit(
             path, fileset, "restore", m_target["schema"], parent,
-            _parent_txns(path, parent),
+            _parent_txns(path, parent), eq_deletes=m_target.get("eq_deletes"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1404,8 +1539,8 @@ def snapshot_update(
             candidates = manifest_files(path, m, tag_segments=True)
         changes: list[dict] | None = [] if change_feed else None
         if candidates:
-            existing = spark.read.schema(table_schema).parquet(
-                *[os.path.join(path, e["path"]) for e in candidates]
+            existing = _visible_read(
+                spark, path, m, candidates, schema=table_schema
             )
             if predicate is None:
                 hit = F.lit(True)
@@ -1461,7 +1596,8 @@ def snapshot_update(
         else:
             fileset = _fileset_for_commit(path, m, set(), set(), [], schema_json)
         return _commit(
-            path, fileset, "update", schema_json, parent, txns, changes=changes
+            path, fileset, "update", schema_json, parent, txns, changes=changes,
+            eq_deletes=m.get("eq_deletes"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1520,8 +1656,10 @@ def read_snapshot_changes(
     )
     out: DataFrame | None = None
 
-    def _tagged(files: list[str], ctype: str, v: int) -> DataFrame:
-        df = spark.read.schema(schema).parquet(*files)
+    def _tagged(mm: dict, entries: list[dict], ctype: str, v: int) -> DataFrame:
+        # visible rows only: synthesized deltas on a merge-on-read
+        # table must not resurface rows masked by equality deletes
+        df = _visible_read(spark, path, mm, entries, schema=schema)
         return df.withColumn("_change_type", F.lit(ctype)).withColumn(
             "_commit_version", F.lit(v).cast("long")
         )
@@ -1556,23 +1694,18 @@ def read_snapshot_changes(
                 else []
             )
             parent_files = {e["path"] for e in parent_entries}
-            added = [
-                os.path.join(path, e["path"])
-                for e in m_files
-                if e["path"] not in parent_files
-            ]
+            added = [e for e in m_files if e["path"] not in parent_files]
             pieces = []
             if added:
-                pieces.append(_tagged(added, "insert", v))
+                pieces.append(_tagged(m, added, "insert", v))
             if m["op"] in ("overwrite", "restore") and m["parent"] is not None:
+                m_par = read_manifest(path, m["parent"])
                 cur_files = {e["path"] for e in m_files}
                 dropped = [
-                    os.path.join(path, e["path"])
-                    for e in parent_entries
-                    if e["path"] not in cur_files
+                    e for e in parent_entries if e["path"] not in cur_files
                 ]
                 if dropped:
-                    pieces.append(_tagged(dropped, "delete", v))
+                    pieces.append(_tagged(m_par, dropped, "delete", v))
             part = pieces[0] if pieces else None
             for p in pieces[1:]:
                 part = part.unionByName(p)
@@ -1665,8 +1798,12 @@ def snapshot_compact(
         # schema evolution must come out carrying the evolved columns
         table_schema = StructType.fromJson(json.loads(m["schema"]))
         for b in bins:
-            grouped = spark.read.schema(table_schema).parquet(
-                *[os.path.join(path, e["path"]) for e in b]
+            # merge-on-read deletes are MATERIALIZED into the rewrite
+            # (the rewritten files get a new sequence, so the delete
+            # files stop applying to them and retire once no older
+            # file remains — the MoR compaction contract)
+            grouped = _visible_read(
+                spark, path, m, b, schema=table_schema
             ).coalesce(1)
             new_entries += _stage_files(spark, grouped, path, list(stats_cols))
         fileset = _fileset_for_commit(
@@ -1679,7 +1816,7 @@ def snapshot_compact(
         )
         return _commit(
             path, fileset, "compact", m["schema"], parent,
-            _parent_txns(path, parent),
+            _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1703,6 +1840,7 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
         referenced = set()
         chg_referenced = set()
         seg_referenced = set()
+        del_referenced = set()
         for v in keep:
             m = read_manifest(path, v)
             for s in m.get("segments") or []:
@@ -1711,6 +1849,8 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
                 referenced.add(os.path.basename(e["path"]))
             for e in m.get("changes") or []:
                 chg_referenced.add(os.path.basename(e["path"]))
+            for e in m.get("eq_deletes") or []:
+                del_referenced.add(os.path.basename(e["path"]))
         removed = []
         data_dir = os.path.join(path, _DATA_DIR)
         if os.path.isdir(data_dir):
@@ -1724,6 +1864,12 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
                 if name.endswith(".parquet") and name not in chg_referenced:
                     os.remove(os.path.join(chg_dir, name))
                     removed.append(f"{_CHANGES_DIR}/{name}")
+        del_dir = os.path.join(path, _DELETES_DIR)
+        if os.path.isdir(del_dir):
+            for name in sorted(os.listdir(del_dir)):
+                if name.endswith(".parquet") and name not in del_referenced:
+                    os.remove(os.path.join(del_dir, name))
+                    removed.append(f"{_DELETES_DIR}/{name}")
         for v in drop:
             os.remove(_manifest_path(path, v))
         # segment files referenced only by dropped manifests
@@ -1744,6 +1890,7 @@ def vacuum(path: str) -> list[str]:
         referenced = set()
         chg_referenced = set()
         seg_referenced = set()
+        del_referenced = set()
         for name in os.listdir(_mdir(path)):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(_mdir(path), name)) as f:
@@ -1754,6 +1901,8 @@ def vacuum(path: str) -> list[str]:
                     referenced.add(os.path.basename(e["path"]))
                 for e in m.get("changes") or []:
                     chg_referenced.add(os.path.basename(e["path"]))
+                for e in m.get("eq_deletes") or []:
+                    del_referenced.add(os.path.basename(e["path"]))
         removed = []
         for name in sorted(os.listdir(path)):
             if name.startswith("__stage_"):
@@ -1771,6 +1920,12 @@ def vacuum(path: str) -> list[str]:
                 if name.endswith(".parquet") and name not in chg_referenced:
                     os.remove(os.path.join(chg_dir, name))
                     removed.append(f"{_CHANGES_DIR}/{name}")
+        del_dir = os.path.join(path, _DELETES_DIR)
+        if os.path.isdir(del_dir):
+            for name in sorted(os.listdir(del_dir)):
+                if name.endswith(".parquet") and name not in del_referenced:
+                    os.remove(os.path.join(del_dir, name))
+                    removed.append(f"{_DELETES_DIR}/{name}")
         # orphaned segment files (written by a crashed commit)
         for name in sorted(os.listdir(_mdir(path))):
             if name.startswith("seg-") and name not in seg_referenced:
