@@ -1852,3 +1852,358 @@ def test_mor_native_stream_synthesis_excludes_masked_rows(spark, tmp_path):
     assert sorted(
         r.id for r in batch.collect() if r._change_type == "delete"
     ) == dels
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg partition-transform concepts): spec
+# storage, one-tuple-per-file staging, transform-predicate pruning in
+# scans / merges / deletes, replace_partitions dynamic overwrite, and
+# partition-preserving compaction
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, n=400, users=23, days=5):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"u{i % users}",
+                dt.datetime(2024, 3, 1 + (i % days), i % 24, 30),
+                float(i),
+            )
+            for i in range(n)
+        ],
+        "id bigint, user_id string, event_time timestamp, v double",
+    )
+
+
+_SPEC = [("days", "event_time"), ("bucket", "user_id", 8)]
+
+
+def test_partitioned_write_read_parity_and_tuples(spark, tmp_path):
+    """Partitioned content is row-identical to the source, the spec
+    persists in the manifest, and every data file records exactly one
+    partition tuple."""
+    path = str(tmp_path / "t")
+    df = _mk_events(spark)
+    T.snapshot_write(spark, df, path, partition_spec=_SPEC, stats_cols=["id"])
+    assert _rows(T.snapshot_read(spark, path)) == _rows(df)
+    spec = T.snapshot_partition_spec(path)
+    assert [f["transform"] for f in spec] == ["days", "bucket"]
+    ents = T.manifest_files(path, T.read_manifest(path))
+    assert all(
+        e.get("partition") is not None and len(e["partition"]) == 2
+        for e in ents
+    )
+    # 5 days x 8 buckets, every tuple in exactly one file
+    tuples = [tuple(e["partition"]) for e in ents]
+    assert len(tuples) == len(set(tuples))
+    assert len(set(t[0] for t in tuples)) == 5
+    # append inherits the spec; new files carry tuples too
+    T.snapshot_write(spark, df.limit(10), path, mode="append")
+    ents1 = T.manifest_files(path, T.read_manifest(path))
+    assert all(e.get("partition") is not None for e in ents1)
+
+
+def test_partition_scan_pruning_day_and_bucket(spark, tmp_path):
+    """Admitted-file-count pins: a day range admits only that day's
+    files; a point lookup admits exactly one bucket per day; results
+    stay row-identical to read+filter."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = _mk_events(spark)
+    T.snapshot_write(spark, df, path, partition_spec=_SPEC)
+    total = len(T.manifest_files(path, T.read_manifest(path)))
+    lo, hi = dt.datetime(2024, 3, 2, 0), dt.datetime(2024, 3, 2, 23, 59)
+    _, adm = T.snapshot_scan_files(path, "event_time", lo, hi)
+    assert {e["partition"][0] for e in adm} == {"2024-03-02"}
+    assert 0 < len(adm) < total
+    got = T.snapshot_scan(spark, path, "event_time", lo, hi)
+    exp = df.filter((F.col("event_time") >= lo) & (F.col("event_time") <= hi))
+    assert _rows(got) == _rows(exp)
+    # bucket point lookup: one bucket only (range stats on a random
+    # key column could never prune this layout)
+    _, adm2 = T.snapshot_scan_files(path, "user_id", "u7", "u7")
+    assert len({e["partition"][1] for e in adm2}) == 1
+    assert len(adm2) <= total // 8 + 1
+    got2 = T.snapshot_scan(spark, path, "user_id", "u7", "u7")
+    assert _rows(got2) == _rows(df.filter(F.col("user_id") == "u7"))
+    # multi-bound scan intersects both prunes
+    sm = T.snapshot_scan_multi(
+        spark, path, {"event_time": (lo, hi), "user_id": ("u7", "u7")}
+    )
+    assert _rows(sm) == _rows(
+        exp.filter(F.col("user_id") == "u7")
+    )
+
+
+def test_partition_merge_and_delete_prune_by_bucket(spark, tmp_path):
+    """A keyed merge/delete on a bucket-partitioned table touches
+    only files in the keys' buckets — the carried-file-count pin."""
+    path = str(tmp_path / "t")
+    df = _mk_events(spark)
+    T.snapshot_write(spark, df, path, partition_spec=_SPEC)
+    m0 = T.read_manifest(path)
+    files0 = {e["path"] for e in T.manifest_files(path, m0)}
+    batch = spark.createDataFrame(
+        [(99999, "u3", None, 0.0)],
+        "id bigint, user_id string, event_time timestamp, v double",
+    )
+    T.snapshot_merge(spark, batch, path, keys=["user_id"])
+    m1 = T.read_manifest(path)
+    files1 = {e["path"] for e in T.manifest_files(path, m1)}
+    touched = files0 - files1
+    # u3 lives in ONE bucket: at most one file per day was rewritten
+    assert 0 < len(touched) <= 5, len(touched)
+    ents0 = {e["path"]: e for e in T.manifest_files(path, m0)}
+    assert len({ents0[p]["partition"][1] for p in touched}) == 1
+    # keyed delete prunes identically
+    files_pre = files1
+    T.snapshot_delete(
+        spark,
+        path,
+        keys=["user_id"],
+        keys_df=spark.createDataFrame([("u11",)], "user_id string"),
+        change_feed=False,
+    )
+    m2 = T.read_manifest(path)
+    files2 = {e["path"] for e in T.manifest_files(path, m2)}
+    assert 0 < len(files_pre - files2) <= 6
+    assert T.snapshot_read(spark, path).filter("user_id = 'u11'").count() == 0
+
+
+def test_replace_partitions_dynamic_overwrite(spark, tmp_path):
+    """replace_partitions drops exactly the incoming tuples: other
+    buckets of the same day survive, other days untouched BY NAME,
+    and the change feed synthesizes the swap file-exactly."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = _mk_events(spark)
+    T.snapshot_write(spark, df, path, partition_spec=_SPEC)
+    m0 = T.read_manifest(path)
+    newday = spark.createDataFrame(
+        [(9000 + i, "u3", dt.datetime(2024, 3, 2, 12), 1.0) for i in range(4)],
+        "id bigint, user_id string, event_time timestamp, v double",
+    )
+    v = T.snapshot_write(spark, newday, path, mode="replace_partitions")
+    cur = T.snapshot_read(spark, path)
+    # the (day2, bucket(u3)) tuple holds exactly the new rows
+    assert _rows(
+        cur.filter("user_id = 'u3' and event_time >= '2024-03-02' "
+                   "and event_time < '2024-03-03'")
+    ) == _rows(newday)
+    # replacement is at TUPLE granularity: the whole (day-2, bucket
+    # of u3) file is swapped, which also drops OTHER users sharing
+    # that bucket on that day — the documented dynamic-partition-
+    # overwrite semantics. Survivors = rows outside the replaced tuple.
+    from traffic_forecast_etl_spark.tablefmt import _bucket_py
+
+    b3 = _bucket_py("u3", 8)
+    dropped = df.filter(
+        (F.col("event_time") >= "2024-03-02")
+        & (F.col("event_time") < "2024-03-03")
+    ).where(
+        F.conv(F.substring(F.md5(F.col("user_id")), 1, 8), 16, 10)
+        .cast("long") % 8 == b3
+    )
+    assert cur.count() == df.count() - dropped.count() + 4
+    # other days' files carried BY NAME
+    m1 = T.read_manifest(path)
+    ents0 = T.manifest_files(path, m0)
+    ents1 = {e["path"] for e in T.manifest_files(path, m1)}
+    for e in ents0:
+        if e["partition"][0] != "2024-03-02":
+            assert e["path"] in ents1
+    # CDF synthesis: the swap reads as file-level delete+insert
+    chg = T.read_snapshot_changes(spark, path, since_version=v - 1, version=v)
+    kinds = {r["_change_type"] for r in chg.select("_change_type").collect()}
+    assert kinds == {"insert", "delete"}
+    # validation: unpartitioned table refuses the mode
+    p2 = str(tmp_path / "u")
+    T.snapshot_write(spark, df, p2)
+    with pytest.raises(ValueError, match="partitioned"):
+        T.snapshot_write(spark, newday, p2, mode="replace_partitions")
+
+
+def test_partition_compact_preserves_tuples_and_pruning(spark, tmp_path):
+    """Compaction never mixes partition tuples in one file, and scan
+    pruning still holds afterwards."""
+    path = str(tmp_path / "t")
+    df = _mk_events(spark, n=200, users=5, days=3)
+    spec = [("days", "event_time"), ("bucket", "user_id", 4)]
+    T.snapshot_write(spark, df, path, partition_spec=spec)
+    # fragment: three appends
+    for k in range(3):
+        T.snapshot_write(spark, df.limit(30), path, mode="append")
+    before = T.snapshot_read(spark, path)
+    n_before = before.count()
+    T.snapshot_compact(spark, path, target_bytes=1 << 26)
+    ents = T.manifest_files(path, T.read_manifest(path))
+    tuples = [tuple(e["partition"]) for e in ents if e.get("partition")]
+    assert len(tuples) == len(set(tuples)), "compact mixed partition tuples"
+    assert T.snapshot_read(spark, path).count() == n_before
+    _, adm = T.snapshot_scan_files(path, "user_id", "u2", "u2")
+    assert len({e["partition"][1] for e in adm}) == 1
+
+
+def test_partition_null_source_files_prune_exactly(spark, tmp_path):
+    """Rows with a NULL transform source land in their own files;
+    bounded scans PRUNE them (no non-null predicate matches a NULL
+    row) while unbounded reads keep them."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1)), (2, None, dt.datetime(2024, 1, 1)),
+         (3, "b", None)],
+        "id bigint, user_id string, event_time timestamp",
+    )
+    T.snapshot_write(
+        spark, df, path,
+        partition_spec=[("days", "event_time"), ("bucket", "user_id", 4)],
+    )
+    assert T.snapshot_read(spark, path).count() == 3
+    _, adm = T.snapshot_scan_files(
+        path, "event_time", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    )
+    assert all(e["partition"][0] is not None for e in adm)
+    assert T.snapshot_scan(
+        spark, path, "event_time",
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2),
+    ).count() == 2
+    _, adm2 = T.snapshot_scan_files(path, "user_id", "a", "a")
+    assert all(e["partition"][1] is not None for e in adm2)
+
+
+def test_partition_identity_truncate_transforms(spark, tmp_path):
+    """identity and truncate transforms prune exactly, including
+    negative integers (floor-to-width semantics) and string prefixes."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 3}", i - 50) for i in range(100)],
+        "id bigint, label string, delta bigint",
+    )
+    T.snapshot_write(
+        spark, df, path,
+        partition_spec=[("identity", "label"), ("truncate", "delta", 20)],
+    )
+    _, adm = T.snapshot_scan_files(path, "label", "cat1", "cat1")
+    assert {e["partition"][0] for e in adm} == {"cat1"}
+    assert _rows(T.snapshot_scan(spark, path, "label", "cat1", "cat1")) == _rows(
+        df.filter("label = 'cat1'")
+    )
+    # truncate: delta in [-50, 49]; floor(-50/20)*20 = -60
+    _, adm2 = T.snapshot_scan_files(path, "delta", -5, 5)
+    vals = {e["partition"][1] for e in adm2}
+    assert vals <= {-20, 0}, vals
+    assert _rows(T.snapshot_scan(spark, path, "delta", -5, 5)) == _rows(
+        df.filter("delta between -5 and 5")
+    )
+    # string truncate
+    p2 = str(tmp_path / "s")
+    df2 = spark.createDataFrame(
+        [(i, f"{w}-{i}") for i, w in enumerate(["alpha", "beta", "gamma"] * 10)],
+        "id bigint, word string",
+    )
+    T.snapshot_write(spark, df2, p2, partition_spec=[("truncate", "word", 2)])
+    _, adm3 = T.snapshot_scan_files(p2, "word", "beta", "beta-999")
+    assert {e["partition"][0] for e in adm3} == {"be"}
+
+
+def test_partition_spec_validation(spark, tmp_path):
+    """Bad specs raise clearly; appends cannot change the spec."""
+    path = str(tmp_path / "t")
+    df = _mk_events(spark, n=20)
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        T.snapshot_write(spark, df, path, partition_spec=[("zorder", "id")])
+    with pytest.raises(ValueError, match="date/timestamp"):
+        T.snapshot_write(spark, df, path, partition_spec=[("days", "id")])
+    with pytest.raises(ValueError, match="bucket"):
+        T.snapshot_write(spark, df, path, partition_spec=[("bucket", "v", 8)])
+    with pytest.raises(ValueError, match="n >= 2"):
+        T.snapshot_write(spark, df, path, partition_spec=[("bucket", "id", 1)])
+    with pytest.raises(KeyError):
+        T.snapshot_write(spark, df, path, partition_spec=[("identity", "nope")])
+    T.snapshot_write(spark, df, path, partition_spec=_SPEC)
+    with pytest.raises(ValueError, match="cannot change"):
+        T.snapshot_write(
+            spark, df, path, mode="append",
+            partition_spec=[("days", "event_time")],
+        )
+    # passing the SAME spec on append is fine
+    T.snapshot_write(spark, df, path, mode="append", partition_spec=_SPEC)
+
+
+def test_partition_sharded_manifest_pruning(spark, tmp_path, monkeypatch):
+    """Partition tuples survive the v2 manifest-list shard format:
+    sharded pruning ≡ inline pruning, and replace_partitions rewrites
+    only affected segments."""
+    monkeypatch.setattr(T, "_INLINE_MAX_FILES", 8)
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = _mk_events(spark, n=300, users=11, days=4)
+    T.snapshot_write(spark, df, path, partition_spec=_SPEC)
+    m = T.read_manifest(path)
+    assert "segments" in m
+    ents = T.manifest_files(path, m)
+    assert all(e.get("partition") is not None for e in ents)
+    lo, hi = dt.datetime(2024, 3, 3, 0), dt.datetime(2024, 3, 3, 23, 59)
+    _, adm = T.snapshot_scan_files(path, "event_time", lo, hi)
+    assert {e["partition"][0] for e in adm} == {"2024-03-03"}
+    got = T.snapshot_scan(spark, path, "event_time", lo, hi)
+    exp = df.filter((F.col("event_time") >= lo) & (F.col("event_time") <= hi))
+    assert _rows(got) == _rows(exp)
+
+
+# ---------------------------------------------------------------------------
+# tags (Iceberg named-ref concept): read-by-tag, immutability, expire
+# retention
+# ---------------------------------------------------------------------------
+
+def test_tag_read_and_immutability(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    T.snapshot_write(spark, _mk(spark, range(9), "w"), path)
+    T.snapshot_tag(path, "train-2024-08", version=0)
+    assert T.snapshot_ref_version(path, "train-2024-08") == 0
+    assert _rows(T.snapshot_read(spark, path, ref="train-2024-08")) == _rows(
+        _mk(spark, range(5))
+    )
+    # default tag = current version
+    assert T.snapshot_tag(path, "head") == 1
+    with pytest.raises(ValueError, match="already names"):
+        T.snapshot_tag(path, "train-2024-08", version=1)
+    T.snapshot_tag(path, "train-2024-08", version=1, replace=True)
+    assert T.snapshot_ref_version(path, "train-2024-08") == 1
+    with pytest.raises(ValueError, match="not both"):
+        T.snapshot_read(spark, path, version=0, ref="head")
+    with pytest.raises(KeyError):
+        T.snapshot_ref_version(path, "nope")
+    T.snapshot_untag(path, "head")
+    with pytest.raises(KeyError):
+        T.snapshot_read(spark, path, ref="head")
+
+
+def test_tagged_version_survives_expire(spark, tmp_path):
+    """Expire keeps tagged manifests AND their data files however
+    old; untagging releases them to the next expire."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(4)), path)  # v0
+    T.snapshot_tag(path, "pin", version=0)
+    for k in range(1, 5):
+        T.snapshot_write(spark, _mk(spark, range(4), f"x{k}"), path)
+    T.snapshot_expire(path, keep_last=2)
+    # v0 retained by tag; v1..v2 gone
+    assert _rows(T.snapshot_read(spark, path, ref="pin")) == _rows(
+        _mk(spark, range(4))
+    )
+    with pytest.raises(FileNotFoundError):
+        T.read_manifest(path, 1)
+    T.snapshot_untag(path, "pin")
+    T.snapshot_expire(path, keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        T.read_manifest(path, 0)

@@ -4291,6 +4291,74 @@ def tf1_snapshot_update_cdf(spark, sf_dir):
 
 
 @query(
+    "tf2_partitioned_table",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+                          THEN value * 2 ELSE value END), 2) AS sum_v
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-16 23:59:59.999999'
+    GROUP BY 1, 2
+    """,
+)
+def tf2_partitioned_table(spark, sf_dir):
+    """Hidden partitioning end-to-end (r7): events land in a snapshot
+    table partitioned by days(ts) x bucket(user_id, 8) — the Iceberg
+    partition-transform concept on tablefmt — then day 2024-01-15 is
+    re-stated with doubled values via ``replace_partitions`` (dynamic
+    partition overwrite: O(touched tuples) commit, every other file
+    carried by name), and a 3-day ``snapshot_scan`` reads back the
+    result. Partition pruning admits only the 3 days' files (pytest
+    pins the admitted-file counts; here the oracle value-verifies the
+    whole write -> replace -> pruned-read loop against from-scratch
+    SQL over the raw parquet)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf2_part_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(
+            spark, ev, path,
+            partition_spec=[("days", "ts"), ("bucket", "user_id", 8)],
+            stats_cols=["event_id"],
+        )
+        day15 = ev.filter(
+            (F.col("ts") >= dt.datetime(2024, 1, 15))
+            & (F.col("ts") < dt.datetime(2024, 1, 16))
+        ).withColumn("value", F.col("value") * 2)
+        TF.snapshot_write(spark, day15, path, mode="replace_partitions")
+        out = (
+            TF.snapshot_scan(
+                spark, path, "ts",
+                dt.datetime(2024, 1, 14),
+                dt.datetime(2024, 1, 16, 23, 59, 59, 999999),
+            )
+            .groupBy(
+                F.to_date("ts").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "j11_edit_distance_join",
     """
     WITH names AS (
@@ -4942,6 +5010,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
+    "tf2_partitioned_table",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
     "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",
     "d3_simhash_pairs", "t19_bpe_train", "t18_bpe_pair_freq",

@@ -167,7 +167,9 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     for e in m["changes"]
                 )
                 continue
-            if m["parent"] is None or op in ("overwrite", "append", "restore"):
+            if m["parent"] is None or op in (
+                "overwrite", "append", "restore", "replace_partitions",
+            ):
                 cur = _entries_of(self._path, m)
                 parent_entries: list[dict] = []
                 m_par = None
@@ -184,7 +186,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     for e in cur
                     if e["path"] not in pset
                 )
-                if op in ("overwrite", "restore") and m_par is not None:
+                if (
+                    op in ("overwrite", "restore", "replace_partitions")
+                    and m_par is not None
+                ):
                     parts.extend(
                         _ChangeFilePartition(
                             os.path.join(self._path, e["path"]), "delete", v,

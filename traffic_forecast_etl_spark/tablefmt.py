@@ -552,6 +552,279 @@ def _check_bound(v, dtype: DataType, key: str, which: str):
 
 
 # ---------------------------------------------------------------------------
+# hidden partitioning (the Iceberg partition-transform concept)
+#
+# A table may carry a PARTITION SPEC — an ordered list of transforms
+# over source columns::
+#
+#     [{"transform": "days",     "source": "event_time"},
+#      {"transform": "bucket",   "source": "user_id", "n": 16},
+#      {"transform": "truncate", "source": "url",     "width": 8},
+#      {"transform": "identity", "source": "region"}]
+#
+# Writes stage files partitionBy(transform values), so every data
+# file holds EXACTLY ONE partition tuple, recorded verbatim in its
+# manifest entry ("partition": [v0, v1, ...] aligned with the spec).
+# Queries never name partition values (hidden partitioning): scans
+# and CoW merges/deletes transform their SOURCE-column predicates and
+# prune on the recorded tuples — exact, not min/max-approximate,
+# because a tuple value holds for every row in the file. Partition
+# pruning composes with (runs before) the per-file stats pruning.
+#
+# The scale rationale: min/max stats prune well only when the write
+# order clusters the column; a partition tuple prunes regardless of
+# arrival order, and bucket(n) gives point-lookup/upsert pruning on
+# high-cardinality keys that range stats cannot (a uniformly-random
+# key overlaps every file's [min, max] — but lives in exactly one
+# bucket). The bucket hash is the repo's engine-portable md5 rule
+# (same convention as operators/sampling.py), so planning stays pure
+# driver-side Python — zero Spark jobs, like the rest of the planner.
+# ---------------------------------------------------------------------------
+
+_PART_TEMPORAL = {
+    "years": ("yyyy", "%Y"),
+    "months": ("yyyy-MM", "%Y-%m"),
+    "days": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "hours": ("yyyy-MM-dd-HH", "%Y-%m-%d-%H"),
+}
+# bucket sources are restricted to types whose Spark cast-to-string
+# is byte-identical to the Python canonical form below (floats and
+# timestamps render differently between engines — excluded)
+_BUCKET_OK = ("tinyint", "smallint", "int", "bigint", "string", "date")
+
+
+def _norm_partition_spec(spec, schema_json: str) -> list[dict]:
+    """Normalize/validate a caller partition spec (tuples or dicts)
+    against the table schema; returns the canonical dict form stored
+    in manifests."""
+    out = []
+    for f in spec:
+        if isinstance(f, dict):
+            d = dict(f)
+        else:
+            t = f[0]
+            d = {"transform": t, "source": f[1]}
+            if t == "bucket":
+                d["n"] = f[2]
+            elif t == "truncate":
+                d["width"] = f[2]
+        t, src = d.get("transform"), d.get("source")
+        dtype = _col_type(schema_json, src)  # raises on unknown column
+        simple = dtype.simpleString()
+        if t in _PART_TEMPORAL:
+            if simple not in ("date", "timestamp", "timestamp_ntz"):
+                raise ValueError(
+                    f"partition transform {t}({src}) needs a date/timestamp "
+                    f"source, got {simple}"
+                )
+        elif t == "bucket":
+            if simple not in _BUCKET_OK:
+                raise ValueError(
+                    f"bucket({src}) source must be one of {_BUCKET_OK}, "
+                    f"got {simple} (the portable hash needs a canonical "
+                    "string form)"
+                )
+            if not isinstance(d.get("n"), int) or d["n"] < 2:
+                raise ValueError(f"bucket({src}) needs n >= 2")
+        elif t == "truncate":
+            if simple not in ("tinyint", "smallint", "int", "bigint", "string"):
+                raise ValueError(
+                    f"truncate({src}) source must be integral or string, "
+                    f"got {simple}"
+                )
+            if not isinstance(d.get("width"), int) or d["width"] < 1:
+                raise ValueError(f"truncate({src}) needs width >= 1")
+        elif t != "identity":
+            raise ValueError(
+                f"unknown partition transform {t!r} (expected identity, "
+                f"bucket, truncate, or one of {sorted(_PART_TEMPORAL)})"
+            )
+        out.append(d)
+    if not out:
+        raise ValueError("partition_spec must name at least one transform")
+    return out
+
+
+def _bucket_py(v, n: int) -> int:
+    """Engine-portable bucket id: first 8 hex digits of md5 of the
+    value's canonical string, mod n — identical to the Spark
+    expression in :func:`_part_expr` (and to DuckDB's md5), the same
+    cross-engine convention operators/sampling.py pins."""
+    import hashlib
+
+    v = _norm_key(v)
+    s = v.isoformat() if isinstance(v, _dt.date) else str(v)
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % n
+
+
+def _part_expr(f: dict, dtype: DataType):
+    """Spark Column computing the transform value of a spec field —
+    the write-side derivation (its Python twin for planning is
+    :func:`_part_value_py`)."""
+    t, src = f["transform"], f["source"]
+    c = F.col(src)
+    if t == "identity":
+        return c
+    if t == "bucket":
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % f["n"]
+        )
+    if t == "truncate":
+        if isinstance(dtype, StringType):
+            return F.substring(c, 1, f["width"])
+        return c - F.pmod(c, F.lit(f["width"]))
+    return F.date_format(c, _PART_TEMPORAL[t][0])
+
+
+def _part_value_py(f: dict, v, dtype: DataType):
+    """Transform a native Python source value exactly like
+    :func:`_part_expr` does for rows — used to map scan bounds and
+    batch keys onto partition values at plan time."""
+    if v is None:
+        return None
+    t = f["transform"]
+    v = _norm_key(v)
+    if t == "identity":
+        return v
+    if t == "bucket":
+        return _bucket_py(v, f["n"])
+    if t == "truncate":
+        if isinstance(v, str):
+            return v[: f["width"]]
+        return v - (v % f["width"])
+    # temporal: date_format renders in the pinned-UTC session zone;
+    # collected timestamps and caller bounds are naive in that same
+    # zone, so strftime agrees byte-for-byte
+    return v.strftime(_PART_TEMPORAL[t][1])
+
+
+def _compile_part_prune(
+    spec: list[dict] | None,
+    schema_json: str,
+    key: str,
+    lo,
+    hi,
+    sorted_keys: list | None,
+):
+    """Compile a per-entry partition-prune predicate for a key-range
+    (or exact key-set) predicate on ``key``. Returns admit-all when
+    the spec has no field over ``key`` or the predicate is unbounded.
+
+    Soundness: a data file's partition tuple holds for EVERY row in
+    the file (partitionBy staging), so:
+
+    - identity: the file's rows all have source == tuple value —
+      admit iff that value satisfies the bounds / is in the key set;
+    - bucket: a key matches only files whose tuple equals its bucket
+      (set form for exact keys; equality form for point lookups;
+      range predicates can't prune a hash bucket — admit);
+    - truncate(int w): rows lie in [val, val+w-1] — range overlap;
+      truncate(str w): transformed bounds compare lexicographically
+      (prefix order agrees with full-string order);
+    - temporal: the format strings order lexicographically with time,
+      so transformed bounds bracket the tuple value.
+
+    A file whose tuple value is NULL holds ONLY null-source rows
+    (partitionBy groups nulls apart); no non-null bound or key
+    matches a NULL row, so such files are PRUNED whenever any bound
+    or key set is present — exact, not heuristic."""
+    if not spec:
+        return lambda entry: True
+    fields = [
+        (i, f) for i, f in enumerate(spec) if f["source"] == key
+    ]
+    if not fields or (lo is None and hi is None and sorted_keys is None):
+        return lambda entry: True
+    dtype = _col_type(schema_json, key)
+    checks = []
+    for i, f in enumerate(spec):
+        if f["source"] != key:
+            continue
+        t = f["transform"]
+        if t == "bucket":
+            if sorted_keys is not None:
+                want = {_bucket_py(k, f["n"]) for k in sorted_keys}
+                checks.append((i, lambda pv, w=want: pv in w))
+            elif lo is not None and hi is not None and lo == hi:
+                b = _bucket_py(lo, f["n"])
+                checks.append((i, lambda pv, b=b: pv == b))
+            else:
+                # a range of raw keys lands in arbitrary buckets —
+                # only the null-file prune applies
+                checks.append((i, lambda pv: True))
+        elif t == "identity":
+            kset = sorted_keys
+            def ok_ident(pv, kset=kset, dtype=dtype):
+                v = _dec_stat(pv, dtype)
+                if (lo is not None and v < lo) or (hi is not None and v > hi):
+                    return False
+                if kset is not None:
+                    j = bisect_left(kset, v)
+                    return j < len(kset) and kset[j] == v
+                return True
+            checks.append((i, ok_ident))
+        elif t == "truncate":
+            w = f["width"]
+            if sorted_keys is not None:
+                want = {_part_value_py(f, k, dtype) for k in sorted_keys}
+                checks.append((i, lambda pv, w2=want: pv in w2))
+            else:
+                tlo = _part_value_py(f, lo, dtype)
+                thi = _part_value_py(f, hi, dtype)
+                if isinstance(dtype, StringType):
+                    def ok_trunc(pv, tlo=tlo, thi=thi):
+                        if tlo is not None and pv < tlo:
+                            return False
+                        if thi is not None and pv > thi:
+                            return False
+                        return True
+                else:
+                    def ok_trunc(pv, tlo=tlo, hi=hi, w=w):
+                        # file rows lie in [pv, pv + w - 1]
+                        if tlo is not None and pv < tlo and pv + w - 1 < lo:
+                            return False
+                        if hi is not None and pv > hi:
+                            return False
+                        return True
+                checks.append((i, ok_trunc))
+        else:  # temporal
+            if sorted_keys is not None:
+                want = {_part_value_py(f, k, dtype) for k in sorted_keys}
+                checks.append((i, lambda pv, w=want: pv in w))
+            else:
+                tlo = _part_value_py(f, lo, dtype)
+                thi = _part_value_py(f, hi, dtype)
+                def ok_time(pv, tlo=tlo, thi=thi):
+                    if tlo is not None and pv < tlo:
+                        return False
+                    if thi is not None and pv > thi:
+                        return False
+                    return True
+                checks.append((i, ok_time))
+
+    def admit(entry: dict) -> bool:
+        part = entry.get("partition")
+        if part is None:
+            return True  # pre-spec or empty file: conservative
+        for i, ok in checks:
+            pv = part[i]
+            if pv is None:
+                return False  # all-null-source file; see docstring
+            if not ok(pv):
+                return False
+        return True
+
+    return admit
+
+
+def snapshot_partition_spec(path: str, version: int | None = None) -> list[dict] | None:
+    """The table's partition spec at ``version`` (None = unpartitioned)."""
+    return read_manifest(path, version).get("partition_spec")
+
+
+# ---------------------------------------------------------------------------
 # data-file plumbing
 # ---------------------------------------------------------------------------
 
@@ -561,23 +834,49 @@ def _stage_files(
     path: str,
     stats_cols: Sequence[str],
     subdir: str = _DATA_DIR,
+    partition_spec: list[dict] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable files under ``subdir`` (data/
     for table files, _changes/ for change-feed files) and return
     their manifest entries. Stats come from ONE metadata aggregation
     over the freshly staged files (grouped by input_file_name), so
-    the cost is a scan of what was just written, nothing more."""
+    the cost is a scan of what was just written, nothing more.
+
+    With ``partition_spec``, staging repartitions by the derived
+    transform columns and writes ``partitionBy`` them — every file
+    then holds exactly ONE partition tuple (and, because the derived
+    columns are always synthetic ``__pt_i`` copies, the source
+    columns stay IN the data files — identity-partitioned reads never
+    null-fill). The tuple is recovered by re-deriving the transforms
+    over each staged file's own rows in the same stats aggregate (no
+    path parsing, no type guessing), verified single-valued, and
+    recorded in the entry as ``"partition"``."""
     staging = os.path.join(path, f"__stage_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    part_cols: list[str] = []
+    if partition_spec:
+        out_df = df
+        for i, f in enumerate(partition_spec):
+            dtype = _col_type(df.schema.json(), f["source"])
+            out_df = out_df.withColumn(f"__pt_{i}", _part_expr(f, dtype))
+        part_cols = [f"__pt_{i}" for i in range(len(partition_spec))]
+        # one task per partition tuple -> one file per tuple
+        out_df.repartition(*[F.col(c) for c in part_cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*part_cols).parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
     os.makedirs(os.path.join(path, subdir), exist_ok=True)
     moved: list[tuple[str, str]] = []  # (abs path, rel name)
     token = uuid.uuid4().hex[:12]
-    for i, name in enumerate(sorted(os.listdir(staging))):
-        if not name.endswith(".parquet"):
-            continue
+    found: list[str] = []
+    for root, _dirs, names in sorted(os.walk(staging)):
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                found.append(os.path.join(root, name))
+    for i, src in enumerate(sorted(found)):
         rel = f"{token}-part{i:05d}.parquet"
         dst = os.path.join(path, subdir, rel)
-        os.rename(os.path.join(staging, name), dst)
+        os.rename(src, dst)
         moved.append((dst, rel))
     shutil.rmtree(staging, ignore_errors=True)
     if not moved:
@@ -589,6 +888,12 @@ def _stage_files(
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+    if partition_spec:
+        scan_schema = scan.schema.json()
+        for i, f in enumerate(partition_spec):
+            e = _part_expr(f, _col_type(scan_schema, f["source"]))
+            aggs.append(F.min(e).alias(f"__ptmin_{i}"))
+            aggs.append(F.max(e).alias(f"__ptmax_{i}"))
     stat_rows = {
         os.path.basename(r["__file"].replace("file:", "")): r
         for r in scan.groupBy("__file").agg(*aggs).collect()
@@ -596,19 +901,32 @@ def _stage_files(
     entries = []
     for abs_p, rel in moved:
         r = stat_rows.get(rel)
-        entries.append(
-            {
-                "path": f"{subdir}/{rel}",
-                "rows": int(r["__rows"]) if r is not None else 0,
-                "bytes": os.path.getsize(abs_p),
-                "stats": {
-                    c: [_enc_stat(r[f"__min_{c}"]), _enc_stat(r[f"__max_{c}"])]
-                    for c in stats_cols
-                }
-                if r is not None
-                else {},
+        entry = {
+            "path": f"{subdir}/{rel}",
+            "rows": int(r["__rows"]) if r is not None else 0,
+            "bytes": os.path.getsize(abs_p),
+            "stats": {
+                c: [_enc_stat(r[f"__min_{c}"]), _enc_stat(r[f"__max_{c}"])]
+                for c in stats_cols
             }
-        )
+            if r is not None
+            else {},
+        }
+        if partition_spec:
+            if r is None:
+                entry["partition"] = None  # empty file: admit always
+            else:
+                tup = []
+                for i in range(len(partition_spec)):
+                    mn, mx = r[f"__ptmin_{i}"], r[f"__ptmax_{i}"]
+                    if mn != mx:  # partitionBy invariant violated
+                        raise AssertionError(
+                            f"staged file {rel} holds multiple partition "
+                            f"tuples for field {i} ({mn!r}..{mx!r})"
+                        )
+                    tup.append(_enc_stat(mn))
+                entry["partition"] = tup
+        entries.append(entry)
     return entries
 
 
@@ -621,6 +939,7 @@ def _commit(
     txns: dict[str, int] | None = None,
     changes: list[dict] | None = None,
     eq_deletes: list[dict] | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> int:
     """``entries`` is a plain list (inline v1 file list) or a fileset
     dict from :func:`_fileset_for_commit` ({"files": ...} or
@@ -658,6 +977,8 @@ def _commit(
         manifest["changes"] = changes
     if eq_deletes:
         manifest["eq_deletes"] = eq_deletes
+    if partition_spec:
+        manifest["partition_spec"] = partition_spec
     target = _manifest_path(path, version)
     if os.path.exists(target):
         raise SnapshotConflictError(
@@ -735,12 +1056,30 @@ def snapshot_write(
     merge_schema: bool = False,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    partition_spec: Sequence | None = None,
 ) -> int:
     """Commit ``df`` as a new table version. ``mode='overwrite'``
     replaces the logical contents (old files stay on disk for time
     travel until expired); ``mode='append'`` carries every current
     file forward and adds the new ones — an O(metadata) commit, no
-    data rewrite. Returns the new version number.
+    data rewrite. ``mode='replace_partitions'`` (dynamic partition
+    overwrite, requires a partitioned table): parent files whose
+    partition tuple appears in ``df`` are dropped, every other file
+    carries by name, and ``df``'s files are added — the
+    "re-state these days" shape, O(touched partitions) however big
+    the table. Returns the new version number.
+
+    ``partition_spec`` (overwrite / first commit only): hidden
+    partitioning — an ordered list of transforms, tuples or dicts::
+
+        [("days", "event_time"), ("bucket", "user_id", 16),
+         ("truncate", "url", 8), ("identity", "region")]
+
+    Appends and every later merge/delete/update/compact INHERIT the
+    table's spec (passing a different one raises); files stage
+    partitionBy the derived values and record their tuple in the
+    manifest, so scans and CoW commits prune on transformed
+    predicates — see the partitioning section comment.
 
     ``merge_schema``: on append, allow the incoming frame to ADD
     columns (schema evolution; carried files null-fill them at read).
@@ -751,8 +1090,10 @@ def snapshot_write(
     version >= ``txn_version``, the call is a NO-OP returning the
     current table version — the property that makes an at-least-once
     micro-batch replay exactly-once at the table."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append: {mode}")
+    if mode not in ("overwrite", "append", "replace_partitions"):
+        raise ValueError(
+            f"mode must be overwrite|append|replace_partitions: {mode}"
+        )
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
     os.makedirs(path, exist_ok=True)
@@ -764,39 +1105,98 @@ def snapshot_write(
             if txns.get(txn_app, -1) >= txn_version:
                 return parent  # replayed batch: already applied
             txns[txn_app] = txn_version
-        if mode == "append" and parent is not None:
+        if mode in ("append", "replace_partitions") and parent is not None:
             schema_json = _evolve_schema(
                 read_manifest(path, parent)["schema"], df.schema, merge_schema
             )
         else:
             schema_json = df.schema.json()
-        stats = list(stats_cols or [])
-        entries = _stage_files(spark, df, path, stats)
         m_parent = (
             read_manifest(path, parent)
-            if mode == "append" and parent is not None
+            if mode in ("append", "replace_partitions") and parent is not None
             else None
         )
-        fileset = _fileset_for_commit(
-            path, m_parent, set(), set(), entries, schema_json
-        )
+        if m_parent is not None:
+            spec = m_parent.get("partition_spec")
+            if partition_spec is not None:
+                given = _norm_partition_spec(partition_spec, schema_json)
+                if given != (spec or []):
+                    raise ValueError(
+                        f"{mode} cannot change the partition spec (table "
+                        f"has {spec}, got {given}) — overwrite to repartition"
+                    )
+        else:
+            spec = (
+                _norm_partition_spec(partition_spec, schema_json)
+                if partition_spec is not None
+                else None
+            )
+        if mode == "replace_partitions" and not spec:
+            raise ValueError(
+                "replace_partitions needs a partitioned table (write the "
+                "first version with partition_spec=...)"
+            )
+        stats = list(stats_cols or [])
+        entries = _stage_files(spark, df, path, stats, partition_spec=spec)
+        if mode == "replace_partitions" and m_parent is not None:
+            incoming = {
+                tuple(e["partition"])
+                for e in entries
+                if e.get("partition") is not None
+            }
+            parent_entries = manifest_files(path, m_parent, tag_segments=True)
+            untagged = [
+                e for e in parent_entries if e.get("partition") is None
+            ]
+            if untagged:
+                raise ValueError(
+                    f"{len(untagged)} parent files carry no partition tuple "
+                    "(written before the spec?) — replace_partitions cannot "
+                    "scope them; compact or overwrite first"
+                )
+            dropped = [
+                e
+                for e in parent_entries
+                if tuple(e["partition"]) in incoming
+            ]
+            fileset = _fileset_for_commit(
+                path,
+                m_parent,
+                {e["path"] for e in dropped},
+                {e["_seg"] for e in dropped if e.get("_seg") is not None},
+                entries,
+                schema_json,
+            )
+        else:
+            fileset = _fileset_for_commit(
+                path, m_parent, set(), set(), entries, schema_json
+            )
         return _commit(
             path, fileset, mode, schema_json, parent, txns,
             # append keeps pending merge-on-read deletes in force;
             # overwrite replaces the table, so they die with it
             eq_deletes=(m_parent or {}).get("eq_deletes"),
+            partition_spec=spec,
         )
     finally:
         release_writer_lease(path, holder)
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read a table snapshot (default: latest). Every file named by
-    the manifest is immutable, so the returned DataFrame is a
-    consistent point-in-time view no concurrent commit can shear —
-    the isolation plain-dir parquet readers never get."""
+    """Read a table snapshot (default: latest; ``version=`` for time
+    travel; ``ref=`` for a named tag — see :func:`snapshot_tag`).
+    Every file named by the manifest is immutable, so the returned
+    DataFrame is a consistent point-in-time view no concurrent commit
+    can shear — the isolation plain-dir parquet readers never get."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = snapshot_ref_version(path, ref)
     m = read_manifest(path, version)
     # the MANIFEST schema drives the read (not the first footer Spark
     # happens to open): after schema evolution, files written before a
@@ -830,6 +1230,11 @@ def snapshot_scan_files(
     hi = _check_bound(upper, dtype, key, "upper")
     if lo is not None and hi is not None and lo > hi:
         return m, []
+    # hidden partitioning: transform the bounds and prune on recorded
+    # partition tuples FIRST (exact, per-file), then on min/max stats
+    padmit = _compile_part_prune(
+        m.get("partition_spec"), m["schema"], key, lo, hi, None
+    )
     if "segments" in m:
         # stream segments, skipping whole segments whose aggregate
         # range can't overlap — the manifest list is all that's
@@ -840,10 +1245,14 @@ def snapshot_scan_files(
                 admitted.extend(
                     e
                     for e in _read_segment(path, seg)
-                    if _touched(e, key, lo, hi, None, dtype)
+                    if padmit(e) and _touched(e, key, lo, hi, None, dtype)
                 )
         return m, admitted
-    admitted = [e for e in m["files"] if _touched(e, key, lo, hi, None, dtype)]
+    admitted = [
+        e
+        for e in m["files"]
+        if padmit(e) and _touched(e, key, lo, hi, None, dtype)
+    ]
     return m, admitted
 
 
@@ -872,6 +1281,10 @@ def snapshot_scan_multi(
             empty = True
             break
         norm[key] = (lo, hi, dtype)
+    padmits = [
+        _compile_part_prune(m.get("partition_spec"), m["schema"], k, lo, hi, None)
+        for k, (lo, hi, _dt2) in norm.items()
+    ]
     if empty:
         admitted = []
     elif "segments" in m:
@@ -886,7 +1299,8 @@ def snapshot_scan_multi(
                 admitted.extend(
                     e
                     for e in _read_segment(path, seg)
-                    if all(
+                    if all(p(e) for p in padmits)
+                    and all(
                         _touched(e, k, lo, hi, None, dt)
                         for k, (lo, hi, dt) in norm.items()
                     )
@@ -895,7 +1309,8 @@ def snapshot_scan_multi(
         admitted = [
             e
             for e in m["files"]
-            if all(
+            if all(p(e) for p in padmits)
+            and all(
                 _touched(e, k, lo, hi, None, dt)
                 for k, (lo, hi, dt) in norm.items()
             )
@@ -1130,6 +1545,7 @@ def snapshot_merge(
                 changes=changes,
             )
         m = read_manifest(path, parent)
+        spec = m.get("partition_spec")
         schema_json = _evolve_schema(m["schema"], deduped.schema, merge_schema)
         table_schema = StructType.fromJson(json.loads(schema_json))
         k0 = keys[0]
@@ -1144,6 +1560,7 @@ def snapshot_merge(
                 path, carry, "merge", schema_json, parent, txns,
                 changes=[] if change_feed else None,
                 eq_deletes=m.get("eq_deletes"),
+                partition_spec=spec,
             )
         k0_type = _col_type(schema_json, k0)
         sorted_keys = None
@@ -1152,10 +1569,13 @@ def snapshot_merge(
                 _norm_key(r[k0]) for r in deduped.select(k0).distinct().collect()
             )
         lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
+        padmit = _compile_part_prune(
+            spec, schema_json, k0, lo, hi, sorted_keys
+        )
         touched = [
             e
             for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
-            if _touched(e, k0, lo, hi, sorted_keys, k0_type)
+            if padmit(e) and _touched(e, k0, lo, hi, sorted_keys, k0_type)
         ]
         removed = None
         if touched:
@@ -1173,7 +1593,7 @@ def snapshot_merge(
             m,
             {e["path"] for e in touched},
             {e["_seg"] for e in touched if e.get("_seg") is not None},
-            _stage_files(spark, out, path, keys),
+            _stage_files(spark, out, path, keys, partition_spec=spec),
             schema_json,
         )
         changes = None
@@ -1187,7 +1607,8 @@ def snapshot_merge(
                 spark, change_df, path, [], subdir=_CHANGES_DIR
             )
         return _commit(
-            path, fileset, "merge", schema_json, parent, txns, changes=changes
+            path, fileset, "merge", schema_json, parent, txns, changes=changes,
+            partition_spec=spec,
         )
     finally:
         release_writer_lease(path, holder)
@@ -1274,6 +1695,7 @@ def snapshot_delete(
                 return parent
             txns[txn_app] = txn_version
         m = read_manifest(path, parent)
+        spec = m.get("partition_spec")
         schema_json = m["schema"]
         table_schema = StructType.fromJson(json.loads(schema_json))
 
@@ -1294,6 +1716,7 @@ def snapshot_delete(
                 return _commit(
                     path, carry, "delete", schema_json, parent, txns,
                     eq_deletes=m.get("eq_deletes"),
+                    partition_spec=spec,
                 )
             k0_type = _col_type(schema_json, k0)
             sorted_keys = None
@@ -1303,10 +1726,13 @@ def snapshot_delete(
                     for r in del_keys.select(k0).distinct().collect()
                 )
             lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
+            padmit = _compile_part_prune(
+                spec, schema_json, k0, lo, hi, sorted_keys
+            )
             candidates = [
                 e
                 for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
-                if _touched(e, k0, lo, hi, sorted_keys, k0_type)
+                if padmit(e) and _touched(e, k0, lo, hi, sorted_keys, k0_type)
             ]
             if mode == "mor":
                 new_version = parent + 1
@@ -1342,6 +1768,7 @@ def snapshot_delete(
                     path, carry, "delete", schema_json, parent, txns,
                     changes=changes,
                     eq_deletes=list(m.get("eq_deletes") or []) + d_entries,
+                    partition_spec=spec,
                 )
         else:
             cond = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1361,10 +1788,15 @@ def snapshot_delete(
                 else:
                     first = next(iter(norm))
                     flo, fhi, fdt = norm[first]
+                    padmits = [
+                        _compile_part_prune(spec, schema_json, k, lo, hi, None)
+                        for k, (lo, hi, _dt2) in norm.items()
+                    ]
                     candidates = [
                         e
                         for e in _candidate_pool(path, m, first, flo, fhi, fdt)
-                        if all(
+                        if all(p(e) for p in padmits)
+                        and all(
                             _touched(e, k, lo, hi, None, dt)
                             for k, (lo, hi, dt) in norm.items()
                         )
@@ -1390,7 +1822,7 @@ def snapshot_delete(
                 m,
                 {e["path"] for e in candidates},
                 {e["_seg"] for e in candidates if e.get("_seg") is not None},
-                _stage_files(spark, kept, path, stats_cols),
+                _stage_files(spark, kept, path, stats_cols, partition_spec=spec),
                 schema_json,
             )
             if change_feed:
@@ -1406,9 +1838,76 @@ def snapshot_delete(
         return _commit(
             path, fileset, "delete", schema_json, parent, txns, changes=changes,
             eq_deletes=m.get("eq_deletes"),
+            partition_spec=spec,
         )
     finally:
         release_writer_lease(path, holder)
+
+
+def _refs_path(path: str) -> str:
+    return os.path.join(_mdir(path), "REFS")
+
+
+def snapshot_refs(path: str) -> dict[str, int]:
+    """All named refs (tag -> version). Empty dict when none."""
+    try:
+        with open(_refs_path(path)) as f:
+            return {k: int(v) for k, v in json.load(f)["tags"].items()}
+    except FileNotFoundError:
+        return {}
+
+
+def snapshot_tag(
+    path: str, name: str, version: int | None = None, replace: bool = False
+) -> int:
+    """Name a version (the Iceberg TAG concept): a tag pins a
+    snapshot — ``snapshot_read(..., ref=name)`` resolves it, and
+    ``snapshot_expire`` RETAINS tagged manifests and their files
+    however old, so "the exact table the 2024-08 training run read"
+    stays reproducible forever at zero storage cost beyond the files
+    it already shares with neighbors. Tags are immutable names:
+    re-tagging raises unless ``replace=True``. Metadata-only (one
+    atomic JSON swap under the writer lease). Returns the tagged
+    version."""
+    holder = acquire_writer_lease(path)
+    try:
+        v = current_version(path) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        # the tagged manifest must exist (not expired / never written)
+        read_manifest(path, v)
+        refs = snapshot_refs(path)
+        if name in refs and refs[name] != v and not replace:
+            raise ValueError(
+                f"tag {name!r} already names version {refs[name]} — pass "
+                "replace=True to move it"
+            )
+        refs[name] = v
+        _atomic_write_json(_refs_path(path), {"tags": refs})
+        return v
+    finally:
+        release_writer_lease(path, holder)
+
+
+def snapshot_untag(path: str, name: str) -> None:
+    """Drop a tag (the version stays until expired normally)."""
+    holder = acquire_writer_lease(path)
+    try:
+        refs = snapshot_refs(path)
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on {path}")
+        del refs[name]
+        _atomic_write_json(_refs_path(path), {"tags": refs})
+    finally:
+        release_writer_lease(path, holder)
+
+
+def snapshot_ref_version(path: str, ref: str) -> int:
+    """Resolve a tag name to its version (KeyError if absent)."""
+    refs = snapshot_refs(path)
+    if ref not in refs:
+        raise KeyError(f"no tag {ref!r} on {path} (have {sorted(refs)})")
+    return refs[ref]
 
 
 def snapshot_version_as_of(path: str, ts) -> int:
@@ -1462,6 +1961,7 @@ def snapshot_restore(path: str, version: int) -> int:
         return _commit(
             path, fileset, "restore", m_target["schema"], parent,
             _parent_txns(path, parent), eq_deletes=m_target.get("eq_deletes"),
+            partition_spec=m_target.get("partition_spec"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1502,6 +2002,7 @@ def snapshot_update(
                 return parent
             txns[txn_app] = txn_version
         m = read_manifest(path, parent)
+        spec = m.get("partition_spec")
         schema_json = m["schema"]
         table_schema = StructType.fromJson(json.loads(schema_json))
         known = {f.name for f in table_schema.fields}
@@ -1527,10 +2028,15 @@ def snapshot_update(
             else:
                 first = next(iter(norm))
                 flo, fhi, fdt = norm[first]
+                padmits = [
+                    _compile_part_prune(spec, schema_json, k, lo, hi, None)
+                    for k, (lo, hi, _dt2) in norm.items()
+                ]
                 candidates = [
                     e
                     for e in _candidate_pool(path, m, first, flo, fhi, fdt)
-                    if all(
+                    if all(p(e) for p in padmits)
+                    and all(
                         _touched(e, k, lo, hi, None, dt)
                         for k, (lo, hi, dt) in norm.items()
                     )
@@ -1578,7 +2084,7 @@ def snapshot_update(
                 m,
                 {e["path"] for e in candidates},
                 {e["_seg"] for e in candidates if e.get("_seg") is not None},
-                _stage_files(spark, out, path, stats_cols),
+                _stage_files(spark, out, path, stats_cols, partition_spec=spec),
                 schema_json,
             )
             if change_feed:
@@ -1598,6 +2104,7 @@ def snapshot_update(
         return _commit(
             path, fileset, "update", schema_json, parent, txns, changes=changes,
             eq_deletes=m.get("eq_deletes"),
+            partition_spec=spec,
         )
     finally:
         release_writer_lease(path, holder)
@@ -1686,7 +2193,9 @@ def read_snapshot_changes(
             # snapshot_merge writes both delete-preimages and batch
             # inserts; snapshot_delete writes its deletions (it has
             # no inserts). Nothing is synthesized from data files.
-        elif m["parent"] is None or m["op"] in ("overwrite", "append", "restore"):
+        elif m["parent"] is None or m["op"] in (
+            "overwrite", "append", "restore", "replace_partitions",
+        ):
             m_files = manifest_files(path, m)
             parent_entries = (
                 manifest_files(path, read_manifest(path, m["parent"]))
@@ -1698,7 +2207,10 @@ def read_snapshot_changes(
             pieces = []
             if added:
                 pieces.append(_tagged(m, added, "insert", v))
-            if m["op"] in ("overwrite", "restore") and m["parent"] is not None:
+            if (
+                m["op"] in ("overwrite", "restore", "replace_partitions")
+                and m["parent"] is not None
+            ):
                 m_par = read_manifest(path, m["parent"])
                 cur_files = {e["path"] for e in m_files}
                 dropped = [
@@ -1778,21 +2290,39 @@ def snapshot_compact(
     try:
         parent = current_version(path)
         m = read_manifest(path, parent)
+        spec = m.get("partition_spec")
         all_entries = manifest_files(path, m, tag_segments=True)
         small = [e for e in all_entries if e["bytes"] < target_bytes / 2]
+        # on a partitioned table, fragments only compact WITHIN their
+        # partition (mixing tuples in one file would break the
+        # one-tuple-per-file pruning invariant), so singletons per
+        # partition have nothing to merge with
+        if spec:
+            by_part: dict[tuple | None, list[dict]] = {}
+            for e in small:
+                p = e.get("partition")
+                by_part.setdefault(tuple(p) if p is not None else None, []).append(e)
+            small = [e for grp in by_part.values() if len(grp) > 1 for e in grp]
         if len(small) <= 1:
             return parent  # nothing to do; no empty commit
         if stats_cols is None:
             stats_cols = list(all_entries[0].get("stats", {}).keys())
-        # first-fit bin packing by accumulated bytes
+        # first-fit bin packing by accumulated bytes (per partition
+        # tuple when the table is partitioned)
+        groups: list[list[dict]] = (
+            [grp for grp in by_part.values() if len(grp) > 1] if spec else [small]
+        )
         bins: list[list[dict]] = []
-        for e in sorted(small, key=lambda e: -e["bytes"]):
-            for b in bins:
-                if sum(x["bytes"] for x in b) + e["bytes"] <= target_bytes:
-                    b.append(e)
-                    break
-            else:
-                bins.append([e])
+        for grp in groups:
+            for e in sorted(grp, key=lambda e: -e["bytes"]):
+                for b in bins:
+                    if b and b[0].get("partition") != e.get("partition"):
+                        continue
+                    if sum(x["bytes"] for x in b) + e["bytes"] <= target_bytes:
+                        b.append(e)
+                        break
+                else:
+                    bins.append([e])
         new_entries: list[dict] = []
         # rewrite with the MANIFEST schema: fragments written before a
         # schema evolution must come out carrying the evolved columns
@@ -1805,7 +2335,9 @@ def snapshot_compact(
             grouped = _visible_read(
                 spark, path, m, b, schema=table_schema
             ).coalesce(1)
-            new_entries += _stage_files(spark, grouped, path, list(stats_cols))
+            new_entries += _stage_files(
+                spark, grouped, path, list(stats_cols), partition_spec=spec
+            )
         fileset = _fileset_for_commit(
             path,
             m,
@@ -1817,16 +2349,18 @@ def snapshot_compact(
         return _commit(
             path, fileset, "compact", m["schema"], parent,
             _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
+            partition_spec=spec,
         )
     finally:
         release_writer_lease(path, holder)
 
 
 def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
-    """Expire history: keep the newest ``keep_last`` manifests, drop
-    older ones, and delete data files no retained manifest
-    references (plus any orphans from crashed commits). Returns the
-    deleted file paths. The current version is always retained."""
+    """Expire history: keep the newest ``keep_last`` manifests plus
+    every TAGGED version (see :func:`snapshot_tag`), drop older ones,
+    and delete data files no retained manifest references (plus any
+    orphans from crashed commits). Returns the deleted file paths.
+    The current version is always retained."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     holder = acquire_writer_lease(path)
@@ -1836,7 +2370,9 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
             for n in os.listdir(_mdir(path))
             if n.startswith("v") and n.endswith(".json")
         )
-        drop, keep = versions[:-keep_last], versions[-keep_last:]
+        tagged = set(snapshot_refs(path).values())
+        drop = [v for v in versions[:-keep_last] if v not in tagged]
+        keep = [v for v in versions if v not in drop]
         referenced = set()
         chg_referenced = set()
         seg_referenced = set()
