@@ -46,6 +46,10 @@ def test_oracle_coverage(spark):
         # IVF routing + k-means PQ codebooks (iterative/seeded);
         # recall >= 0.8 vs exact s1 pinned in test_similarity.py
         "s6_ivf_pq_ann",
+        # persisted IVF-PQ index (same seeded quantizers) + frozen-
+        # model append; recall/append/upsert/time-travel pinned in
+        # test_similarity.py
+        "s7_persistent_ann",
         "a10_approx_distinct",
         # trained-model scoring (L-BFGS logistic fit not SQL-expressible)
         "c8_quality_classifier",

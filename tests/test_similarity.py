@@ -727,3 +727,124 @@ def test_pq_train_validation(spark, emb):
         pq_train(emb, "embedding", m=7)
     with pytest.raises(ValueError, match="bad PQ shape"):
         pq_train(emb, "embedding", m=0)
+
+
+# ---------------------------------------------------------------------------
+# persistent ANN index (ann_index.py): build/search/append/upsert on
+# the partition-pruned snapshot codes table
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ann_path(spark, emb, tmp_path):
+    from traffic_forecast_etl_spark.operators import ann_index as AI
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(spark, emb, path, n_centroids=8, m=8)
+    return path
+
+
+def test_ann_index_recall_and_exact_cosines(spark, emb, exact, ann_path):
+    """The persisted index must match the inline ivf_pq_topk quality
+    bar: recall >= 0.8 vs exact s1 at the same settings, with exact
+    refined cosines."""
+    from traffic_forecast_etl_spark.operators import ann_index as AI
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = AI.ann_index_search(
+        spark, queries, ann_path, k=5, nprobe=6, refine=16
+    )
+    approx = _pairs(out)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"persistent-index recall {recall:.2f}"
+    # exact cosines (spot-check against brute force)
+    exact_cos = {
+        (r.vec_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(
+            emb, queries, "vec_id", "vec_id", "embedding", k=500
+        ).collect()
+    }
+    for r in out.collect():
+        e = exact_cos.get((r.vec_id, r.neighbor_id))
+        if e is not None:
+            assert abs(r.cosine - e) < 1e-6
+
+
+def test_ann_index_partition_pruned_lists(spark, emb, ann_path):
+    """The inverted lists live as identity partitions of the codes
+    snapshot table: planning ONE list admits only its files — the
+    on-disk IVF layout, via manifest partition pruning (zero Spark
+    jobs)."""
+    from traffic_forecast_etl_spark import tablefmt as TF
+
+    cpath = ann_path + "/codes"
+    m = TF.read_manifest(cpath)
+    total = len(TF.manifest_files(cpath, m))
+    assert total >= 8
+    _, adm = TF.snapshot_scan_files(cpath, "centroid_id", 3, 3)
+    assert len(adm) <= max(1, total // 8 + 1)
+    assert {e["partition"][0] for e in adm} == {3}
+
+
+def test_ann_index_append_and_upsert(spark, emb, ann_path):
+    """Appends encode against the FROZEN quantizers (O(new) commit —
+    every existing file carries by name); an identical-vector query
+    then finds the appended id at rank 1 with cosine 1. Upsert mode
+    replaces a re-embedded id without duplicates."""
+    from traffic_forecast_etl_spark import tablefmt as TF
+    from traffic_forecast_etl_spark.operators import ann_index as AI
+
+    cpath = ann_path + "/codes"
+    files_before = {
+        e["path"] for e in TF.manifest_files(cpath, TF.read_manifest(cpath))
+    }
+    clone = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(99999).cast("long")
+    )
+    AI.ann_index_append(spark, clone, ann_path)
+    files_after = {
+        e["path"] for e in TF.manifest_files(cpath, TF.read_manifest(cpath))
+    }
+    assert files_before <= files_after  # pure append: nothing rewritten
+    got = AI.ann_index_search(
+        spark, emb.filter(F.col("vec_id") == 0), ann_path, k=3, nprobe=6
+    ).collect()
+    top = sorted(got, key=lambda r: r.rank)[0]
+    assert top.neighbor_id == 99999 and abs(top.cosine - 1.0) < 1e-9
+    # upsert: re-embed id 99999 with vec 1's embedding; no duplicates
+    reemb = emb.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", F.lit(99999).cast("long")
+    )
+    AI.ann_index_append(spark, reemb, ann_path, mode="upsert")
+    rows = (
+        TF.snapshot_read(spark, cpath).filter(F.col("id") == 99999).collect()
+    )
+    assert len(rows) == 1
+    got2 = AI.ann_index_search(
+        spark, emb.filter(F.col("vec_id") == 1), ann_path, k=3, nprobe=6
+    ).collect()
+    top2 = sorted(got2, key=lambda r: r.rank)[0]
+    assert top2.neighbor_id == 99999 and abs(top2.cosine - 1.0) < 1e-9
+    with pytest.raises(ValueError, match="append|upsert"):
+        AI.ann_index_append(spark, clone, ann_path, mode="nope")
+
+
+def test_ann_index_model_roundtrip_and_time_travel(spark, emb, ann_path):
+    """The model artifact reloads bit-equal, and version= searches
+    the index as of an older commit (pre-append state)."""
+    from traffic_forecast_etl_spark.operators import ann_index as AI
+
+    m1 = AI.ann_index_model(ann_path)
+    m2 = AI.ann_index_model(ann_path)
+    assert m1 == m2
+    assert len(m1["centroids"]) == 8
+    assert len(m1["codebooks"]) == 8
+    clone = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(77777).cast("long")
+    )
+    AI.ann_index_append(spark, clone, ann_path)
+    # version 0 = pre-append: 77777 is invisible there
+    got_old = AI.ann_index_search(
+        spark, emb.filter(F.col("vec_id") == 0), ann_path,
+        k=3, nprobe=6, version=0,
+    ).collect()
+    assert all(r.neighbor_id != 77777 for r in got_old)

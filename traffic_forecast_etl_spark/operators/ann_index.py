@@ -1,0 +1,313 @@
+"""Persistent, incrementally-maintained ANN index — IVF-PQ on the
+snapshot table format.
+
+:func:`similarity.ivf_pq_topk` builds its index inline per call; a
+production corpus builds ONCE and serves many query batches while new
+embeddings stream in. This module persists the index as two artifacts
+under one directory:
+
+- ``<path>/model.json`` — the frozen quantizers: IVF centroids
+  (k × d) + PQ codebooks (m × 2^nbits × d/m), KBs-MBs, written
+  atomically; loaded to the driver per search and broadcast.
+- ``<path>/codes`` — a :mod:`..tablefmt` snapshot table
+  ``(id, centroid_id, pq_code, vector)`` IDENTITY-PARTITIONED on
+  ``centroid_id``: the inverted lists ARE partition tuples, so a
+  search's ``nprobe`` routing becomes manifest partition pruning —
+  only the probed lists' files are ever planned, opened, or read
+  (the Faiss/DiskANN on-disk inverted-list layout, expressed as
+  tablefmt partitioning). The ADC phase selects only
+  ``(id, pq_code)``, so parquet column pruning keeps the raw
+  vectors out of the scan; full vectors are read only for the
+  ``k·refine`` winners (same file set, keyed join).
+
+Maintenance is O(new data) because the quantizers are FROZEN after
+build (the standard incremental-IVF pattern — recall degrades only
+if the data distribution drifts, at which point you rebuild):
+``ann_index_append`` assigns + encodes new vectors against the
+stored model and commits mode='append' (pure metadata carry +
+O(new) files) or upserts via ``snapshot_merge`` keyed on id.
+Deletes are :func:`..tablefmt.snapshot_delete` on the codes table
+(keyed CoW or O(|keys|) merge-on-read), history/time travel/tags all
+apply — "search the index the 2024-08 run used" is
+``version=``/``ref=`` away.
+
+Citations: Jégou et al. 2011 (PQ/ADC); the IVF file layout follows
+the public Faiss on-disk inverted-list design. Reference anchor: the
+reference persists its model artifact to disk and reloads it for
+serving (reference: notebooks/Model_Training.ipynb save step) — this
+is the search-index equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tablefmt as TF
+from .similarity import _dot, _norm, pq_encode, pq_train, ivf_assign
+
+try:  # pragma: no cover
+    import numpy as np
+except ImportError:  # pragma: no cover
+    np = None
+
+_MODEL_NAME = "model.json"
+_CODES_DIR = "codes"
+
+
+def _codes_path(path: str) -> str:
+    return os.path.join(path, _CODES_DIR)
+
+
+def ann_index_model(path: str) -> dict:
+    """Load the frozen quantizer artifact (raises FileNotFoundError
+    if the index was never built)."""
+    with open(os.path.join(path, _MODEL_NAME)) as f:
+        return json.load(f)
+
+
+def _index_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    assigned: DataFrame,
+    books: list,
+) -> DataFrame:
+    """(id, centroid_id, pq_code, vector) rows for the codes table."""
+    codes = pq_encode(df, vec_col, id_col, books).withColumnRenamed(
+        id_col, "__eid"
+    )
+    return (
+        assigned.join(codes, F.col("__cid") == F.col("__eid"))
+        .select(
+            F.col("__cid").alias("id"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "pq_code",
+            F.col("__cv").alias("vector"),
+        )
+    )
+
+
+def ann_index_build(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    sample_rows: int = 65536,
+) -> int:
+    """Train quantizers on ``corpus``, encode it, and persist the
+    index. Returns the codes table's version (0). Overwrites any
+    existing index at ``path``."""
+    books = pq_train(corpus, vec_col, m=m, nbits=nbits,
+                     sample_rows=sample_rows, seed=seed)
+    assigned, cent = ivf_assign(corpus, vec_col, id_col, n_centroids, seed=seed)
+    rows = _index_rows(spark, corpus, id_col, vec_col, assigned, books)
+    os.makedirs(path, exist_ok=True)
+    v = TF.snapshot_write(
+        spark, rows, _codes_path(path),
+        partition_spec=[("identity", "centroid_id")],
+        stats_cols=["id"],
+    )
+    model = {
+        "m": m,
+        "nbits": nbits,
+        "n_centroids": n_centroids,
+        "dim": int(len(books) * books[0].shape[1]),
+        "seed": seed,
+        "codebooks": [[list(map(float, row)) for row in b] for b in books],
+        "centroids": [
+            [float(x) for x in r["centroid"]]
+            for r in cent.orderBy("centroid_id").collect()
+        ],
+    }
+    TF._atomic_write_json(os.path.join(path, _MODEL_NAME), model)
+    return v
+
+
+def _cent_df(spark: SparkSession, model: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(model["centroids"])],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def _assign_frozen(
+    df: DataFrame, id_col: str, vec_col: str, cent: DataFrame
+) -> DataFrame:
+    """Nearest-centroid assignment against the FROZEN model: one
+    broadcast cross-score + per-id top-1 (the query-routing shape) —
+    new vectors never retrain anything."""
+    c = df.select(
+        F.col(id_col).alias("__cid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__cv"),
+    )
+    scored = c.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim",
+        _dot(F.col("__cv"), F.col("centroid"))
+        / (_norm(F.col("__cv")) * _norm(F.col("centroid"))),
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("__cid", "__cv", "centroid_id")
+    )
+
+
+def ann_index_append(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "append",
+) -> int:
+    """Add vectors to an existing index — O(new rows): assign + encode
+    against the frozen quantizers, then commit. ``mode='append'``
+    carries every existing file by name (duplicate ids become
+    duplicate index entries — callers with stable ids should use
+    ``mode='upsert'``, a :func:`..tablefmt.snapshot_merge` keyed on
+    id that replaces re-embedded rows via stats-pruned CoW)."""
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be append|upsert: {mode}")
+    if np is None:  # pragma: no cover
+        raise ImportError("numpy required for PQ encoding")
+    model = ann_index_model(path)
+    books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
+    assigned = _assign_frozen(new_df, id_col, vec_col, _cent_df(spark, model))
+    rows = _index_rows(spark, new_df, id_col, vec_col, assigned, books)
+    if mode == "append":
+        return TF.snapshot_write(
+            spark, rows, _codes_path(path), mode="append"
+        )
+    return TF.snapshot_merge(spark, rows, _codes_path(path), keys=["id"])
+
+
+def ann_index_search(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Search the persisted index: route each query to its ``nprobe``
+    nearest centroids, PLAN only those inverted lists' files via the
+    codes table's partition pruning, ADC-score their m-byte codes,
+    and exact-cosine refine the top ``k·refine``. Output schema
+    matches s1/s3/s6: (query_id, neighbor_id, cosine, rank) with
+    exact cosines. ``version=`` time-travels the index (tags via
+    ``TF.snapshot_tag`` on the codes table)."""
+    if np is None:  # pragma: no cover
+        raise ImportError("numpy required for ADC scoring")
+    model = ann_index_model(path)
+    books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
+    mm = len(books)
+    dsub = books[0].shape[1]
+    flat_books = np.stack(books)
+    cent = _cent_df(spark, model)
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__qv"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim",
+        _dot(F.col("__qv"), F.col("centroid"))
+        / (_norm(F.col("__qv")) * _norm(F.col("centroid"))),
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("__qid", "__qv", "centroid_id")
+    )
+    # the probed set is <= n_centroids ints — driver-side routing is
+    # the point: partition pruning plans ONLY these lists' files
+    probed = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    cpath = _codes_path(path)
+    entries: dict[str, dict] = {}
+    m_manifest = None
+    for cid in probed:
+        m_manifest, adm = TF.snapshot_scan_files(
+            cpath, "centroid_id", cid, cid, version=version
+        )
+        for e in adm:
+            entries[e["path"]] = e
+    lists = TF._visible_read(
+        spark, cpath, m_manifest or TF.read_manifest(cpath, version),
+        list(entries.values()),
+    )
+    # ADC phase: (id, centroid_id, pq_code) only — parquet column
+    # pruning keeps the vector column out of this scan
+    cand = probes.join(
+        lists.select("id", "centroid_id", "pq_code"), "centroid_id"
+    ).filter(F.col("id") != F.col("__qid"))
+    n_short = int(k * refine)
+    out_schema = "__qid long, __cid long, __adc double"
+
+    def adc_kernel(pdf):
+        import pandas as pd
+
+        qv = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-300)
+        tables = np.einsum("md,mkd->mk", qv.reshape(mm, dsub), flat_books)
+        codes = np.asarray(
+            [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+        )
+        scores = tables[np.arange(mm)[None, :], codes].sum(1)
+        order = np.argsort(-scores, kind="stable")[:n_short]
+        return pd.DataFrame(
+            {
+                "__qid": pdf["__qid"].to_numpy()[order],
+                "__cid": pdf["id"].to_numpy()[order],
+                "__adc": scores[order],
+            }
+        )
+
+    shortlist = cand.groupBy("__qid").applyInPandas(adc_kernel, out_schema)
+    # refine: exact cosines from the SAME pruned file set (vector
+    # column read only here, only for shortlisted ids)
+    refined = (
+        shortlist.join(q, "__qid")
+        .join(
+            lists.select(F.col("id").alias("__rcid"), "vector"),
+            F.col("__cid") == F.col("__rcid"),
+        )
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qv"), F.col("vector"))
+            / (_norm(F.col("__qv")) * _norm(F.col("vector"))),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col("__cid").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

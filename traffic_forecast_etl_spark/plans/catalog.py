@@ -2347,6 +2347,44 @@ def s6_ivf_pq_ann(spark, sf_dir):
     )
 
 
+@query("s7_persistent_ann")
+def s7_persistent_ann(spark, sf_dir):
+    """Persistent, incrementally-maintained ANN index (r7): IVF-PQ
+    quantizers frozen to a model artifact, inverted lists stored as
+    an identity-PARTITIONED snapshot table on centroid_id — probing
+    becomes manifest partition pruning (only the nprobe lists' files
+    are planned or read; the Faiss on-disk inverted-list layout),
+    the ADC pass reads only (id, pq_code) via parquet column pruning,
+    and appends encode new vectors against the frozen model in O(new)
+    (here: 10 re-embedded vectors upserted, then searched — the
+    append is visible and the pre-existing neighbors still rank).
+    Rows-only (k-means quantizers are iterative/seeded); recall >=
+    0.8 vs exact s1 plus append/upsert/time-travel semantics pinned
+    in test_similarity.py."""
+    import shutil
+    import tempfile
+
+    from ..operators import ann_index as AI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="s7_ann_")
+    try:
+        path = f"{tmp}/idx"
+        AI.ann_index_build(spark, emb, path, n_centroids=8, m=8)
+        clones = (
+            emb.filter(F.col("vec_id") < 10)
+            .withColumn("vec_id", (F.col("vec_id") + 1_000_000).cast("long"))
+        )
+        AI.ann_index_append(spark, clones, path, mode="upsert")
+        out = AI.ann_index_search(
+            spark, emb.filter(F.col("vec_id") < 10), path,
+            k=5, nprobe=6, refine=16,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (engine extensions)
 # ---------------------------------------------------------------------------
@@ -5010,7 +5048,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
-    "tf2_partitioned_table",
+    "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
     "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",
     "d3_simhash_pairs", "t19_bpe_train", "t18_bpe_pair_freq",
