@@ -105,6 +105,10 @@ HEADLINE = [
     # a dozen driver-synchronous snapshot commits — scheduler/commit
     # overhead, not data-plane throughput; their correctness is
     # oracle-gated and their commit costs are measured in SCALE.md.
+    # tf2 (hidden partitioning) and s7 (persistent ANN index) join
+    # that exclusion: both are snapshot-commit loops end-to-end; the
+    # pruning they exist for is pinned structurally (admitted-file
+    # counts) and measured in SCALE.md.
     "s6_ivf_pq_ann",
 ]
 

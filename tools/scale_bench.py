@@ -75,6 +75,13 @@ KEYS = [
     # r7: IVF-PQ — train/encode/route/ADC/refine all linear in the
     # corpus (codebooks fixed-size, shortlist k*refine per query)
     "s6_ivf_pq_ann",
+    # r7: persistent ANN index — build+upsert-append+search end-to-end
+    # (the s6 stages plus snapshot commits; partition-pruned probing
+    # keeps the search side O(probed lists) as the corpus grows).
+    # tf2_partitioned_table is deliberately absent: it is snapshot-
+    # commit metadata end-to-end (measured flat in SCALE.md), so a
+    # corpus-size series would time the parquet writer, not pruning.
+    "s7_persistent_ann",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py

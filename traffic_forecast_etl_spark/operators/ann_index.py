@@ -172,13 +172,17 @@ def ann_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "append",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Add vectors to an existing index — O(new rows): assign + encode
     against the frozen quantizers, then commit. ``mode='append'``
     carries every existing file by name (duplicate ids become
     duplicate index entries — callers with stable ids should use
     ``mode='upsert'``, a :func:`..tablefmt.snapshot_merge` keyed on
-    id that replaces re-embedded rows via stats-pruned CoW)."""
+    id that replaces re-embedded rows via stats-pruned CoW).
+    ``txn_app``/``txn_version``: the storage layer's idempotent-replay
+    marker — what makes the streaming ingestion sink exactly-once."""
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be append|upsert: {mode}")
     if np is None:  # pragma: no cover
@@ -189,9 +193,13 @@ def ann_index_append(
     rows = _index_rows(spark, new_df, id_col, vec_col, assigned, books)
     if mode == "append":
         return TF.snapshot_write(
-            spark, rows, _codes_path(path), mode="append"
+            spark, rows, _codes_path(path), mode="append",
+            txn_app=txn_app, txn_version=txn_version,
         )
-    return TF.snapshot_merge(spark, rows, _codes_path(path), keys=["id"])
+    return TF.snapshot_merge(
+        spark, rows, _codes_path(path), keys=["id"],
+        txn_app=txn_app, txn_version=txn_version,
+    )
 
 
 def ann_index_search(

@@ -334,6 +334,46 @@ def streaming_snapshot_merge(
     return writer.start()
 
 
+def streaming_ann_index_sink(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "upsert",
+    txn_app: str = "streaming_ann_index",
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming ingestion into a persistent ANN index
+    (:mod:`..operators.ann_index`): each micro-batch of
+    ``(id, embedding)`` rows is assigned + PQ-encoded against the
+    index's FROZEN quantizers (O(batch) — nothing retrains) and
+    committed as one versioned upsert into the partition-pruned codes
+    table, carrying ``(txn_app, epoch_id)`` so an at-least-once
+    foreachBatch redelivery is a structural no-op. The index is
+    searchable (``ann_index_search``) after every tick, and readers
+    mid-commit see the previous consistent version — a live
+    embedding-ingestion tier whose search side never blocks on the
+    write side. The index must be BUILT first (frozen quantizers are
+    the append contract); same txn_app/checkpoint-lineage caveat as
+    :func:`streaming_snapshot_merge`."""
+    from ..operators.ann_index import ann_index_append
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        ann_index_append(
+            batch.sparkSession, batch, index_path,
+            id_col=id_col, vec_col=vec_col, mode=mode,
+            txn_app=txn_app, txn_version=int(epoch_id),
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).trigger(
+        **(trigger if trigger is not None else {"availableNow": True})
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: Callable[[DataFrame, int], None] | None = None,
