@@ -2207,3 +2207,56 @@ def test_tagged_version_survives_expire(spark, tmp_path):
     T.snapshot_expire(path, keep_last=2)
     with pytest.raises(FileNotFoundError):
         T.read_manifest(path, 0)
+
+
+def test_snapshot_stats_metadata_only(spark, tmp_path):
+    """count/min/max answered from the manifest alone — exact counts,
+    SQL-null-semantics min/max, conservative None when any file lacks
+    stats, refusal under pending MoR deletes."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = _mk_events(spark, n=300, users=7, days=3)
+    T.snapshot_write(
+        spark, df, path, partition_spec=_SPEC, stats_cols=["id", "v"]
+    )
+    st = T.snapshot_stats(path, cols=["id", "v", "user_id"])
+    assert st["row_count"] == 300
+    assert st["file_count"] == len(T.manifest_files(path, T.read_manifest(path)))
+    assert st["columns"]["id"] == [0, 299]
+    assert st["columns"]["v"] == [0.0, 299.0]
+    # user_id carries no stats -> unknown, never a guess
+    assert st["columns"]["user_id"] is None
+    # version= answers historical stats
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(0,), (299,)], "id bigint"),
+        change_feed=False,
+    )
+    assert T.snapshot_stats(path)["row_count"] == 298
+    assert T.snapshot_stats(path, cols=["id"], version=0)["columns"]["id"] == [
+        0, 299,
+    ]
+    # tag resolution
+    T.snapshot_tag(path, "v0", version=0)
+    assert T.snapshot_stats(path, ref="v0")["row_count"] == 300
+    # MoR deletes refuse metadata answers
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(5,)], "id bigint"),
+        change_feed=False, mode="mor",
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        T.snapshot_stats(path)
+
+
+def test_scan_by_ref(spark, tmp_path):
+    """snapshot_scan/scan_files resolve ref= like snapshot_read."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(10)), path, stats_cols=["id"])
+    T.snapshot_tag(path, "pin")
+    T.snapshot_write(spark, _mk(spark, range(100, 110)), path, stats_cols=["id"])
+    got = T.snapshot_scan(spark, path, "id", 0, 50, ref="pin")
+    assert {r.id for r in got.collect()} == set(range(10))
+    with pytest.raises(ValueError, match="not both"):
+        T.snapshot_scan_files(path, "id", 0, 1, version=0, ref="pin")

@@ -1212,6 +1212,7 @@ def snapshot_scan_files(
     lower=None,
     upper=None,
     version: int | None = None,
+    ref: str | None = None,
 ) -> tuple[dict, list[dict]]:
     """Scan PLANNING (the Iceberg planFiles concept): return
     ``(manifest, admitted file entries)`` for a key-range predicate,
@@ -1224,6 +1225,10 @@ def snapshot_scan_files(
     manifest) comparisons over KBs of JSON, zero footer reads, zero
     Spark jobs — at 100 TB a key-ranged read is decided without
     touching storage."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = snapshot_ref_version(path, ref)
     m = read_manifest(path, version)
     dtype = _col_type(m["schema"], key)
     lo = _check_bound(lower, dtype, key, "lower")
@@ -1261,6 +1266,7 @@ def snapshot_scan_multi(
     path: str,
     bounds: dict[str, tuple],
     version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Conjunctive multi-column range scan: admit only files whose
     stats overlap EVERY ``col: (lower, upper)`` bound (either bound
@@ -1270,6 +1276,10 @@ def snapshot_scan_multi(
     per-dim prunes — the two-axis (time AND entity) read the z-order
     layout exists for. Residual predicates applied; row-identical to
     snapshot_read + filters by construction."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = snapshot_ref_version(path, ref)
     m = read_manifest(path, version)
     norm: dict[str, tuple] = {}
     empty = False
@@ -1331,6 +1341,7 @@ def snapshot_scan(
     lower=None,
     upper=None,
     version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Key-range read that plans its file list from the manifest's
     per-file min/max stats — the read-side twin of
@@ -1353,13 +1364,73 @@ def snapshot_scan(
     indexes give its dashboard queries (reference:
     dags/utils.py:98-127 DDL + dashboard.pbix consumer).
     """
-    m, admitted = snapshot_scan_files(path, key, lower, upper, version)
+    m, admitted = snapshot_scan_files(path, key, lower, upper, version, ref)
     df = _visible_read(spark, path, m, admitted)
     if lower is not None:
         df = df.filter(F.col(key) >= F.lit(lower))
     if upper is not None:
         df = df.filter(F.col(key) <= F.lit(upper))
     return df
+
+
+def snapshot_stats(
+    path: str,
+    cols: Sequence[str] | None = None,
+    version: int | None = None,
+    ref: str | None = None,
+) -> dict:
+    """Metadata-only aggregates (the Iceberg metadata-tables trick):
+    answer ``row_count`` / ``file_count`` / ``total_bytes`` and
+    per-column ``[min, max]`` for ``cols`` straight from the
+    manifest — ZERO Spark jobs, zero file opens, at any table size.
+
+    Exactness contract: counts are exact (manifest row counts are
+    written from the staging scan). Per-column min/max follow SQL
+    aggregate semantics (nulls ignored — parquet/Spark min/max stats
+    already exclude them) and are returned only when EVERY file
+    carries stats for the column; a column any file lacks maps to
+    None (unknown), never a guess. Tables with pending merge-on-read
+    deletes refuse row_count/min/max (the manifest can't subtract
+    masked rows) — compact first or read the data.
+
+    Returns ``{"row_count", "file_count", "total_bytes",
+    "columns": {col: [min, max] | None}}``."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = snapshot_ref_version(path, ref)
+    m = read_manifest(path, version)
+    if m.get("eq_deletes"):
+        raise ValueError(
+            "table has pending merge-on-read delete files — manifest "
+            "counts/mins can't subtract masked rows; snapshot_compact "
+            "materializes them, or read the data"
+        )
+    entries = manifest_files(path, m)
+    out = {
+        "row_count": sum(e["rows"] for e in entries),
+        "file_count": len(entries),
+        "total_bytes": sum(e["bytes"] for e in entries),
+        "columns": {},
+    }
+    for c in cols or []:
+        dtype = _col_type(m["schema"], c)
+        lo = hi = None
+        ok = bool(entries)
+        for e in entries:
+            if e["rows"] == 0:
+                continue  # empty file: no rows to bound
+            st = e.get("stats", {}).get(c)
+            if not st or st[0] is None or st[1] is None:
+                # all-null files also land here — indistinguishable
+                # from missing stats, so stay conservative
+                ok = False
+                break
+            mn, mx = _dec_stat(st[0], dtype), _dec_stat(st[1], dtype)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        out["columns"][c] = [lo, hi] if ok and lo is not None else None
+    return out
 
 
 def snapshot_incremental(
