@@ -2260,3 +2260,375 @@ def test_scan_by_ref(spark, tmp_path):
     assert {r.id for r in got.collect()} == set(range(10))
     with pytest.raises(ValueError, match="not both"):
         T.snapshot_scan_files(path, "id", 0, 1, version=0, ref="pin")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (r7): per-(file, col) sidecars under
+# _blooms/, point-lookup planning, keyed CoW pruning, GC, and the
+# MoR carried-file resurrection regression the bloom work surfaced.
+# ---------------------------------------------------------------------------
+
+
+def _uuid_table(spark, tmp_path, n=4000, files=16, bloom=True):
+    """n uuid-keyed rows spread UNCLUSTERED over `files` files: every
+    file's [min, max] spans ~the whole key space, so min/max pruning
+    admits everything and only blooms can skip."""
+    import random
+    import uuid as _uuid
+
+    rnd = random.Random(7)
+    ids = [_uuid.UUID(int=rnd.getrandbits(128)).hex for _ in range(n)]
+    df = spark.createDataFrame(
+        [(ids[i], i) for i in range(n)], "doc_id string, n long"
+    ).repartition(files)
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, df, path, stats_cols=["doc_id"],
+        bloom_cols=["doc_id"] if bloom else None,
+    )
+    return path, ids
+
+
+def test_bloom_lookup_prunes_where_minmax_cannot(spark, tmp_path):
+    path, ids = _uuid_table(spark, tmp_path)
+    m, by_range = T.snapshot_scan_files(path, "doc_id", ids[17], ids[17])
+    _, by_bloom = T.snapshot_lookup_files(path, "doc_id", [ids[17]])
+    total = len(T.manifest_files(path, m))
+    # min/max admits ~everything on unclustered uuids; blooms don't
+    assert len(by_range) == total
+    assert len(by_bloom) <= max(1, total // 4)
+    # and the lookup read stays exact: present keys found, absent not
+    got = T.snapshot_lookup(
+        spark, path, "doc_id", [ids[17], ids[99], "zz_not_a_key"]
+    )
+    assert sorted(r.n for r in got.collect()) == [17, 99]
+
+
+def test_bloom_false_positive_rate_within_budget(spark, tmp_path):
+    """1000 ABSENT probes against ~10 bits/key blooms: expected fpp
+    ~1%/file; assert a loose 5% ceiling on per-file admits (md5 is
+    deterministic, so this never flakes)."""
+    path, ids = _uuid_table(spark, tmp_path)
+    m = T.read_manifest(path)
+    total = len(T.manifest_files(path, m))
+    admitted = 0
+    for i in range(1000):
+        _, adm = T.snapshot_lookup_files(path, "doc_id", [f"absent-{i:06d}"])
+        admitted += len(adm)
+    assert admitted <= 0.05 * 1000 * total, admitted
+
+
+def test_bloom_merge_and_delete_prune_candidates(spark, tmp_path):
+    path, ids = _uuid_table(spark, tmp_path)
+    # candidate set for a 2-key batch (same planning rule as merge)
+    _, cand = T.snapshot_lookup_files(path, "doc_id", [ids[5], ids[2000]])
+    m = T.read_manifest(path)
+    assert len(cand) < len(T.manifest_files(path, m))
+    batch = spark.createDataFrame(
+        [(ids[5], -1), (ids[2000], -2)], "doc_id string, n long"
+    )
+    T.snapshot_merge(spark, batch, path, keys=["doc_id"])
+    got = {
+        r.doc_id: r.n
+        for r in T.snapshot_lookup(
+            spark, path, "doc_id", [ids[5], ids[2000]]
+        ).collect()
+    }
+    assert got == {ids[5]: -1, ids[2000]: -2}
+    assert T.snapshot_read(spark, path).count() == len(ids)
+    # rewritten files got FRESH blooms: the new values are findable
+    T.snapshot_delete(
+        spark, path, keys=["doc_id"],
+        keys_df=spark.createDataFrame([(ids[10],)], "doc_id string"),
+        change_feed=False,
+    )
+    assert T.snapshot_read(spark, path).count() == len(ids) - 1
+    assert T.snapshot_lookup(spark, path, "doc_id", [ids[10]]).count() == 0
+
+
+def test_bloom_typed_keys_roundtrip(spark, tmp_path):
+    """Build-side (pandas/numpy) and probe-side (driver literals)
+    canonical encodings agree for int, date, timestamp, and decimal
+    keys — including a decimal probe at a different scale."""
+    import datetime
+    from decimal import Decimal
+
+    rows = [
+        (
+            i,
+            datetime.date(2024, 1 + i % 12, 1 + i % 28),
+            datetime.datetime(2024, 1, 1, i % 24, i % 60),
+            Decimal(i) / 4,
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, dt date, ts timestamp, dec decimal(10,2)"
+    ).repartition(6)
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, df, path, stats_cols=["k"], bloom_cols=["k", "dt", "ts", "dec"]
+    )
+    for col, probe in [
+        ("k", 123),
+        ("dt", datetime.date(2024, 2, 2)),
+        ("ts", datetime.datetime(2024, 1, 1, 5, 5)),
+        ("dec", Decimal("25")),  # stored as 25.00
+    ]:
+        exact = df.filter(F.col(col) == F.lit(probe)).count()
+        assert exact > 0, (col, "vacuous probe")
+        got = T.snapshot_lookup(spark, path, col, [probe]).count()
+        assert got == exact, (col, got, exact)
+        _, adm = T.snapshot_lookup_files(path, col, [probe])
+        assert len(adm) >= 1
+
+
+def test_bloom_inheritance_and_validation(spark, tmp_path):
+    path, ids = _uuid_table(spark, tmp_path)
+    assert T.read_manifest(path).get("bloom_cols") == ["doc_id"]
+    # append inherits and blooms its new files
+    extra = spark.createDataFrame([("zzz-appended", 9999)], "doc_id string, n long")
+    T.snapshot_write(spark, extra, path, mode="append")
+    assert T.read_manifest(path).get("bloom_cols") == ["doc_id"]
+    # every NON-EMPTY file carries a bloom (empty part files have no
+    # rows to index and admit conservatively)
+    missing = [
+        e for e in T.manifest_files(path, T.read_manifest(path))
+        if e["rows"] > 0 and not (e.get("blooms") or {}).get("doc_id")
+    ]
+    assert not missing, missing
+    _, adm = T.snapshot_lookup_files(path, "doc_id", ["zzz-appended"])
+    assert 1 <= len(adm) <= 2
+    # append may not CHANGE the bloom spec
+    with pytest.raises(ValueError, match="bloom_cols"):
+        T.snapshot_write(
+            spark, extra, path, mode="append", bloom_cols=["n"]
+        )
+    # overwrite without bloom_cols drops them (table redefined)
+    T.snapshot_write(spark, extra, path)
+    assert T.read_manifest(path).get("bloom_cols") is None
+
+
+def test_bloom_missing_sidecar_admits_conservatively(spark, tmp_path):
+    """Pruning is an optimization, never a filter: with sidecars
+    deleted from disk, lookups admit the file and stay exact."""
+    path, ids = _uuid_table(spark, tmp_path, n=500, files=4)
+    import glob
+    import os as _os
+
+    T._BLOOM_CACHE.clear()
+    for p in glob.glob(_os.path.join(path, T._BLOOMS_DIR, "*.bloom")):
+        _os.remove(p)
+    got = T.snapshot_lookup(spark, path, "doc_id", [ids[3]]).collect()
+    assert [r.n for r in got] == [3]
+    _, adm = T.snapshot_lookup_files(path, "doc_id", [ids[3]])
+    assert len(adm) == 4  # all admitted: no bloom evidence to skip
+
+
+def test_bloom_compact_rebuilds_and_gc_collects(spark, tmp_path):
+    import glob
+    import os as _os
+
+    path, ids = _uuid_table(spark, tmp_path, n=1000, files=8)
+    T.snapshot_compact(spark, path, target_bytes=1 << 22)
+    # compacted files carry fresh blooms; lookups still exact
+    assert T.snapshot_lookup(spark, path, "doc_id", [ids[42]]).count() == 1
+    before = len(glob.glob(_os.path.join(path, T._BLOOMS_DIR, "*.bloom")))
+    T.snapshot_expire(path, keep_last=1)
+    after = glob.glob(_os.path.join(path, T._BLOOMS_DIR, "*.bloom"))
+    assert len(after) < before
+    refd = {
+        _os.path.basename(b["path"])
+        for e in T.manifest_files(path, T.read_manifest(path))
+        for b in (e.get("blooms") or {}).values()
+    }
+    assert {_os.path.basename(p) for p in after} == refd
+    # vacuum keeps every referenced sidecar
+    T.vacuum(path)
+    assert {
+        _os.path.basename(p)
+        for p in glob.glob(_os.path.join(path, T._BLOOMS_DIR, "*.bloom"))
+    } == refd
+    assert T.snapshot_lookup(spark, path, "doc_id", [ids[42]]).count() == 1
+
+
+def test_bloom_null_probe_and_null_keys(spark, tmp_path):
+    """NULLs are never inserted into blooms; a NULL probe admits all
+    files (no pruning) and the residual filter keeps SQL IN
+    semantics (NULL matches nothing)."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "k string, n long"
+    )
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, df, path, stats_cols=["k"], bloom_cols=["k"])
+    m, adm = T.snapshot_lookup_files(path, "k", [None])
+    assert len(adm) == len(T.manifest_files(path, m))
+    assert T.snapshot_lookup(spark, path, "k", [None]).count() == 0
+    assert T.snapshot_lookup(spark, path, "k", ["a", None]).count() == 1
+
+
+def test_merge_keeps_pending_mor_deletes(spark, tmp_path):
+    """r7 regression: a CoW merge whose batch does NOT touch the file
+    holding a MoR-deleted key must carry the pending delete files
+    into its commit — dropping them resurrected deleted rows."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark,
+        _mk(spark, range(10)).repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(3,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    # range-clustered files: batch key 7 provably does NOT touch the
+    # file holding id=3, which is carried by name into the new version
+    T.snapshot_merge(spark, _mk(spark, [7], "u"), path, keys=["id"])
+    got = {r.id for r in T.snapshot_read(spark, path).collect()}
+    assert 3 not in got and len(got) == 9
+    assert T.read_manifest(path).get("eq_deletes"), "delete files dropped"
+
+
+# ---------------------------------------------------------------------------
+# Write–Audit–Publish (r7): staged commits under _manifests/staged-*,
+# audit reads, rebase/fast-forward publish, abandon + GC, txn replay.
+# ---------------------------------------------------------------------------
+
+
+def test_wap_stage_audit_publish_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+    w = T.snapshot_stage_write(
+        spark, _mk(spark, range(5, 8)), path, mode="append", stats_cols=["id"]
+    )
+    # LATEST unmoved; readers see the current version only
+    assert T.current_version(path) == 0
+    assert T.snapshot_read(spark, path).count() == 5
+    # audit view = would-be published table
+    aud = T.snapshot_read_staged(spark, path, w)
+    assert sorted(r.id for r in aud.collect()) == list(range(8))
+    staged = T.snapshot_list_staged(path)
+    assert [s["wap_id"] for s in staged] == [w]
+    assert staged[0]["n_rows"] == 3
+    v = T.snapshot_publish(path, w)
+    assert v == 1
+    assert sorted(r.id for r in T.snapshot_read(spark, path).collect()) == list(
+        range(8)
+    )
+    assert not T.snapshot_list_staged(path)
+    with pytest.raises(FileNotFoundError):  # consumed
+        T.snapshot_publish(path, w)
+
+
+def test_wap_append_publish_rebases_over_concurrent_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+    w = T.snapshot_stage_write(spark, _mk(spark, [7]), path, mode="append")
+    T.snapshot_write(spark, _mk(spark, [100]), path, mode="append")
+    v = T.snapshot_publish(path, w)  # rebase: carry CURRENT files
+    assert v == 2
+    got = sorted(r.id for r in T.snapshot_read(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 7, 100]
+
+
+def test_wap_overwrite_fast_forward_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    w = T.snapshot_stage_write(spark, _mk(spark, [1, 2], "z"), path, mode="overwrite")
+    T.snapshot_write(spark, _mk(spark, [200]), path, mode="append")
+    with pytest.raises(T.SnapshotConflictError, match="re-stage"):
+        T.snapshot_publish(path, w)
+    T.snapshot_abandon(path, w)
+    w2 = T.snapshot_stage_write(spark, _mk(spark, [1, 2], "z"), path, mode="overwrite")
+    T.snapshot_publish(path, w2)
+    assert sorted(r.id for r in T.snapshot_read(spark, path).collect()) == [1, 2]
+
+
+def test_wap_abandon_and_vacuum_gc(spark, tmp_path):
+    import glob
+    import os as _os
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    w = T.snapshot_stage_write(spark, _mk(spark, [50]), path, mode="append")
+    # vacuum must NOT collect a live stage's files
+    T.vacuum(path)
+    aud = T.snapshot_read_staged(spark, path, w)
+    assert sorted(r.id for r in aud.collect()) == [0, 1, 2, 50]
+    T.snapshot_abandon(path, w)
+    removed = T.vacuum(path)
+    assert any(r.startswith(f"{T._DATA_DIR}/") for r in removed), removed
+    with pytest.raises(FileNotFoundError):
+        T.snapshot_read_staged(spark, path, w)
+    # expire likewise protects a live stage
+    w2 = T.snapshot_stage_write(spark, _mk(spark, [60]), path, mode="append")
+    T.snapshot_write(spark, _mk(spark, [70]), path, mode="append")
+    T.snapshot_expire(path, keep_last=1)
+    assert sorted(
+        r.id for r in T.snapshot_read_staged(spark, path, w2).collect()
+    ) == [0, 1, 2, 60, 70]
+
+
+def test_wap_publish_txn_replay_is_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    w = T.snapshot_stage_write(spark, _mk(spark, [60]), path, mode="append")
+    v1 = T.snapshot_publish(path, w, txn_app="etl", txn_version=9)
+    w2 = T.snapshot_stage_write(spark, _mk(spark, [60]), path, mode="append")
+    v2 = T.snapshot_publish(path, w2, txn_app="etl", txn_version=9)
+    assert v2 == v1  # replayed: consumed without committing
+    assert T.snapshot_read(spark, path).filter("id = 60").count() == 1
+
+
+def test_wap_audit_view_matches_publish_under_mor_deletes(spark, tmp_path):
+    """Staged entries preview the publish sequence, so pending
+    merge-on-read deletes never mask a staged re-insert in the audit
+    view — audit result ≡ publish result, the property that makes the
+    audit trustworthy."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path, stats_cols=["id"])
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(3,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    w = T.snapshot_stage_write(spark, _mk(spark, [3], "re"), path, mode="append")
+    aud = sorted(
+        (r.id, r.val)
+        for r in T.snapshot_read_staged(spark, path, w).collect()
+    )
+    T.snapshot_publish(path, w)
+    pub = sorted(
+        (r.id, r.val) for r in T.snapshot_read(spark, path).collect()
+    )
+    assert aud == pub
+    assert (3, "re3") in pub and (3, "v3") not in pub
+
+
+def test_wap_stage_requires_table_and_validates_mode(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        T.snapshot_stage_write(spark, _mk(spark, [1]), path)
+    T.snapshot_write(spark, _mk(spark, [1]), path)
+    with pytest.raises(ValueError, match="append|overwrite"):
+        T.snapshot_stage_write(spark, _mk(spark, [2]), path, mode="merge")
+
+
+def test_wap_partitioned_append_checks_spec(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ev = _mk_events(spark, n=100)
+    T.snapshot_write(
+        spark, ev, path, partition_spec=[("days", "event_time")],
+        stats_cols=["id"],
+    )
+    w = T.snapshot_stage_write(spark, _mk_events(spark, n=10), path, mode="append")
+    # staged files carry partition tuples; publish keeps pruning exact
+    v = T.snapshot_publish(path, w)
+    m = T.read_manifest(path, v)
+    assert all(
+        e.get("partition") is not None
+        for e in T.manifest_files(path, m)
+        if e["rows"] > 0
+    )

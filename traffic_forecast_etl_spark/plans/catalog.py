@@ -4397,6 +4397,66 @@ def tf2_partitioned_table(spark, sf_dir):
 
 
 @query(
+    "tf3_point_lookup",
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS uk, lang, n_chars
+    FROM documents
+    WHERE doc_id % 37 = 0
+    """,
+)
+def tf3_point_lookup(spark, sf_dir):
+    """Bloom-filter point lookup through the snapshot table format
+    (r7): documents land in a snapshot table keyed by an md5
+    surrogate (UNCLUSTERED — every file's [min, max] spans the whole
+    key space, so min/max stats cannot prune a point probe) written
+    with ``bloom_cols``, then a batch of present + absent keys is
+    read back via ``snapshot_lookup``, which plans the file list from
+    per-file bloom sidecars on the driver. The oracle recomputes the
+    same md5 surrogate in DuckDB, value-verifying that bloom pruning
+    is an optimization, never a filter (false positives cost I/O,
+    false negatives don't exist). Probe keys are derived by predicate
+    (doc_id % 37 = 0) so both sides agree without side channels."""
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("uk"),
+        "lang",
+        "n_chars",
+    )
+    tmp = tempfile.mkdtemp(prefix="tf3_lookup_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(
+            spark,
+            docs.repartition(16),
+            path,
+            stats_cols=["uk"],
+            bloom_cols=["uk"],
+        )
+        probes = [
+            r["uk"]
+            for r in docs.filter(F.col("doc_id") % 37 == 0)
+            .select("uk")
+            .collect()
+        ]
+        # absent keys exercise the bloom reject path; the residual
+        # isin filter keeps the result exact either way
+        probes += [f"absent-{i:04d}" for i in range(32)]
+        out = (
+            TF.snapshot_lookup(spark, path, "uk", probes)
+            .select("doc_id", "uk", "lang", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "j11_edit_distance_join",
     """
     WITH names AS (
@@ -5048,6 +5108,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
+    "tf3_point_lookup",
     "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
     "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",

@@ -15,6 +15,9 @@ Layout::
 
     <table>/data/<uuid>-partNNN.parquet   immutable data files
     <table>/_changes/<uuid>.parquet       row-level change-feed files
+    <table>/_blooms/<uuid>-<col>.bloom    per-(file, col) bloom
+                                          sidecars (point-lookup /
+                                          keyed-CoW file skipping)
     <table>/_manifests/v00000017.json     {"version", "parent", "op",
                                            "schema", "files": [...]}
                                           -- or, sharded (v2):
@@ -65,11 +68,12 @@ from __future__ import annotations
 import base64
 import datetime as _dt
 import decimal as _decimal
+import hashlib
 import json
 import os
 import shutil
 import uuid
-from bisect import bisect_left
+from bisect import bisect_left, bisect_right
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,6 +97,14 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
 _DELETES_DIR = "_deletes"
+_BLOOMS_DIR = "_blooms"
+# bloom sizing: ~10 bits/key with k=7 gives ~1% false-positive rate
+# (Bloom 1970); m is rounded to whole bytes and clamped so a sidecar
+# is never smaller than 128 B or larger than 2 MiB per (file, col)
+_BLOOM_K = 7
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 24
 # above this many distinct batch keys, prune on the batch's overall
 # [min, max] range instead of the exact sorted-key bisect
 _EXACT_PRUNE_MAX_KEYS = 100_000
@@ -593,6 +605,244 @@ _PART_TEMPORAL = {
 _BUCKET_OK = ("tinyint", "smallint", "int", "bigint", "string", "date")
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (the Iceberg Puffin / Delta bloom-index
+# concept, built from the public definition: Bloom 1970 + the
+# Kirsch–Mitzenmacher double-hashing scheme)
+#
+# Min/max stats prune RANGE predicates, but on a high-cardinality
+# UNCLUSTERED key (uuids, user ids) every file's [min, max] spans the
+# whole key space and a point lookup admits the entire table. A
+# per-(file, column) bloom filter answers "can this file contain this
+# exact key?" with no false negatives, so a point lookup — or a
+# GDPR-style keyed DELETE/MERGE batch — touches only the files whose
+# bloom admits a batch key (+ the fpp). The bitmaps live in SIDECAR
+# files under _blooms/ (KBs–MBs each), NOT in the manifest JSON: the
+# manifest stays O(files) small, and planning loads a sidecar lazily
+# only for files that already survived min/max + partition pruning.
+# Hashing is md5-based and computed in plain Python on BOTH sides
+# (executor build, driver probe), so the encoding is portable and
+# deterministic — no dependence on JVM hash internals.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_m(rows: int) -> int:
+    """Bitmap size (bits, multiple of 8) for an expected ``rows``
+    distinct keys at ~10 bits/key, clamped to [128 B, 2 MiB]. Above
+    the cap the filter stays CORRECT (no false negatives) — its
+    false-positive rate just degrades, so pruning weakens gracefully
+    on pathologically huge files instead of bloating the metadata."""
+    m = max(_BLOOM_MIN_BITS, min(_BLOOM_MAX_BITS, int(rows) * _BLOOM_BITS_PER_KEY))
+    return (m + 7) & ~7
+
+
+def _bloom_canon(v) -> bytes | None:
+    """Canonical byte encoding of a key value, identical between the
+    executor-side build (pandas/numpy scalars) and the driver-side
+    probe (collected Row values / caller literals). Type-prefixed so
+    e.g. int 1 and string "1" never collide. None/NaN return None —
+    NULL keys are never inserted (and a NULL probe admits all)."""
+    if v is None:
+        return None
+    try:
+        if v != v:  # float NaN / NaT / Decimal NaN
+            return None
+    except TypeError:
+        pass
+    if hasattr(v, "to_pydatetime"):  # pd.Timestamp
+        v = v.to_pydatetime()
+    elif hasattr(v, "item") and not isinstance(
+        v, (str, bytes, bytearray, _dt.date, _dt.datetime, _decimal.Decimal)
+    ):
+        try:  # numpy scalar -> python native
+            v = v.item()
+        except Exception:
+            pass
+    if isinstance(v, bool):
+        return b"b:1" if v else b"b:0"
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, float):
+        return ("f:" + repr(v)).encode("ascii")
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return b"y:" + bytes(v)
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        return ("t:" + v.isoformat()).encode("ascii")
+    if isinstance(v, _dt.date):
+        return ("D:" + v.isoformat()).encode("ascii")
+    if isinstance(v, _decimal.Decimal):
+        # scale-insensitive: Decimal("5") and Decimal("5.00") encode
+        # identically (a probe literal needn't match the column scale)
+        return ("d:" + format(v.normalize(), "f")).encode("ascii")
+    raise TypeError(
+        f"unsupported bloom key type {type(v).__name__}: {v!r}"
+    )
+
+
+def _bloom_digest(data: bytes) -> tuple[int, int]:
+    """(h1, h2) for double hashing: position_i = (h1 + i*h2) mod m.
+    One md5 per value regardless of k; h2 forced odd so the probe
+    sequence never degenerates."""
+    d = hashlib.md5(data).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_set(bits: bytearray, m: int, h1: int, h2: int) -> None:
+    for i in range(_BLOOM_K):
+        p = (h1 + i * h2) % m
+        bits[p >> 3] |= 1 << (p & 7)
+
+
+def _bloom_contains(bits: bytes, m: int, k: int, h1: int, h2: int) -> bool:
+    for i in range(k):
+        p = (h1 + i * h2) % m
+        if not bits[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
+# tiny driver-side sidecar cache (a merge/delete probes the same few
+# candidate files repeatedly within one planning pass)
+_BLOOM_CACHE: dict[tuple[str, str], bytes] = {}
+_BLOOM_CACHE_MAX = 128
+
+
+def _load_bloom(path: str, meta: dict) -> bytes | None:
+    """Load a bloom sidecar; None (→ conservative admit) if missing —
+    pruning is an optimization, never a filter, so a vacuumed or
+    corrupt sidecar can only cost performance."""
+    key = (path, meta["path"])
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    full = os.path.join(path, meta["path"])
+    try:
+        with open(full, "rb") as f:
+            bits = f.read()
+    except OSError:
+        return None
+    if len(bits) * 8 != meta["m"]:
+        return None  # truncated/corrupt: admit conservatively
+    if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    _BLOOM_CACHE[key] = bits
+    return bits
+
+
+def _build_blooms(
+    spark: SparkSession,
+    scan: DataFrame,
+    path: str,
+    cols: list[str],
+    rows_by_file: dict[str, int],
+) -> dict[str, dict[str, dict]]:
+    """Build per-(staged file, column) bloom sidecars DISTRIBUTEDLY:
+    one Arrow-batched group per file (the same unit the stats pass
+    aggregates), hashing that file's distinct keys and writing the
+    bitmap to ``_blooms/`` from the executor — the driver only
+    collects the O(files × cols) pointer rows it records in the
+    manifest. Returns {file rel name: {col: entry meta}}."""
+    import pandas as pd  # local: only the bloom path needs it
+
+    os.makedirs(os.path.join(path, _BLOOMS_DIR), exist_ok=True)
+    m_by_file = {rel: _bloom_m(n) for rel, n in rows_by_file.items()}
+    table_path = path
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rel = os.path.basename(pdf["__file"].iloc[0].replace("file:", ""))
+        m = m_by_file.get(rel) or _bloom_m(len(pdf))
+        out = []
+        for c in cols:
+            ser = pdf[c].dropna()
+            if pd.api.types.is_datetime64_any_dtype(ser):
+                vals = list(pd.to_datetime(pd.Series(ser.unique())))
+            else:
+                vals = list(ser.unique())
+            bits = bytearray(m // 8)
+            n = 0
+            for v in vals:
+                canon = _bloom_canon(v)
+                if canon is None:
+                    continue
+                h1, h2 = _bloom_digest(canon)
+                _bloom_set(bits, m, h1, h2)
+                n += 1
+            name = f"{uuid.uuid4().hex[:16]}-{c}.bloom"
+            tmp = os.path.join(
+                table_path, _BLOOMS_DIR, f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "wb") as f:
+                f.write(bytes(bits))
+            os.replace(tmp, os.path.join(table_path, _BLOOMS_DIR, name))
+            out.append((rel, c, f"{_BLOOMS_DIR}/{name}", m, _BLOOM_K, n))
+        return pd.DataFrame(
+            out, columns=["file", "col", "path", "m", "k", "n"]
+        )
+
+    rows = (
+        scan.select("__file", *cols)
+        .groupBy("__file")
+        .applyInPandas(
+            build, schema="file string, col string, path string, m long, k int, n long"
+        )
+        .collect()
+    )
+    result: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        result.setdefault(r["file"], {})[r["col"]] = {
+            "path": r["path"], "m": int(r["m"]), "k": int(r["k"]),
+            "n": int(r["n"]),
+        }
+    return result
+
+
+def _bloom_prefilter(
+    path: str,
+    entries: list[dict],
+    col: str,
+    sorted_keys: list | None,
+    dtype: DataType,
+) -> list[dict]:
+    """Drop entries whose bloom PROVES no batch key is present.
+    Entries without a bloom for ``col`` (older files, evolved
+    columns) pass through untouched; with ``sorted_keys`` None (range
+    prune only) blooms can't help, identity. Each file probes only
+    the batch keys inside its own [min, max] (bisect), and digests
+    are computed once per batch key, not per (file, key)."""
+    if sorted_keys is None or not entries:
+        return entries
+    if not any(e.get("blooms", {}).get(col) for e in entries):
+        return entries
+    digests: list[tuple[int, int] | None] = []
+    for kv in sorted_keys:
+        canon = _bloom_canon(kv)
+        digests.append(None if canon is None else _bloom_digest(canon))
+    out = []
+    for e in entries:
+        meta = (e.get("blooms") or {}).get(col)
+        if not meta:
+            out.append(e)
+            continue
+        i0, i1 = 0, len(sorted_keys)
+        st = e.get("stats", {}).get(col)
+        if st and st[0] is not None and st[1] is not None:
+            fmin, fmax = _dec_stat(st[0], dtype), _dec_stat(st[1], dtype)
+            i0 = bisect_left(sorted_keys, fmin)
+            i1 = bisect_right(sorted_keys, fmax)
+        bits = _load_bloom(path, meta)
+        if bits is None:
+            out.append(e)
+            continue
+        m, k = meta["m"], meta["k"]
+        for d in digests[i0:i1]:
+            if d is None or _bloom_contains(bits, m, k, d[0], d[1]):
+                out.append(e)
+                break
+    return out
+
+
 def _norm_partition_spec(spec, schema_json: str) -> list[dict]:
     """Normalize/validate a caller partition spec (tuples or dicts)
     against the table schema; returns the canonical dict form stored
@@ -835,6 +1085,7 @@ def _stage_files(
     stats_cols: Sequence[str],
     subdir: str = _DATA_DIR,
     partition_spec: list[dict] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable files under ``subdir`` (data/
     for table files, _changes/ for change-feed files) and return
@@ -850,7 +1101,11 @@ def _stage_files(
     null-fill). The tuple is recovered by re-deriving the transforms
     over each staged file's own rows in the same stats aggregate (no
     path parsing, no type guessing), verified single-valued, and
-    recorded in the entry as ``"partition"``."""
+    recorded in the entry as ``"partition"``.
+
+    ``bloom_cols``: also build per-(file, col) bloom sidecars (see
+    the bloom section comment) for the named columns present in
+    ``df``; each entry records its pointers under ``"blooms"``."""
     staging = os.path.join(path, f"__stage_{uuid.uuid4().hex}")
     part_cols: list[str] = []
     if partition_spec:
@@ -898,6 +1153,13 @@ def _stage_files(
         os.path.basename(r["__file"].replace("file:", "")): r
         for r in scan.groupBy("__file").agg(*aggs).collect()
     }
+    bloom_map: dict[str, dict[str, dict]] = {}
+    bcols = [c for c in (bloom_cols or []) if c in df.columns]
+    if bcols:
+        bloom_map = _build_blooms(
+            spark, scan, path, bcols,
+            {rel: int(r["__rows"]) for rel, r in stat_rows.items()},
+        )
     entries = []
     for abs_p, rel in moved:
         r = stat_rows.get(rel)
@@ -912,6 +1174,8 @@ def _stage_files(
             if r is not None
             else {},
         }
+        if bloom_map.get(rel):
+            entry["blooms"] = bloom_map[rel]
         if partition_spec:
             if r is None:
                 entry["partition"] = None  # empty file: admit always
@@ -940,6 +1204,7 @@ def _commit(
     changes: list[dict] | None = None,
     eq_deletes: list[dict] | None = None,
     partition_spec: list[dict] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """``entries`` is a plain list (inline v1 file list) or a fileset
     dict from :func:`_fileset_for_commit` ({"files": ...} or
@@ -979,6 +1244,8 @@ def _commit(
         manifest["eq_deletes"] = eq_deletes
     if partition_spec:
         manifest["partition_spec"] = partition_spec
+    if bloom_cols:
+        manifest["bloom_cols"] = list(bloom_cols)
     target = _manifest_path(path, version)
     if os.path.exists(target):
         raise SnapshotConflictError(
@@ -1057,6 +1324,7 @@ def snapshot_write(
     txn_app: str | None = None,
     txn_version: int | None = None,
     partition_spec: Sequence | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version. ``mode='overwrite'``
     replaces the logical contents (old files stay on disk for time
@@ -1089,7 +1357,13 @@ def snapshot_write(
     txnAppId/txnVersion pattern). If this app already committed a
     version >= ``txn_version``, the call is a NO-OP returning the
     current table version — the property that makes an at-least-once
-    micro-batch replay exactly-once at the table."""
+    micro-batch replay exactly-once at the table.
+
+    ``bloom_cols`` (overwrite / first commit only, inherited by every
+    later commit like the partition spec): build per-file bloom
+    sidecars on these columns so point lookups and keyed
+    MERGE/DELETE batches prune files min/max stats can't (see the
+    bloom section comment)."""
     if mode not in ("overwrite", "append", "replace_partitions"):
         raise ValueError(
             f"mode must be overwrite|append|replace_partitions: {mode}"
@@ -1125,19 +1399,28 @@ def snapshot_write(
                         f"{mode} cannot change the partition spec (table "
                         f"has {spec}, got {given}) — overwrite to repartition"
                     )
+            bcols = m_parent.get("bloom_cols")
+            if bloom_cols is not None and list(bloom_cols) != (bcols or []):
+                raise ValueError(
+                    f"{mode} cannot change bloom_cols (table has {bcols}, "
+                    f"got {list(bloom_cols)}) — overwrite to redefine"
+                )
         else:
             spec = (
                 _norm_partition_spec(partition_spec, schema_json)
                 if partition_spec is not None
                 else None
             )
+            bcols = list(bloom_cols) if bloom_cols else None
         if mode == "replace_partitions" and not spec:
             raise ValueError(
                 "replace_partitions needs a partitioned table (write the "
                 "first version with partition_spec=...)"
             )
         stats = list(stats_cols or [])
-        entries = _stage_files(spark, df, path, stats, partition_spec=spec)
+        entries = _stage_files(
+            spark, df, path, stats, partition_spec=spec, bloom_cols=bcols
+        )
         if mode == "replace_partitions" and m_parent is not None:
             incoming = {
                 tuple(e["partition"])
@@ -1177,6 +1460,7 @@ def snapshot_write(
             # overwrite replaces the table, so they die with it
             eq_deletes=(m_parent or {}).get("eq_deletes"),
             partition_spec=spec,
+            bloom_cols=bcols,
         )
     finally:
         release_writer_lease(path, holder)
@@ -1259,6 +1543,76 @@ def snapshot_scan_files(
         if padmit(e) and _touched(e, key, lo, hi, None, dtype)
     ]
     return m, admitted
+
+
+def snapshot_lookup_files(
+    path: str,
+    key: str,
+    values: Sequence,
+    version: int | None = None,
+    ref: str | None = None,
+) -> tuple[dict, list[dict]]:
+    """Point-lookup scan PLANNING: return ``(manifest, admitted file
+    entries)`` for ``key IN values``, pruning in three stages —
+    partition-transform tuples, per-file min/max (exact-membership
+    bisect, the snapshot_merge rule), then per-file BLOOM sidecars
+    when the table was written with ``bloom_cols`` including ``key``.
+    On a high-cardinality unclustered key (uuids), min/max admits
+    nearly every file; the bloom stage cuts that to the files that
+    can actually hold a probed value (+ ~1% fpp) — the metadata read
+    costs O(admitted-after-minmax) sidecar loads, still zero data
+    files, zero Spark jobs. Files without a bloom (pre-bloom commits,
+    evolved columns) are admitted conservatively; a NULL probe value
+    admits everything (blooms never index NULL)."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = snapshot_ref_version(path, ref)
+    m = read_manifest(path, version)
+    dtype = _col_type(m["schema"], key)
+    vals = sorted(
+        {_norm_key(_check_bound(v, dtype, key, "lookup")) for v in values
+         if v is not None}
+    )
+    if not vals:
+        if any(v is None for v in values):  # NULL probe: no pruning
+            return m, manifest_files(path, m)
+        return m, []
+    lo, hi = vals[0], vals[-1]
+    padmit = _compile_part_prune(
+        m.get("partition_spec"), m["schema"], key, lo, hi, vals
+    )
+    if "segments" in m:
+        pool = []
+        for seg in m["segments"]:
+            if _seg_admits(seg, key, lo, hi, dtype):
+                pool.extend(_read_segment(path, seg))
+    else:
+        pool = list(m["files"])
+    admitted = [
+        e for e in pool if padmit(e) and _touched(e, key, lo, hi, vals, dtype)
+    ]
+    if (m.get("bloom_cols") or []) and key in m["bloom_cols"]:
+        admitted = _bloom_prefilter(path, admitted, key, vals, dtype)
+    return m, admitted
+
+
+def snapshot_lookup(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    values: Sequence,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Point lookup: rows where ``key IN values``, reading only the
+    files :func:`snapshot_lookup_files` admits; the residual ``isin``
+    filter keeps the result row-identical to snapshot_read + filter
+    however the pruning went (bloom false positives only cost I/O,
+    never correctness)."""
+    m, admitted = snapshot_lookup_files(path, key, values, version, ref)
+    df = _visible_read(spark, path, m, admitted)
+    return df.filter(F.col(key).isin(list(values)))
 
 
 def snapshot_scan_multi(
@@ -1625,6 +1979,7 @@ def snapshot_merge(
             F.max(k0).alias("hi"),
             F.approx_count_distinct(k0).alias("n"),
         ).collect()[0]
+        bcols = m.get("bloom_cols")
         if bounds["lo"] is None:
             carry = _fileset_for_commit(path, m, set(), set(), [], schema_json)
             return _commit(
@@ -1632,6 +1987,7 @@ def snapshot_merge(
                 changes=[] if change_feed else None,
                 eq_deletes=m.get("eq_deletes"),
                 partition_spec=spec,
+                bloom_cols=bcols,
             )
         k0_type = _col_type(schema_json, k0)
         sorted_keys = None
@@ -1648,6 +2004,8 @@ def snapshot_merge(
             for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
             if padmit(e) and _touched(e, k0, lo, hi, sorted_keys, k0_type)
         ]
+        if bcols and k0 in bcols:
+            touched = _bloom_prefilter(path, touched, k0, sorted_keys, k0_type)
         removed = None
         if touched:
             existing = _visible_read(spark, path, m, touched, schema=table_schema)
@@ -1664,7 +2022,9 @@ def snapshot_merge(
             m,
             {e["path"] for e in touched},
             {e["_seg"] for e in touched if e.get("_seg") is not None},
-            _stage_files(spark, out, path, keys, partition_spec=spec),
+            _stage_files(
+                spark, out, path, keys, partition_spec=spec, bloom_cols=bcols
+            ),
             schema_json,
         )
         changes = None
@@ -1679,7 +2039,15 @@ def snapshot_merge(
             )
         return _commit(
             path, fileset, "merge", schema_json, parent, txns, changes=changes,
+            # pending merge-on-read delete files stay in force for the
+            # files this merge did NOT rewrite (the rewrite itself
+            # materializes deletes via _visible_read, and the new
+            # files' higher sequence keeps old deletes off them);
+            # dropping them here resurrected deleted rows (r7 bugfix,
+            # pinned by test_merge_keeps_pending_mor_deletes)
+            eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
+            bloom_cols=bcols,
         )
     finally:
         release_writer_lease(path, holder)
@@ -1767,6 +2135,7 @@ def snapshot_delete(
             txns[txn_app] = txn_version
         m = read_manifest(path, parent)
         spec = m.get("partition_spec")
+        bcols = m.get("bloom_cols")
         schema_json = m["schema"]
         table_schema = StructType.fromJson(json.loads(schema_json))
 
@@ -1788,6 +2157,7 @@ def snapshot_delete(
                     path, carry, "delete", schema_json, parent, txns,
                     eq_deletes=m.get("eq_deletes"),
                     partition_spec=spec,
+                    bloom_cols=bcols,
                 )
             k0_type = _col_type(schema_json, k0)
             sorted_keys = None
@@ -1805,6 +2175,10 @@ def snapshot_delete(
                 for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
                 if padmit(e) and _touched(e, k0, lo, hi, sorted_keys, k0_type)
             ]
+            if bcols and k0 in bcols:
+                candidates = _bloom_prefilter(
+                    path, candidates, k0, sorted_keys, k0_type
+                )
             if mode == "mor":
                 new_version = parent + 1
                 d_staged = _stage_files(
@@ -1840,6 +2214,7 @@ def snapshot_delete(
                     changes=changes,
                     eq_deletes=list(m.get("eq_deletes") or []) + d_entries,
                     partition_spec=spec,
+                    bloom_cols=bcols,
                 )
         else:
             cond = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1893,7 +2268,10 @@ def snapshot_delete(
                 m,
                 {e["path"] for e in candidates},
                 {e["_seg"] for e in candidates if e.get("_seg") is not None},
-                _stage_files(spark, kept, path, stats_cols, partition_spec=spec),
+                _stage_files(
+                    spark, kept, path, stats_cols,
+                    partition_spec=spec, bloom_cols=bcols,
+                ),
                 schema_json,
             )
             if change_feed:
@@ -1910,6 +2288,7 @@ def snapshot_delete(
             path, fileset, "delete", schema_json, parent, txns, changes=changes,
             eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
+            bloom_cols=bcols,
         )
     finally:
         release_writer_lease(path, holder)
@@ -2008,6 +2387,220 @@ def snapshot_version_as_of(path: str, ts) -> int:
     return best
 
 
+# ---------------------------------------------------------------------------
+# Write–Audit–Publish (the Iceberg WAP concept, public docs): a batch
+# is STAGED — data files written, a staged manifest recorded, LATEST
+# untouched — audited via a staged read (row counts, quality gates,
+# oracle checks), then PUBLISHED as a normal commit or ABANDONED.
+# Consumers never see an unaudited batch; a failed audit costs one
+# vacuum, never a rollback. The staged manifest stores only the NEW
+# entries plus the parent version it was planned against, so
+# publishing an append onto a table that moved meanwhile REBASES
+# cleanly (carry the CURRENT files + the staged ones — the only
+# fileset arithmetic appends need); a staged overwrite publishes
+# fast-forward only (rebasing it would silently discard concurrent
+# commits) and raises SnapshotConflictError otherwise.
+# ---------------------------------------------------------------------------
+
+
+def _staged_path(path: str, wap_id: str) -> str:
+    return os.path.join(_mdir(path), f"staged-{wap_id}.json")
+
+
+def _read_staged(path: str, wap_id: str) -> dict:
+    p = _staged_path(path, wap_id)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no staged commit {wap_id!r} at {path} (published, "
+            "abandoned, or never staged)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def snapshot_stage_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: Sequence[str] | None = None,
+    merge_schema: bool = False,
+) -> str:
+    """Stage ``df`` for write–audit–publish; returns the ``wap_id``.
+    Data files are written immediately (immutable, uniquely named);
+    the table's LATEST pointer does not move and every reader keeps
+    seeing the current version. Audit with
+    :func:`snapshot_read_staged`, then :func:`snapshot_publish` or
+    :func:`snapshot_abandon`. Requires an existing table (the first
+    commit has nothing to audit against — use snapshot_write).
+    Partition spec and bloom columns are inherited from the CURRENT
+    version and re-checked at publish."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"stage mode must be append|overwrite: {mode}")
+    parent = current_version(path)
+    if parent is None:
+        raise FileNotFoundError(
+            f"no snapshot table at {path} — stage needs a table to audit "
+            "against; create it with snapshot_write first"
+        )
+    m_parent = read_manifest(path, parent)
+    spec = m_parent.get("partition_spec")
+    bcols = m_parent.get("bloom_cols")
+    if mode == "append":
+        schema_json = _evolve_schema(m_parent["schema"], df.schema, merge_schema)
+    else:
+        schema_json = df.schema.json()
+        spec = None  # overwrite redefines layout like snapshot_write
+        bcols = None
+    entries = _stage_files(
+        spark, df, path,
+        list(stats_cols or []),
+        partition_spec=spec if mode == "append" else None,
+        bloom_cols=bcols,
+    )
+    wap_id = uuid.uuid4().hex[:16]
+    staged = {
+        "wap_id": wap_id,
+        "parent": parent,
+        "mode": mode,
+        "merge_schema": bool(merge_schema),
+        "schema": schema_json,
+        "files": entries,
+        "partition_spec": spec,
+        "bloom_cols": bcols,
+        "ts": int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1e6),
+    }
+    _atomic_write_json(_staged_path(path, wap_id), staged)
+    return wap_id
+
+
+def snapshot_list_staged(path: str) -> list[dict]:
+    """All live staged commits (wap_id, parent, mode, row/file
+    counts) — the audit queue."""
+    out = []
+    mdir = _mdir(path)
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("staged-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                s = json.load(f)
+            out.append(
+                {
+                    "wap_id": s["wap_id"],
+                    "parent": s["parent"],
+                    "mode": s["mode"],
+                    "n_files": len(s["files"]),
+                    "n_rows": sum(e["rows"] for e in s["files"]),
+                    "ts": s.get("ts"),
+                }
+            )
+    return out
+
+
+def snapshot_read_staged(
+    spark: SparkSession, path: str, wap_id: str
+) -> DataFrame:
+    """The table AS IT WOULD LOOK if the staged commit published
+    right now: current files + staged files for an append (rebased
+    view), staged files alone for an overwrite. This is the audit
+    surface — run the quality gates here before publishing."""
+    s = _read_staged(path, wap_id)
+    if s["mode"] == "overwrite":
+        m_view = {"version": -1, "schema": s["schema"], "files": s["files"]}
+        return _visible_read(spark, path, m_view, s["files"])
+    m_cur = read_manifest(path, None)
+    schema_json = _evolve_schema(
+        m_cur["schema"],
+        StructType.fromJson(json.loads(s["schema"])),
+        True,  # the audit VIEW never refuses columns; publish enforces
+    )
+    # staged entries preview the sequence publish would stamp, so
+    # pending merge-on-read deletes (seq <= current) do NOT mask the
+    # staged rows — the audit read equals the publish result
+    staged_entries = [dict(e, seq=m_cur["version"] + 1) for e in s["files"]]
+    entries = manifest_files(path, m_cur) + staged_entries
+    m_view = dict(m_cur, schema=schema_json, files=entries)
+    m_view.pop("segments", None)
+    return _visible_read(spark, path, m_view, entries)
+
+
+def snapshot_publish(
+    path: str,
+    wap_id: str,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """Publish a staged commit as the next table version (under the
+    writer lease, atomic pointer swap — the instant consumers first
+    see the batch). An APPEND publishes even if the table moved since
+    staging (rebase: carry the CURRENT fileset + the staged files;
+    schema re-evolved against the current schema, partition spec and
+    bloom columns re-checked). An OVERWRITE requires the table to
+    still be at the staged parent — rebasing an overwrite would
+    silently discard the concurrent commits — else raises
+    SnapshotConflictError. The staged manifest is consumed; replay
+    protection comes from the usual ``txn_app``/``txn_version``."""
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    holder = acquire_writer_lease(path)
+    try:
+        s = _read_staged(path, wap_id)
+        parent = current_version(path)
+        txns = _parent_txns(path, parent)
+        if txn_app is not None:
+            if txns.get(txn_app, -1) >= txn_version:
+                os.remove(_staged_path(path, wap_id))
+                return parent  # replayed publish: consume, commit nothing
+            txns[txn_app] = txn_version
+        m_cur = read_manifest(path, parent)
+        if s["mode"] == "overwrite":
+            if parent != s["parent"]:
+                raise SnapshotConflictError(
+                    f"staged overwrite {wap_id} planned against version "
+                    f"{s['parent']} but the table is at {parent} — "
+                    "re-stage (publishing would discard concurrent commits)"
+                )
+            version = _commit(
+                path, {"files": s["files"]}, "overwrite", s["schema"],
+                parent, txns,
+                partition_spec=s.get("partition_spec"),
+                bloom_cols=s.get("bloom_cols"),
+            )
+        else:
+            if m_cur.get("partition_spec") != s.get("partition_spec"):
+                raise SnapshotConflictError(
+                    f"staged append {wap_id} was staged under partition "
+                    f"spec {s.get('partition_spec')} but the table now has "
+                    f"{m_cur.get('partition_spec')} — re-stage"
+                )
+            schema_json = _evolve_schema(
+                m_cur["schema"],
+                StructType.fromJson(json.loads(s["schema"])),
+                s["merge_schema"],
+            )
+            fileset = _fileset_for_commit(
+                path, m_cur, set(), set(), s["files"], schema_json
+            )
+            version = _commit(
+                path, fileset, "append", schema_json, parent, txns,
+                eq_deletes=m_cur.get("eq_deletes"),
+                partition_spec=m_cur.get("partition_spec"),
+                bloom_cols=m_cur.get("bloom_cols"),
+            )
+        os.remove(_staged_path(path, wap_id))
+        return version
+    finally:
+        release_writer_lease(path, holder)
+
+
+def snapshot_abandon(path: str, wap_id: str) -> None:
+    """Drop a staged commit that failed its audit. The staged
+    manifest is removed; its data files become unreferenced orphans
+    the next :func:`vacuum` collects."""
+    os.remove(_staged_path(path, wap_id))
+
+
 def snapshot_restore(path: str, version: int) -> int:
     """Roll the table back to ``version`` AS A NEW COMMIT (the Delta
     RESTORE concept): the target version's file set and schema are
@@ -2033,6 +2626,7 @@ def snapshot_restore(path: str, version: int) -> int:
             path, fileset, "restore", m_target["schema"], parent,
             _parent_txns(path, parent), eq_deletes=m_target.get("eq_deletes"),
             partition_spec=m_target.get("partition_spec"),
+            bloom_cols=m_target.get("bloom_cols"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2155,7 +2749,10 @@ def snapshot_update(
                 m,
                 {e["path"] for e in candidates},
                 {e["_seg"] for e in candidates if e.get("_seg") is not None},
-                _stage_files(spark, out, path, stats_cols, partition_spec=spec),
+                _stage_files(
+                    spark, out, path, stats_cols,
+                    partition_spec=spec, bloom_cols=m.get("bloom_cols"),
+                ),
                 schema_json,
             )
             if change_feed:
@@ -2176,6 +2773,7 @@ def snapshot_update(
             path, fileset, "update", schema_json, parent, txns, changes=changes,
             eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
+            bloom_cols=m.get("bloom_cols"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2407,7 +3005,8 @@ def snapshot_compact(
                 spark, path, m, b, schema=table_schema
             ).coalesce(1)
             new_entries += _stage_files(
-                spark, grouped, path, list(stats_cols), partition_spec=spec
+                spark, grouped, path, list(stats_cols),
+                partition_spec=spec, bloom_cols=m.get("bloom_cols"),
             )
         fileset = _fileset_for_commit(
             path,
@@ -2421,6 +3020,7 @@ def snapshot_compact(
             path, fileset, "compact", m["schema"], parent,
             _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
+            bloom_cols=m.get("bloom_cols"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2448,16 +3048,27 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
         chg_referenced = set()
         seg_referenced = set()
         del_referenced = set()
+        bloom_referenced = set()
         for v in keep:
             m = read_manifest(path, v)
             for s in m.get("segments") or []:
                 seg_referenced.add(s["path"])
             for e in manifest_files(path, m):
                 referenced.add(os.path.basename(e["path"]))
+                for b in (e.get("blooms") or {}).values():
+                    bloom_referenced.add(os.path.basename(b["path"]))
             for e in m.get("changes") or []:
                 chg_referenced.add(os.path.basename(e["path"]))
             for e in m.get("eq_deletes") or []:
                 del_referenced.add(os.path.basename(e["path"]))
+        # live write–audit–publish stages reference their files too —
+        # expiring history must never GC a batch still under audit
+        for s in snapshot_list_staged(path):
+            st = _read_staged(path, s["wap_id"])
+            for e in st["files"]:
+                referenced.add(os.path.basename(e["path"]))
+                for b in (e.get("blooms") or {}).values():
+                    bloom_referenced.add(os.path.basename(b["path"]))
         removed = []
         data_dir = os.path.join(path, _DATA_DIR)
         if os.path.isdir(data_dir):
@@ -2477,6 +3088,13 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
                 if name.endswith(".parquet") and name not in del_referenced:
                     os.remove(os.path.join(del_dir, name))
                     removed.append(f"{_DELETES_DIR}/{name}")
+        bloom_dir = os.path.join(path, _BLOOMS_DIR)
+        if os.path.isdir(bloom_dir):
+            for name in sorted(os.listdir(bloom_dir)):
+                if name.endswith(".bloom") and name not in bloom_referenced:
+                    os.remove(os.path.join(bloom_dir, name))
+                    _BLOOM_CACHE.pop((path, f"{_BLOOMS_DIR}/{name}"), None)
+                    removed.append(f"{_BLOOMS_DIR}/{name}")
         for v in drop:
             os.remove(_manifest_path(path, v))
         # segment files referenced only by dropped manifests
@@ -2498,6 +3116,7 @@ def vacuum(path: str) -> list[str]:
         chg_referenced = set()
         seg_referenced = set()
         del_referenced = set()
+        bloom_referenced = set()
         for name in os.listdir(_mdir(path)):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(_mdir(path), name)) as f:
@@ -2506,10 +3125,21 @@ def vacuum(path: str) -> list[str]:
                     seg_referenced.add(s["path"])
                 for e in manifest_files(path, m):
                     referenced.add(os.path.basename(e["path"]))
+                    for b in (e.get("blooms") or {}).values():
+                        bloom_referenced.add(os.path.basename(b["path"]))
                 for e in m.get("changes") or []:
                     chg_referenced.add(os.path.basename(e["path"]))
                 for e in m.get("eq_deletes") or []:
                     del_referenced.add(os.path.basename(e["path"]))
+            elif name.startswith("staged-") and name.endswith(".json"):
+                # a live staged commit's files are NOT orphans — they
+                # become collectable only after snapshot_abandon
+                with open(os.path.join(_mdir(path), name)) as f:
+                    st = json.load(f)
+                for e in st["files"]:
+                    referenced.add(os.path.basename(e["path"]))
+                    for b in (e.get("blooms") or {}).values():
+                        bloom_referenced.add(os.path.basename(b["path"]))
         removed = []
         for name in sorted(os.listdir(path)):
             if name.startswith("__stage_"):
@@ -2533,6 +3163,15 @@ def vacuum(path: str) -> list[str]:
                 if name.endswith(".parquet") and name not in del_referenced:
                     os.remove(os.path.join(del_dir, name))
                     removed.append(f"{_DELETES_DIR}/{name}")
+        bloom_dir = os.path.join(path, _BLOOMS_DIR)
+        if os.path.isdir(bloom_dir):
+            for name in sorted(os.listdir(bloom_dir)):
+                if (
+                    name.endswith(".bloom") or name.startswith(".tmp-")
+                ) and name not in bloom_referenced:
+                    os.remove(os.path.join(bloom_dir, name))
+                    _BLOOM_CACHE.pop((path, f"{_BLOOMS_DIR}/{name}"), None)
+                    removed.append(f"{_BLOOMS_DIR}/{name}")
         # orphaned segment files (written by a crashed commit)
         for name in sorted(os.listdir(_mdir(path))):
             if name.startswith("seg-") and name not in seg_referenced:
