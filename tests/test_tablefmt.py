@@ -2632,3 +2632,76 @@ def test_wap_partitioned_append_checks_spec(spark, tmp_path):
         for e in T.manifest_files(path, m)
         if e["rows"] > 0
     )
+
+
+def test_purge_deletes_scoped_rewrite_and_retire(spark, tmp_path):
+    """snapshot_purge_deletes (r7): materializes pending MoR deletes
+    rewriting ONLY the files they can touch, respects sequencing
+    (later re-inserts survive), retires every delete file, reads as
+    an empty change-feed delta, and no-ops when nothing is pending."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark,
+        _mk(spark, range(100)).repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(7,), (8,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    T.snapshot_delete(
+        spark, path, keys=["id"],
+        keys_df=spark.createDataFrame([(93,)], "id long"),
+        mode="mor", change_feed=False,
+    )
+    T.snapshot_write(spark, _mk(spark, [7], "re"), path, mode="append")
+    m0 = T.read_manifest(path)
+    before = {e["path"] for e in T.manifest_files(path, m0)}
+    v = T.snapshot_purge_deletes(spark, path)
+    m1 = T.read_manifest(path)
+    assert not m1.get("eq_deletes")
+    after = {e["path"] for e in T.manifest_files(path, m1)}
+    # only the two masked range-files moved; the rest carried by name
+    assert len(before & after) >= len(before) - 2
+    rows = sorted((r.id, r.val) for r in T.snapshot_read(spark, path).collect())
+    ids = [i for i, _ in rows]
+    assert 8 not in ids and 93 not in ids and len(rows) == 98
+    assert (7, "re7") in rows and (7, "v7") not in rows
+    # no-op on a clean table; CDF reads the purge as an empty delta
+    assert T.snapshot_purge_deletes(spark, path) == v
+    assert (
+        T.read_snapshot_changes(spark, path, since_version=v - 1, version=v)
+        .count()
+        == 0
+    )
+
+
+def test_purge_deletes_with_bloom_pruning(spark, tmp_path):
+    """On unclustered keys, purge uses bloom sidecars to scope the
+    rewrite; results stay exact."""
+    import random
+    import uuid as _uuid
+
+    rnd = random.Random(3)
+    ids = [_uuid.UUID(int=rnd.getrandbits(128)).hex for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(ids)], "k string, n long"
+    ).repartition(8)
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, df, path, stats_cols=["k"], bloom_cols=["k"])
+    T.snapshot_delete(
+        spark, path, keys=["k"],
+        keys_df=spark.createDataFrame([(ids[5],), (ids[900],)], "k string"),
+        mode="mor", change_feed=False,
+    )
+    before = {e["path"] for e in T.manifest_files(path, T.read_manifest(path))}
+    T.snapshot_purge_deletes(spark, path)
+    m1 = T.read_manifest(path)
+    assert not m1.get("eq_deletes")
+    after = {e["path"] for e in T.manifest_files(path, m1)}
+    # bloom scoping: at most the 2 key-holding files (+ rare fp) moved
+    assert len(before & after) >= len(before) - 3
+    assert T.snapshot_read(spark, path).count() == 1998
+    assert T.snapshot_lookup(spark, path, "k", [ids[5], ids[900]]).count() == 0

@@ -799,3 +799,35 @@ def test_dsir_weights_match_pure_python_recompute(spark):
     assert set(got) == set(expect)
     for k in expect:
         assert got[k] == _pytest.approx(expect[k], abs=2e-6), k
+
+
+def test_extract_html_text_adversarial_pin(spark):
+    """extract_html_text (r7): script/style content dies wholesale
+    (including '<' inside code), comments die, tags strip, the six
+    common entities decode with &amp; LAST (so double-encoded
+    '&amp;lt;' correctly surfaces the literal '&lt;'), whitespace
+    collapses. The regex chain is RE2-compatible by construction —
+    the t21 oracle replays it in DuckDB."""
+    pages = [
+        (
+            1,
+            '<html><head><script>if (a < b && c > d) { s = "</div>"; }\n'
+            "</script><style>p { margin: 0; }\n.x{}</style></head>"
+            "<body><!-- multi\nline\ncomment --><h1>A&nbsp;B</h1>"
+            '<p class="y">x &lt; y &amp;&amp; y &gt; z</p>'
+            "<p>double: &amp;lt;</p><br/>tail</body></html>",
+        ),
+        (2, "no markup at all"),
+        (3, "  spaced   text\twith\nnewlines  "),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        r.doc_id: (r.text_extracted, r.n_chars_text)
+        for r in TX.extract_html_text(df, "html", "doc_id").collect()
+    }
+    assert got[1][0] == 'A B x < y && y > z double: &lt; tail'
+    assert got[2][0] == "no markup at all"
+    assert got[3][0] == "spaced text with newlines"
+    assert got[4] == (None, None)
+    assert got[1][1] == len(got[1][0])

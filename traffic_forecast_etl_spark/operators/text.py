@@ -607,6 +607,50 @@ def dedup_lines_within_doc(
     )
 
 
+def extract_html_text(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+) -> DataFrame:
+    """HTML → text extraction (the WET-style step every web-crawl
+    curation pipeline runs before quality/dedup; CCNet/RefinedWeb
+    start from exactly this): drop ``<script>``/``<style>`` blocks
+    and comments wholesale, strip remaining tags, decode the common
+    entities, collapse whitespace. Deliberately regex-based — real
+    DOM parsing (trafilatura/bs4-grade boilerplate removal) is a
+    Python-library boundary this container doesn't ship; the regex
+    chain covers the tag/entity mass and is expressed ONLY in the
+    regex subset RE2 and Java share (no backreferences, no
+    lookaround), so the DuckDB oracle replays it verbatim.
+
+    Entirely map-only native expressions: zero shuffle, one pass,
+    whole-stage codegen, pipelines into the scan — the same 100 TB
+    shape as the other text cleaners.
+
+    Returns (id, text_extracted, n_chars_html, n_chars_text).
+    """
+    c = F.col(html_col)
+    # container elements whose CONTENT must go too, one pass each
+    # (a single alternation would need a \1 backreference — RE2 has
+    # none, and the oracle must replay the exact same automaton)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # & LAST
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        c.alias("text_extracted"),
+        F.length(html_col).alias("n_chars_html"),
+        F.length(c).alias("n_chars_text"),
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     text_col: str,

@@ -4397,6 +4397,82 @@ def tf2_partitioned_table(spark, sf_dir):
 
 
 @query(
+    "t21_html_extract",
+    r"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc &amp; Co</title>'
+             || '<script type="text/javascript">if (1 < 2) { x = "&amp;"; }</script>'
+             || '<style>.a { color: red; }</style></head>'
+             || '<body><!-- boilerplate --><h1>Header&nbsp;One</h1><p>'
+             || text
+             || '</p><div class="footer">fin</div></body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text_extracted,
+           CAST(length(html) AS INT) AS n_chars_html,
+           CAST(length(trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g'))) AS INT) AS n_chars_text
+    FROM pages
+    """,
+)
+def t21_html_extract(spark, sf_dir):
+    """HTML -> text extraction (r7, the WET step web-crawl curation
+    starts from): deterministic HTML pages are synthesized around the
+    document texts — script/style/comment blocks, tags, and the
+    common entities — then ``operators.text.extract_html_text`` strips
+    them with a regex chain written in the RE2 ∩ Java-regex subset,
+    so the DuckDB oracle replays the exact same automaton
+    value-for-value. Map-only native expressions: zero shuffle, the
+    plan is scan -> project."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>Doc &amp; Co</title>'
+                '<script type="text/javascript">if (1 < 2) { x = "&amp;"; }'
+                "</script><style>.a { color: red; }</style></head>"
+                "<body><!-- boilerplate --><h1>Header&nbsp;One</h1><p>"
+            ),
+            F.col("text"),
+            F.lit('</p><div class="footer">fin</div></body></html>'),
+        ).alias("html"),
+    )
+    out = TX.extract_html_text(pages, "html", "doc_id")
+    return out.select(
+        "doc_id",
+        "text_extracted",
+        F.col("n_chars_html").cast("int").alias("n_chars_html"),
+        F.col("n_chars_text").cast("int").alias("n_chars_text"),
+    )
+
+
+@query(
     "tf3_point_lookup",
     """
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS uk, lang, n_chars
@@ -5108,7 +5184,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
-    "tf3_point_lookup",
+    "t21_html_extract", "tf3_point_lookup",
     "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
     "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",

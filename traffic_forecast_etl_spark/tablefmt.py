@@ -3026,6 +3026,112 @@ def snapshot_compact(
         release_writer_lease(path, holder)
 
 
+def snapshot_purge_deletes(spark: SparkSession, path: str) -> int:
+    """Materialize every pending merge-on-read delete file into the
+    data files it masks and retire the delete files (the Iceberg
+    rewrite-position-deletes maintenance concept, for our equality
+    deletes): per delete key-set, candidate files are those an
+    applicable delete could actually touch — sequence below the
+    delete's, key range / exact membership / bloom admit — and ONLY
+    those are rewritten (via the sequencing-aware read, so re-inserts
+    and later files are untouched); everything else carries by name.
+    Because candidates are chosen conservatively, every masked row is
+    provably gone afterwards and the commit records no eq_deletes.
+
+    The MoR lifecycle completer: `snapshot_delete(mode='mor')` makes
+    deletes O(|keys|) at write time; this op pays the rewrite later,
+    scoped to the files that need it, WITHOUT the full-table
+    bin-packing of `snapshot_compact` — the 100 TB shape for "erase
+    the anti-join rent, touch nothing else". No-op (no new commit)
+    when no deletes are pending. Contents are unchanged by
+    construction, so the change feed records an empty delta."""
+    holder = acquire_writer_lease(path)
+    try:
+        parent = current_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = read_manifest(path, parent)
+        eqd = m.get("eq_deletes") or []
+        if not eqd:
+            return parent
+        spec = m.get("partition_spec")
+        bcols = m.get("bloom_cols")
+        schema_json = m["schema"]
+        table_schema = StructType.fromJson(json.loads(schema_json))
+        entries = manifest_files(path, m, tag_segments=True)
+        candidates: dict[str, dict] = {}
+        by_keys: dict[tuple, list[dict]] = {}
+        for d in eqd:
+            by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        for keys, ds in by_keys.items():
+            k0 = keys[0]
+            k0_type = _col_type(schema_json, k0)
+            dels = spark.read.parquet(
+                *[os.path.join(path, d["path"]) for d in ds]
+            )
+            bounds = dels.agg(
+                F.min(k0).alias("lo"),
+                F.max(k0).alias("hi"),
+                F.approx_count_distinct(k0).alias("n"),
+            ).collect()[0]
+            if bounds["lo"] is None:
+                continue
+            sorted_keys = None
+            if bounds["n"] <= _EXACT_PRUNE_MAX_KEYS:
+                sorted_keys = sorted(
+                    _norm_key(r[k0])
+                    for r in dels.select(k0).distinct().collect()
+                )
+            lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
+            padmit = _compile_part_prune(
+                spec, schema_json, k0, lo, hi, sorted_keys
+            )
+            max_seq = max(d["seq"] for d in ds)
+            group = [
+                e
+                for e in entries
+                if e.get("seq", 0) < max_seq
+                and padmit(e)
+                and _touched(e, k0, lo, hi, sorted_keys, k0_type)
+            ]
+            if bcols and k0 in bcols:
+                group = _bloom_prefilter(path, group, k0, sorted_keys, k0_type)
+            for e in group:
+                candidates[e["path"]] = e
+        cand = list(candidates.values())
+        if cand:
+            # the sequencing-aware read materializes exactly the right
+            # deletes per file; rewritten rows come out clean
+            kept = _visible_read(spark, path, m, cand, schema=table_schema)
+            stats_cols = list(cand[0].get("stats", {}).keys())
+            new_entries = _stage_files(
+                spark, kept, path, stats_cols,
+                partition_spec=spec, bloom_cols=bcols,
+            )
+        else:
+            new_entries = []
+        fileset = _fileset_for_commit(
+            path,
+            m,
+            {e["path"] for e in cand},
+            {e["_seg"] for e in cand if e.get("_seg") is not None},
+            new_entries,
+            schema_json,
+        )
+        return _commit(
+            path, fileset, "purge_deletes", schema_json, parent,
+            _parent_txns(path, parent),
+            changes=[],  # contents unchanged: exact empty delta
+            # all pending deletes are fully materialized: every file
+            # they could touch was rewritten above
+            eq_deletes=None,
+            partition_spec=spec,
+            bloom_cols=bcols,
+        )
+    finally:
+        release_writer_lease(path, holder)
+
+
 def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
     """Expire history: keep the newest ``keep_last`` manifests plus
     every TAGGED version (see :func:`snapshot_tag`), drop older ones,
