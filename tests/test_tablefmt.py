@@ -2705,3 +2705,157 @@ def test_purge_deletes_with_bloom_pruning(spark, tmp_path):
     assert len(before & after) >= len(before) - 3
     assert T.snapshot_read(spark, path).count() == 1998
     assert T.snapshot_lookup(spark, path, "k", [ids[5], ids[900]]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (r7): metadata-only spec changes, per-file
+# spec-id pruning, lazy migration, guards.
+# ---------------------------------------------------------------------------
+
+
+def _mk_ev2(spark, n0, n, days=3):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"u{i % 7}",
+                dt.datetime(2024, 3, 1 + (i % days), i % 24, 0),
+                float(i),
+            )
+            for i in range(n0, n0 + n)
+        ],
+        "id bigint, user_id string, ts timestamp, v double",
+    )
+
+
+def test_partition_evolution_metadata_only_and_stamping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, _mk_ev2(spark, 0, 300), path,
+        partition_spec=[("days", "ts")], stats_cols=["id"],
+    )
+    files_v0 = {e["path"] for e in T.manifest_files(path, T.read_manifest(path, 0))}
+    v1 = T.snapshot_evolve_partition(
+        path, [("days", "ts"), ("bucket", "user_id", 4)]
+    )
+    m1 = T.read_manifest(path, v1)
+    assert m1["op"] == "evolve_partition"
+    assert len(m1["partition_specs"]) == 2 and m1["default_spec_id"] == 1
+    # zero data movement
+    assert {e["path"] for e in T.manifest_files(path, m1)} == files_v0
+    # appended files stage under the NEW spec with 2-field tuples;
+    # old files keep their 1-field tuples and implicit spec 0
+    T.snapshot_write(spark, _mk_ev2(spark, 300, 300), path, mode="append")
+    ents = T.manifest_files(path, T.read_manifest(path))
+    old = [e for e in ents if e.get("spec_id", 0) == 0 and e.get("partition")]
+    new = [e for e in ents if e.get("spec_id", 0) == 1 and e.get("partition")]
+    assert old and new
+    assert all(len(e["partition"]) == 1 for e in old)
+    assert all(len(e["partition"]) == 2 for e in new)
+    # no-op evolve (same spec) commits nothing
+    cur = T.current_version(path)
+    assert T.snapshot_evolve_partition(
+        path, [("days", "ts"), ("bucket", "user_id", 4)]
+    ) == cur
+
+
+def test_partition_evolution_mixed_spec_scan_and_merge(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, _mk_ev2(spark, 0, 300), path,
+        partition_spec=[("days", "ts")], stats_cols=["id"],
+    )
+    T.snapshot_evolve_partition(
+        path, [("days", "ts"), ("bucket", "user_id", 4)]
+    )
+    T.snapshot_write(spark, _mk_ev2(spark, 300, 300), path, mode="append")
+    lo, hi = dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23, 59, 59)
+    got = T.snapshot_scan(spark, path, "ts", lo, hi)
+    exp = T.snapshot_read(spark, path).filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    )
+    assert got.count() == exp.count() > 0
+    # pruning engages per-spec: day-2 admits a strict subset
+    m, adm = T.snapshot_scan_files(path, "ts", lo, hi)
+    ents = T.manifest_files(path, m)
+    assert 0 < len(adm) < len(ents)
+    # both spec generations prune (each admitted set is partial)
+    for sid in (0, 1):
+        tot = [e for e in ents if e.get("spec_id", 0) == sid and e["rows"] > 0]
+        hit = [e for e in adm if e.get("spec_id", 0) == sid and e["rows"] > 0]
+        assert len(hit) < len(tot), (sid, len(hit), len(tot))
+    # keyed merge exact across mixed specs
+    T.snapshot_merge(
+        spark,
+        _mk_ev2(spark, 100, 1).withColumn("v", F.lit(-5.0)),
+        path,
+        keys=["id"],
+    )
+    row = T.snapshot_read(spark, path).filter("id = 100").collect()
+    assert len(row) == 1 and row[0].v == -5.0
+    assert T.snapshot_read(spark, path).count() == 600
+
+
+def test_partition_evolution_replace_guard_and_migration(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, _mk_ev2(spark, 0, 120), path,
+        partition_spec=[("days", "ts")], stats_cols=["id"],
+    )
+    T.snapshot_evolve_partition(
+        path, [("days", "ts"), ("bucket", "user_id", 4)]
+    )
+    with pytest.raises(ValueError, match="older partition spec"):
+        T.snapshot_write(
+            spark, _mk_ev2(spark, 0, 10), path, mode="replace_partitions"
+        )
+    # rewrite-everything migrates every file to the default spec...
+    T.snapshot_update(spark, path, {"v": "v"})  # identity update: CoW rewrite
+    ents = T.manifest_files(path, T.read_manifest(path))
+    assert all(e.get("spec_id", 0) == 1 for e in ents if e["rows"] > 0)
+    # ...after which replace_partitions works again
+    T.snapshot_write(
+        spark,
+        _mk_ev2(spark, 0, 40, days=1).withColumn("v", F.col("v") * 2),
+        path,
+        mode="replace_partitions",
+    )
+    assert T.snapshot_read(spark, path).filter("id = 3").collect()[0].v == 6.0
+
+
+def test_partition_evolution_to_flat_time_travel_cdf(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(
+        spark, _mk_ev2(spark, 0, 90), path,
+        partition_spec=[("days", "ts")], stats_cols=["id"],
+    )
+    v1 = T.snapshot_evolve_partition(path, None)
+    assert T.read_manifest(path, v1).get("partition_spec") is None
+    T.snapshot_write(spark, _mk_ev2(spark, 90, 10), path, mode="append")
+    lo, hi = dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23, 59, 59)
+    got = T.snapshot_scan(spark, path, "ts", lo, hi).count()
+    exp = (
+        T.snapshot_read(spark, path)
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .count()
+    )
+    assert got == exp > 0
+    # time travel to the partitioned version still prunes with spec 0
+    _, adm0 = T.snapshot_scan_files(path, "ts", lo, hi, version=0)
+    m0 = T.read_manifest(path, 0)
+    assert 0 < len(adm0) < len(T.manifest_files(path, m0))
+    # the evolve commit reads as an exact empty change-feed delta
+    assert (
+        T.read_snapshot_changes(spark, path, since_version=0, version=v1)
+        .count()
+        == 0
+    )
+    # unknown source column still validates
+    with pytest.raises(KeyError):
+        T.snapshot_evolve_partition(path, [("days", "nope")])

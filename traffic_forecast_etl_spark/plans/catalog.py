@@ -4397,6 +4397,70 @@ def tf2_partitioned_table(spark, sf_dir):
 
 
 @query(
+    "tf4_partition_evolution",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_v,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-16 23:59:59.999999'
+    GROUP BY 1, 2
+    """,
+)
+def tf4_partition_evolution(spark, sf_dir):
+    """Partition-spec EVOLUTION end-to-end (r7, the Iceberg spec-id
+    concept): half the events land under days(ts), the spec then
+    evolves to days(ts) x bucket(user_id, 8) as a METADATA-ONLY
+    commit (zero data movement), the other half appends under the new
+    spec, and a 3-day ``snapshot_scan`` reads across the MIXED
+    layouts — each file pruning under the spec it was written with.
+    The oracle aggregates the raw events directly, value-verifying
+    that evolution never changes results, only layout."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf4_evo_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(
+            spark, ev.filter(F.col("event_id") % 2 == 0), path,
+            partition_spec=[("days", "ts")],
+            stats_cols=["event_id"],
+        )
+        TF.snapshot_evolve_partition(
+            path, [("days", "ts"), ("bucket", "user_id", 8)]
+        )
+        TF.snapshot_write(
+            spark, ev.filter(F.col("event_id") % 2 == 1), path, mode="append"
+        )
+        out = (
+            TF.snapshot_scan(
+                spark, path, "ts",
+                dt.datetime(2024, 1, 14),
+                dt.datetime(2024, 1, 16, 23, 59, 59, 999999),
+            )
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "t21_html_extract",
     r"""
     WITH pages AS (
@@ -5184,7 +5248,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
-    "t21_html_extract", "tf3_point_lookup",
+    "tf4_partition_evolution", "t21_html_extract", "tf3_point_lookup",
     "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
     "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",

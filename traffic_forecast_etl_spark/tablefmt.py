@@ -410,6 +410,14 @@ def _fileset_for_commit(
     new_entries = [
         e if "seq" in e else dict(e, seq=new_seq) for e in new_entries
     ]
+    if m_parent is not None and "partition_specs" in m_parent:
+        # evolved table: stamp new entries with the DEFAULT spec id
+        # (they were staged under it); carried entries keep their own
+        did = m_parent.get("default_spec_id", 0)
+        new_entries = [
+            e if "spec_id" in e else dict(e, spec_id=did)
+            for e in new_entries
+        ]
     if m_parent is None or "segments" not in m_parent:
         parent_files = list(m_parent["files"]) if m_parent else []
         survivors = [e for e in parent_files if e["path"] not in removed_paths]
@@ -1069,9 +1077,92 @@ def _compile_part_prune(
     return admit
 
 
+def _part_admitter(
+    m: dict,
+    schema_json: str,
+    key: str,
+    lo,
+    hi,
+    sorted_keys: list | None,
+):
+    """Per-entry partition pruning that honors SPEC EVOLUTION: on an
+    evolved table each file prunes under the spec it was WRITTEN
+    with (``entry["spec_id"]`` indexing ``manifest["partition_specs"]``;
+    absent = spec 0, the original), so old-layout files keep their
+    old exactness and new files get the new spec's — the Iceberg
+    spec-id rule. Unevolved tables take the single-spec fast path."""
+    if "partition_specs" not in m:
+        return _compile_part_prune(
+            m.get("partition_spec"), schema_json, key, lo, hi, sorted_keys
+        )
+    admits = [
+        _compile_part_prune(s or None, schema_json, key, lo, hi, sorted_keys)
+        for s in m["partition_specs"]
+    ]
+
+    def admit(entry: dict) -> bool:
+        return admits[entry.get("spec_id", 0)](entry)
+
+    return admit
+
+
 def snapshot_partition_spec(path: str, version: int | None = None) -> list[dict] | None:
     """The table's partition spec at ``version`` (None = unpartitioned)."""
     return read_manifest(path, version).get("partition_spec")
+
+
+def snapshot_evolve_partition(path: str, new_spec: Sequence | None) -> int:
+    """PARTITION EVOLUTION (the Iceberg spec-id concept): change the
+    table's partition spec as a METADATA-ONLY commit — zero data
+    movement. Every existing file carries by name and keeps pruning
+    under the spec it was written with (its recorded ``spec_id``);
+    files staged after this commit partition under ``new_spec`` and
+    prune with its exactness. ``new_spec=None`` evolves to
+    unpartitioned (new files stage flat). Old-layout files migrate
+    lazily: ``snapshot_compact`` rewrites its bins under the current
+    default spec.
+
+    The alternative — ``snapshot_write(mode='overwrite',
+    partition_spec=...)`` — is a full-table rewrite; at 100 TB,
+    "queries changed shape, partition by hour now" must not cost a
+    table rewrite, which is exactly why the spec-id indirection
+    exists. ``replace_partitions`` requires a single-spec table
+    (tuples under different specs are incomparable) — compact first.
+    """
+    holder = acquire_writer_lease(path)
+    try:
+        parent = current_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = read_manifest(path, parent)
+        norm = (
+            _norm_partition_spec(new_spec, m["schema"])
+            if new_spec is not None
+            else []
+        )
+        specs = m.get("partition_specs")
+        if specs is None:
+            specs = [m.get("partition_spec") or []]
+        if norm == (m.get("partition_spec") or []):
+            return parent  # already the default: no-op, no commit
+        if norm not in specs:
+            specs = specs + [norm]
+        fileset = (
+            {"segments": m["segments"]}
+            if "segments" in m
+            else {"files": m["files"]}
+        )
+        return _commit(
+            path, fileset, "evolve_partition", m["schema"], parent,
+            _parent_txns(path, parent),
+            changes=[],  # contents unchanged: exact empty delta
+            eq_deletes=m.get("eq_deletes"),
+            partition_spec=norm or None,
+            bloom_cols=m.get("bloom_cols"),
+            partition_specs=specs,
+        )
+    finally:
+        release_writer_lease(path, holder)
 
 
 # ---------------------------------------------------------------------------
@@ -1205,6 +1296,7 @@ def _commit(
     eq_deletes: list[dict] | None = None,
     partition_spec: list[dict] | None = None,
     bloom_cols: list[str] | None = None,
+    partition_specs: list[list[dict]] | None = None,
 ) -> int:
     """``entries`` is a plain list (inline v1 file list) or a fileset
     dict from :func:`_fileset_for_commit` ({"files": ...} or
@@ -1244,6 +1336,15 @@ def _commit(
         manifest["eq_deletes"] = eq_deletes
     if partition_spec:
         manifest["partition_spec"] = partition_spec
+    if partition_specs:
+        # partition evolution (Iceberg spec-id concept): the full spec
+        # HISTORY rides every manifest so each entry's spec_id keeps
+        # resolving under time travel; partition_spec above stays the
+        # DEFAULT (what new files stage under)
+        manifest["partition_specs"] = partition_specs
+        manifest["default_spec_id"] = partition_specs.index(
+            partition_spec or []
+        )
     if bloom_cols:
         manifest["bloom_cols"] = list(bloom_cols)
     target = _manifest_path(path, version)
@@ -1437,6 +1538,17 @@ def snapshot_write(
                     "(written before the spec?) — replace_partitions cannot "
                     "scope them; compact or overwrite first"
                 )
+            if "partition_specs" in m_parent:
+                did = m_parent.get("default_spec_id", 0)
+                foreign = [
+                    e for e in parent_entries if e.get("spec_id", 0) != did
+                ]
+                if foreign:
+                    raise ValueError(
+                        f"{len(foreign)} parent files were written under an "
+                        "older partition spec — tuples under different specs "
+                        "are incomparable; compact to migrate them first"
+                    )
             dropped = [
                 e
                 for e in parent_entries
@@ -1461,6 +1573,7 @@ def snapshot_write(
             eq_deletes=(m_parent or {}).get("eq_deletes"),
             partition_spec=spec,
             bloom_cols=bcols,
+            partition_specs=(m_parent or {}).get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -1521,9 +1634,7 @@ def snapshot_scan_files(
         return m, []
     # hidden partitioning: transform the bounds and prune on recorded
     # partition tuples FIRST (exact, per-file), then on min/max stats
-    padmit = _compile_part_prune(
-        m.get("partition_spec"), m["schema"], key, lo, hi, None
-    )
+    padmit = _part_admitter(m, m["schema"], key, lo, hi, None)
     if "segments" in m:
         # stream segments, skipping whole segments whose aggregate
         # range can't overlap — the manifest list is all that's
@@ -1579,9 +1690,7 @@ def snapshot_lookup_files(
             return m, manifest_files(path, m)
         return m, []
     lo, hi = vals[0], vals[-1]
-    padmit = _compile_part_prune(
-        m.get("partition_spec"), m["schema"], key, lo, hi, vals
-    )
+    padmit = _part_admitter(m, m["schema"], key, lo, hi, vals)
     if "segments" in m:
         pool = []
         for seg in m["segments"]:
@@ -1646,7 +1755,7 @@ def snapshot_scan_multi(
             break
         norm[key] = (lo, hi, dtype)
     padmits = [
-        _compile_part_prune(m.get("partition_spec"), m["schema"], k, lo, hi, None)
+        _part_admitter(m, m["schema"], k, lo, hi, None)
         for k, (lo, hi, _dt2) in norm.items()
     ]
     if empty:
@@ -1988,6 +2097,7 @@ def snapshot_merge(
                 eq_deletes=m.get("eq_deletes"),
                 partition_spec=spec,
                 bloom_cols=bcols,
+                partition_specs=m.get("partition_specs"),
             )
         k0_type = _col_type(schema_json, k0)
         sorted_keys = None
@@ -1996,9 +2106,7 @@ def snapshot_merge(
                 _norm_key(r[k0]) for r in deduped.select(k0).distinct().collect()
             )
         lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
-        padmit = _compile_part_prune(
-            spec, schema_json, k0, lo, hi, sorted_keys
-        )
+        padmit = _part_admitter(m, schema_json, k0, lo, hi, sorted_keys)
         touched = [
             e
             for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
@@ -2048,6 +2156,7 @@ def snapshot_merge(
             eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
             bloom_cols=bcols,
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2158,6 +2267,7 @@ def snapshot_delete(
                     eq_deletes=m.get("eq_deletes"),
                     partition_spec=spec,
                     bloom_cols=bcols,
+                    partition_specs=m.get("partition_specs"),
                 )
             k0_type = _col_type(schema_json, k0)
             sorted_keys = None
@@ -2167,9 +2277,7 @@ def snapshot_delete(
                     for r in del_keys.select(k0).distinct().collect()
                 )
             lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
-            padmit = _compile_part_prune(
-                spec, schema_json, k0, lo, hi, sorted_keys
-            )
+            padmit = _part_admitter(m, schema_json, k0, lo, hi, sorted_keys)
             candidates = [
                 e
                 for e in _candidate_pool(path, m, k0, lo, hi, k0_type)
@@ -2215,6 +2323,7 @@ def snapshot_delete(
                     eq_deletes=list(m.get("eq_deletes") or []) + d_entries,
                     partition_spec=spec,
                     bloom_cols=bcols,
+                    partition_specs=m.get("partition_specs"),
                 )
         else:
             cond = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -2235,7 +2344,7 @@ def snapshot_delete(
                     first = next(iter(norm))
                     flo, fhi, fdt = norm[first]
                     padmits = [
-                        _compile_part_prune(spec, schema_json, k, lo, hi, None)
+                        _part_admitter(m, schema_json, k, lo, hi, None)
                         for k, (lo, hi, _dt2) in norm.items()
                     ]
                     candidates = [
@@ -2289,6 +2398,7 @@ def snapshot_delete(
             eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
             bloom_cols=bcols,
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2587,6 +2697,7 @@ def snapshot_publish(
                 eq_deletes=m_cur.get("eq_deletes"),
                 partition_spec=m_cur.get("partition_spec"),
                 bloom_cols=m_cur.get("bloom_cols"),
+                partition_specs=m_cur.get("partition_specs"),
             )
         os.remove(_staged_path(path, wap_id))
         return version
@@ -2627,6 +2738,7 @@ def snapshot_restore(path: str, version: int) -> int:
             _parent_txns(path, parent), eq_deletes=m_target.get("eq_deletes"),
             partition_spec=m_target.get("partition_spec"),
             bloom_cols=m_target.get("bloom_cols"),
+            partition_specs=m_target.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2694,7 +2806,7 @@ def snapshot_update(
                 first = next(iter(norm))
                 flo, fhi, fdt = norm[first]
                 padmits = [
-                    _compile_part_prune(spec, schema_json, k, lo, hi, None)
+                    _part_admitter(m, schema_json, k, lo, hi, None)
                     for k, (lo, hi, _dt2) in norm.items()
                 ]
                 candidates = [
@@ -2774,6 +2886,7 @@ def snapshot_update(
             eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
             bloom_cols=m.get("bloom_cols"),
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -2967,10 +3080,19 @@ def snapshot_compact(
         # one-tuple-per-file pruning invariant), so singletons per
         # partition have nothing to merge with
         if spec:
+            # group key includes the file's SPEC ID (evolution): a
+            # tuple under spec 0 and one under spec 1 never mix, and
+            # each bin rewrites under the CURRENT default spec — so
+            # compaction is the lazy migration path for old layouts
             by_part: dict[tuple | None, list[dict]] = {}
             for e in small:
                 p = e.get("partition")
-                by_part.setdefault(tuple(p) if p is not None else None, []).append(e)
+                k = (
+                    (e.get("spec_id", 0), tuple(p))
+                    if p is not None
+                    else None
+                )
+                by_part.setdefault(k, []).append(e)
             small = [e for grp in by_part.values() if len(grp) > 1 for e in grp]
         if len(small) <= 1:
             return parent  # nothing to do; no empty commit
@@ -2985,7 +3107,10 @@ def snapshot_compact(
         for grp in groups:
             for e in sorted(grp, key=lambda e: -e["bytes"]):
                 for b in bins:
-                    if b and b[0].get("partition") != e.get("partition"):
+                    if b and (
+                        b[0].get("partition") != e.get("partition")
+                        or b[0].get("spec_id", 0) != e.get("spec_id", 0)
+                    ):
                         continue
                     if sum(x["bytes"] for x in b) + e["bytes"] <= target_bytes:
                         b.append(e)
@@ -3021,6 +3146,7 @@ def snapshot_compact(
             _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
             partition_spec=spec,
             bloom_cols=m.get("bloom_cols"),
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
@@ -3083,9 +3209,7 @@ def snapshot_purge_deletes(spark: SparkSession, path: str) -> int:
                     for r in dels.select(k0).distinct().collect()
                 )
             lo, hi = _norm_key(bounds["lo"]), _norm_key(bounds["hi"])
-            padmit = _compile_part_prune(
-                spec, schema_json, k0, lo, hi, sorted_keys
-            )
+            padmit = _part_admitter(m, schema_json, k0, lo, hi, sorted_keys)
             max_seq = max(d["seq"] for d in ds)
             group = [
                 e
@@ -3127,6 +3251,7 @@ def snapshot_purge_deletes(spark: SparkSession, path: str) -> int:
             eq_deletes=None,
             partition_spec=spec,
             bloom_cols=bcols,
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
