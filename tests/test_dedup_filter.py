@@ -854,3 +854,61 @@ def test_simhash_md5_mode_matches_xxhash_semantics(spark):
     assert all(0 <= s < (1 << 60) for s in sig_a.values())
     with _pytest.raises(ValueError, match="hash_fn"):
         simhash(df, "text", "doc_id", hash_fn="sha1")
+
+
+def test_trim_spans_surgery_pin(spark):
+    """trim_spans (r7): exact span cutting with 1-based inclusive
+    ranges — spans at the start/end, adjacent spans, defensive
+    overlap clamping, no-span passthrough, and NULL text."""
+    from traffic_forecast_etl_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),   # cut [3,5] and [8,9] -> "abfgj"
+            (2, "abcdefghij"),   # cut [1,4] (start) -> "efghij"
+            (3, "abcdefghij"),   # cut [8,10] (end) -> "abcdefg"
+            (4, "abcdefghij"),   # overlapping [2,6],[4,8] -> "aij"
+            (5, "untouched"),    # no spans
+            (6, None),           # NULL text, no spans
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 3, 5), (1, 8, 9),
+            (2, 1, 4),
+            (3, 8, 10),
+            (4, 2, 6), (4, 4, 8),
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r.doc_id: (r.text_trimmed, r.n_chars_removed)
+        for r in DD.trim_spans(docs, "text", "doc_id", spans).collect()
+    }
+    assert got[1] == ("abfgj", 5)
+    assert got[2] == ("efghij", 4)
+    assert got[3] == ("abcdefg", 3)
+    assert got[4] == ("aij", 7)
+    assert got[5] == ("untouched", 0)
+    assert got[6] == (None, 0)
+    # composition: duplicate_spans -> trim_spans removes the planted
+    # shared passage from both carriers
+    boiler = "SHARED-BOILERPLATE-" * 8  # 152 chars, well past one window
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro text one " + boiler + " outro one"),
+            (11, "different lead " + boiler + " different tail"),
+            (12, "clean document with nothing repeated in it at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sp = DD.duplicate_spans(corpus, "text", "doc_id")
+    out = {
+        r.doc_id: r.text_trimmed
+        for r in DD.trim_spans(corpus, "text", "doc_id", sp).collect()
+    }
+    assert "SHARED-BOILERPLATE" not in out[10]
+    assert "SHARED-BOILERPLATE" not in out[11]
+    assert out[12] == "clean document with nothing repeated in it at all"
+    assert out[10].startswith("intro text one")

@@ -1467,6 +1467,80 @@ def duplicate_spans(
     )
 
 
+def trim_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    spans_df: DataFrame,
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Cut character spans OUT of documents — the fix half of
+    :func:`duplicate_spans` (Lee et al. substring dedup / the
+    RefinedWeb boilerplate-removal shape): feed it d14's detected
+    duplicated ranges (or any per-doc span list, 1-based inclusive)
+    and get the surgically trimmed text back. Which spans to cut is
+    the CALLER's policy — cut-everywhere removes boilerplate mass;
+    an all-but-one policy joins its own survivor choice first.
+
+    Execution: spans collect per doc into a sorted array (bounded —
+    spans per doc ~ len/anchor_every at the d14 defaults), one join
+    against the docs, then a single native higher-order ``aggregate``
+    stitches the between-span gaps left-to-right. No UDF, no explode
+    of text, one pass over each doc's characters; docs without spans
+    pass through untouched on the left join. Defensive against
+    overlapping input spans (pos advances monotonically; negative gap
+    widths clamp to empty).
+
+    Returns (id, text_trimmed, n_chars_removed)."""
+    sp = F.struct(
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    per_doc = spans_df.groupBy(F.col(id_col)).agg(
+        F.sort_array(F.collect_list(sp)).alias("__spans")
+    )
+    joined = df.join(per_doc, on=id_col, how="left")
+    txt = F.col(text_col)
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+    )
+
+    def step(a, s):
+        gap = F.greatest(F.lit(0).cast("long"), s["s"] - a["pos"])
+        return F.struct(
+            F.greatest(a["pos"], s["e"] + 1).alias("pos"),
+            F.concat(
+                a["acc"],
+                F.substring(txt, a["pos"].cast("int"), gap.cast("int")),
+            ).alias("acc"),
+        )
+
+    trimmed = F.aggregate(
+        "__spans",
+        init,
+        step,
+        lambda a: F.concat(
+            a["acc"],
+            F.substring(
+                txt,
+                a["pos"].cast("int"),
+                F.greatest(
+                    F.lit(0).cast("long"), F.length(txt) - a["pos"] + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    out_txt = F.when(F.col("__spans").isNull(), txt).otherwise(trimmed)
+    return joined.select(
+        F.col(id_col),
+        out_txt.alias("text_trimmed"),
+        (F.coalesce(F.length(txt), F.lit(0)) - F.coalesce(F.length(out_txt), F.lit(0)))
+        .cast("long")
+        .alias("n_chars_removed"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -3491,6 +3491,87 @@ def d14_duplicate_spans(spark, sf_dir):
 
 
 @query(
+    "d17_trim_duplicate_spans",
+    """
+    WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, CASE WHEN n >= 48 THEN n - 48 + 2 ELSE 1 END)) AS s
+      FROM t
+    ),
+    anch AS (
+      SELECT doc_id, s, substr(text, s, 48) AS wtext, s + 47 AS e
+      FROM pos
+      WHERE ('0x' || substr(md5(substr(text, s, 8)), 1, 15))::BIGINT % 16 = 0
+    ),
+    dup AS (SELECT wtext FROM anch GROUP BY wtext
+            HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT anch.doc_id, s, e FROM anch JOIN dup USING (wtext)),
+    m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM h
+    ),
+    sp AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    gaps AS (
+      SELECT doc_id, s, e,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+      FROM spans
+    ),
+    pieces AS (
+      SELECT g.doc_id, g.s AS ord,
+             substr(t.text, CAST(g.prev_e + 1 AS INT),
+                    CAST(g.s - g.prev_e - 1 AS INT)) AS piece
+      FROM gaps g JOIN t USING (doc_id)
+      UNION ALL
+      SELECT q.doc_id, 2147483647 AS ord,
+             substr(t.text, CAST(q.last_e + 1 AS INT)) AS piece
+      FROM (SELECT doc_id, max(e) AS last_e FROM spans GROUP BY doc_id) q
+      JOIN t USING (doc_id)
+    ),
+    trimmed AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_trimmed
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(tr.text_trimmed, t.text) AS text_trimmed,
+           CAST(coalesce(length(t.text), 0)
+                - coalesce(length(coalesce(tr.text_trimmed, t.text)), 0)
+                AS BIGINT) AS n_chars_removed
+    FROM t LEFT JOIN trimmed tr USING (doc_id)
+    """,
+)
+def d17_trim_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup, detection AND fix (r7): d14's
+    content-defined-anchor duplicated spans (md5 mode, the
+    engine-reproducibility convention) feed ``dedup.trim_spans``,
+    which stitches each document's between-span gaps back together
+    with one native higher-order aggregate — no UDF, text never
+    explodes, docs without spans ride the left join untouched. The
+    boilerplate-removal shape (cut everywhere); an all-but-one
+    survivor policy is a caller-side filter on the span list. The
+    oracle replays the whole pipeline: anchor sampling, df counting,
+    span merge, then the same gap-stitch in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = D.duplicate_spans(
+        docs, "text", "doc_id", window_chars=48, anchor_every=16,
+        anchor_gram=8, min_df=2, anchor_hash="md5",
+    )
+    return D.trim_spans(docs, "text", "doc_id", spans)
+
+
+@query(
     "a15_equi_width_histogram",
     """
     WITH b AS (
@@ -5248,6 +5329,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
+    "d17_trim_duplicate_spans",
     "tf4_partition_evolution", "t21_html_extract", "tf3_point_lookup",
     "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
