@@ -372,3 +372,77 @@ def test_watermark_drops_late_data_after_window_eviction(spark, tmp_path):
     # [10:00,11:00) past its on-time 5 nor appended a duplicate row;
     # [13:00,14:00) is still open and must not have been emitted.
     assert sorted(rows) == [(10, 5), (11, 1), (12, 1)], rows
+
+
+def test_streaming_audited_append_gate_replay_quarantine(spark, tmp_path):
+    """streaming_audited_append (r7): per-batch stage->audit->publish.
+    The poisoned batch never reaches readers (abandoned stage +
+    quarantined), accepted batches land exactly once, a fresh
+    checkpoint replay of the same epochs commits NOTHING twice
+    (publish and rejection markers both ride the txn map), and
+    vacuum collects the abandoned stage's files."""
+    import glob
+    import os
+    import shutil
+
+    from traffic_forecast_etl_spark import tablefmt as T
+    from traffic_forecast_etl_spark.streaming.micro_batch import (
+        streaming_audited_append,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    quarantine = str(tmp_path / "q")
+    base = spark.createDataFrame(
+        [(i, f"e{i % 3}", float(i)) for i in range(400)],
+        "event_id long, event_type string, v double",
+    )
+    for k in range(4):
+        base.filter(F.pmod("event_id", 4) == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_audited_append(
+            stream,
+            table,
+            audit=lambda staged, batch: batch.filter(
+                F.pmod(F.col("event_id"), 4) == 2
+            ).limit(1).count()
+            == 0,
+            checkpoint=ckpt,
+            stats_cols=["event_id"],
+            quarantine_path=quarantine,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    got = sorted(r.event_id for r in T.snapshot_read(spark, table).collect())
+    assert got == [i for i in range(400) if i % 4 != 2]
+    # rejected rows quarantined
+    qrows = sorted(r.event_id for r in spark.read.parquet(quarantine).collect())
+    assert qrows == [i for i in range(400) if i % 4 == 2]
+    # no live stages remain; abandoned files are vacuum-collectable
+    assert not T.snapshot_list_staged(table)
+    removed = T.vacuum(table)
+    assert any(r.startswith("data/") for r in removed), removed
+    assert sorted(
+        r.event_id for r in T.snapshot_read(spark, table).collect()
+    ) == got
+    v_before = T.current_version(table)
+    # fresh checkpoint, same table + txn_app: every epoch replays and
+    # must commit nothing (accepted AND rejected markers both skip)
+    run(str(tmp_path / "ckpt2"))
+    assert T.current_version(table) == v_before
+    assert sorted(
+        r.event_id for r in T.snapshot_read(spark, table).collect()
+    ) == got
+    # replay didn't even re-quarantine (epochs skipped before staging)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(quarantine).collect()
+    ) == qrows

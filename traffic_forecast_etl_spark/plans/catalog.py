@@ -4291,6 +4291,64 @@ def st7_snapshot_cdf_replica(spark, sf_dir):
 
 
 @query(
+    "st9_audited_ingest",
+    """
+    SELECT event_id, event_type, round(value, 2) AS v
+    FROM events
+    WHERE event_id % 4 <> 2
+    """,
+)
+def st9_audited_ingest(spark, sf_dir):
+    """Quality-gated streaming ingestion through write-audit-publish
+    (r7): events arrive as four micro-batches (one residue class of
+    event_id mod 4 per file, maxFilesPerTrigger=1); each batch is
+    STAGED on the snapshot table, audited, and published only if it
+    contains no class-2 rows — the poisoned batch is abandoned
+    (readers never glimpse it) with an exactly-once rejection marker.
+    The oracle is the gate applied declaratively: the final table
+    must equal events minus the rejected class. Crash/replay
+    semantics are pinned in test_stateful_streaming."""
+    import shutil
+    import tempfile
+
+    from ..streaming.micro_batch import streaming_audited_append
+    from .. import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="st9_wap_")
+    try:
+        src = f"{tmp}/src"
+        for k in range(4):
+            ev.filter(F.pmod("event_id", 4) == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, v double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = streaming_audited_append(
+            stream,
+            f"{tmp}/t",
+            audit=lambda staged, batch: batch.filter(
+                F.pmod(F.col("event_id"), 4) == 2
+            ).limit(1).count()
+            == 0,
+            checkpoint=f"{tmp}/ckpt",
+            stats_cols=["event_id"],
+        )
+        q.awaitTermination()
+        out = (
+            TF.snapshot_read(spark, f"{tmp}/t")
+            .select("event_id", "event_type", "v")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "st8_native_cdf_stream",
     """
     SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n
@@ -5329,7 +5387,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
-    "d17_trim_duplicate_spans",
+    "st9_audited_ingest", "d17_trim_duplicate_spans",
     "tf4_partition_evolution", "t21_html_extract", "tf3_point_lookup",
     "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",

@@ -334,6 +334,79 @@ def streaming_snapshot_merge(
     return writer.start()
 
 
+def streaming_audited_append(
+    stream: DataFrame,
+    table_path: str,
+    audit,
+    txn_app: str = "streaming_audited_append",
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+    stats_cols: list[str] | None = None,
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Quality-GATED exactly-once streaming ingestion via the table
+    format's write–audit–publish: each micro-batch is STAGED (data
+    files written, LATEST untouched), the ``audit`` callable examines
+    the staged view, and the batch PUBLISHES only on approval — a
+    rejected batch is abandoned (files become vacuum-collectable
+    orphans; optionally dumped to ``quarantine_path`` for forensics)
+    and the table records a metadata-only marker commit so the
+    rejection is exactly-once too. Readers never see an unaudited
+    row; a crash mid-audit leaves only orphans, never a half batch.
+
+    ``audit(staged_view, batch) -> bool`` — ``staged_view`` is the
+    table AS IT WOULD LOOK after publishing (so gates can check
+    corpus-level invariants: totals, key collisions, drift), ``batch``
+    the raw micro-batch. Truthy → publish.
+
+    Exactly-once bookkeeping: publish carries ``(txn_app, epoch_id)``
+    through the usual txn map; a REJECTED batch commits an EMPTY
+    append with the same marker, so a replayed epoch is skipped
+    before staging either way. Quarantine writes sit outside the
+    transaction — at-least-once, the usual dead-letter contract.
+
+    First batch on a missing table bootstraps an empty table from the
+    batch schema (so the stage-audit-publish cycle applies to batch
+    one as well, unlike a raw snapshot_write)."""
+    from .. import tablefmt as TF
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if TF.current_version(table_path) is None:
+            TF.snapshot_write(
+                spark, batch.limit(0), table_path,
+                stats_cols=stats_cols or [],
+            )
+        last = TF.last_txn_version(table_path, txn_app)
+        if last is not None and last >= int(epoch_id):
+            return  # replayed epoch (published OR rejected): skip
+        wap = TF.snapshot_stage_write(
+            spark, batch, table_path, mode="append",
+            stats_cols=stats_cols or [],
+        )
+        staged_view = TF.snapshot_read_staged(spark, table_path, wap)
+        if bool(audit(staged_view, batch)):
+            TF.snapshot_publish(
+                table_path, wap, txn_app=txn_app, txn_version=int(epoch_id)
+            )
+        else:
+            TF.snapshot_abandon(table_path, wap)
+            if quarantine_path:
+                batch.write.mode("append").parquet(quarantine_path)
+            # marker commit: rejection is recorded exactly-once
+            TF.snapshot_write(
+                spark, batch.limit(0), table_path, mode="append",
+                txn_app=txn_app, txn_version=int(epoch_id),
+            )
+
+    writer = stream.writeStream.foreachBatch(_sink).trigger(
+        **(trigger if trigger is not None else {"availableNow": True})
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def streaming_ann_index_sink(
     stream: DataFrame,
     index_path: str,
