@@ -110,6 +110,14 @@ HEADLINE = [
     # pruning they exist for is pinned structurally (admitted-file
     # counts) and measured in SCALE.md.
     "s6_ivf_pq_ann",
+    # round-7 later-session additions: HTML extraction (map-only
+    # regex chain over documents) and exact-substring span trim
+    # (anchor sampling + df count + gap-stitch) — both data-plane
+    # compute. tf3/tf4/st9 stay out per the snapshot-commit-loop
+    # exclusion above; their pruning/gating value is pinned
+    # structurally and measured in SCALE.md.
+    "t21_html_extract",
+    "d17_trim_duplicate_spans",
 ]
 
 # the dedup/ANN/text family whose scaling slope matters at 100 TB —

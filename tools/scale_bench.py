@@ -82,6 +82,15 @@ KEYS = [
     # commit metadata end-to-end (measured flat in SCALE.md), so a
     # corpus-size series would time the parquet writer, not pruning.
     "s7_persistent_ann",
+    # r7 later session: HTML extraction (map-only regex chain — the
+    # scan-rate class) and exact-substring span trim (d14's anchor
+    # sampling + df aggregate + per-doc gap-stitch; every stage
+    # linear, the span join moves only duplicated hits).
+    # tf3/tf4/st9 are deliberately absent per the tf2 rule: snapshot-
+    # commit loops end-to-end — their pruning/gating is structural
+    # (admitted-file counts, bloom fpp) and measured in SCALE.md.
+    "t21_html_extract",
+    "d17_trim_duplicate_spans",
 ]
 
 # duplicate-heavy + Zipf-skewed twin corpora (make_scale_data.py
