@@ -33,6 +33,9 @@ def test_oracle_coverage(spark):
     # heuristic/UDF ops — keep this list in sync deliberately
     rows_only = set(qs) - set(osql)
     assert rows_only == {
+        # FFD bin state is order-dependent greedy — not SQL (r7);
+        # kernel pinned vs a pure-Python reference in curation tests
+        "c13_pack_best_fit",
         "c1_curate_corpus",
         "d2_minhash_lsh",
         "d9_incremental_near_dup",

@@ -2859,3 +2859,33 @@ def test_partition_evolution_to_flat_time_travel_cdf(spark, tmp_path):
     # unknown source column still validates
     with pytest.raises(KeyError):
         T.snapshot_evolve_partition(path, [("days", "nope")])
+
+
+def test_bloom_cols_validated_against_schema(spark, tmp_path):
+    with pytest.raises(KeyError, match="nope"):
+        T.snapshot_write(
+            spark, _mk(spark, range(3)), str(tmp_path / "t"),
+            bloom_cols=["nope"],
+        )
+
+
+def test_expire_older_than_retains_recent_burst(spark, tmp_path):
+    """older_than composes with keep_last as a floor: versions
+    committed at/after the cutoff survive however many there are;
+    strictly-older untagged ones expire."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    for i in range(6):
+        T.snapshot_write(spark, _mk(spark, [i]), path, mode="append" if i else "overwrite")
+    # cutoff BEFORE every commit: nothing expires even with keep_last=1
+    cutoff = dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=1)
+    assert T.snapshot_expire(path, keep_last=1, older_than=cutoff) == []
+    assert min(h["version"] for h in T.snapshot_history(path)) == 0
+    # cutoff AFTER every commit: behaves like plain keep_last
+    cutoff2 = dt.datetime.now(dt.timezone.utc) + dt.timedelta(hours=1)
+    T.snapshot_expire(path, keep_last=2, older_than=cutoff2)
+    kept = {h["version"] for h in T.snapshot_history(path)}
+    assert kept == {4, 5}
+    # current version always readable
+    assert T.snapshot_read(spark, path).count() == 6

@@ -831,3 +831,84 @@ def test_extract_html_text_adversarial_pin(spark):
     assert got[3][0] == "spaced text with newlines"
     assert got[4] == (None, None)
     assert got[1][1] == len(got[1][0])
+
+
+def test_pack_best_fit_invariants_and_reference_parity(spark):
+    """pack_token_bins_best_fit (r7): no bin exceeds the budget
+    except singleton oversized docs; assignment ≡ a pure-Python FFD
+    reference; deterministic across input layout; and on skewed
+    lengths FFD wastes no more bins than the contiguous packer."""
+    import random
+
+    rnd = random.Random(5)
+    docs = [
+        (i, " ".join("w" for _ in range(rnd.choice([5, 40, 100, 900, 1500]))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TX.pack_token_bins_best_fit(
+        df, "text", "doc_id", budget=2048, coarse_docs=1000
+    ).collect()
+    by_bin: dict = {}
+    ntok = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r.doc_id)
+        ntok[r.doc_id] = r.n_tokens
+    for b, members in by_bin.items():
+        tot = sum(ntok[m] for m in members)
+        assert tot <= 2048 or len(members) == 1, (b, tot, members)
+    # pure-Python FFD reference over the same coarse shard (all 300
+    # docs fit one shard at coarse_docs=1000)
+    order = sorted(ntok, key=lambda i: (-ntok[i], i))
+    fills, assign = [], {}
+    for i in order:
+        for b, fill in enumerate(fills):
+            if fill + ntok[i] <= 2048:
+                assign[i] = b
+                fills[b] = fill + ntok[i]
+                break
+        else:
+            assign[i] = len(fills)
+            fills.append(ntok[i])
+    got_assign = {r.doc_id: r.bin_id for r in out}
+    assert got_assign == assign, "FFD kernel diverged from reference"
+    for r in out:
+        assert r.bin_fill == fills[assign[r.doc_id]]
+    # layout independence
+    out2 = {
+        r.doc_id: r.bin_id
+        for r in TX.pack_token_bins_best_fit(
+            df.repartition(13), "text", "doc_id", budget=2048,
+            coarse_docs=1000,
+        ).collect()
+    }
+    assert out2 == got_assign
+    # waste bound: contiguous bin count = ceil(total/budget) is the
+    # FRACTIONAL lower bound (it splits docs across bins), and FFD is
+    # within 11/9*OPT + 1 of any whole-doc optimum >= that LB
+    # (Johnson 1973)
+    import math
+
+    lb = math.ceil(sum(ntok.values()) / 2048)
+    assert len(fills) <= math.ceil(11 / 9 * lb) + 1, (len(fills), lb)
+
+
+def test_pack_best_fit_strata_and_coarse_bounds(spark):
+    """Strata pack independently; coarse sharding bounds group state
+    and keeps bin ids globally unique."""
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2), " ".join("w" for _ in range(100)))
+         for i in range(40)],
+        "doc_id long, src string, text string",
+    )
+    out = TX.pack_token_bins_best_fit(
+        df, "text", "doc_id", budget=250, coarse_docs=8, strata_col="src"
+    ).collect()
+    # every (stratum, bin) holds <= budget
+    by_: dict = {}
+    for r in out:
+        by_.setdefault((r.src, r.bin_id), 0)
+        by_[(r.src, r.bin_id)] += r.n_tokens
+    assert all(v <= 250 for v in by_.values())
+    # ids unique per stratum even across coarse shards
+    assert len({(r.src, r.doc_id) for r in out}) == 40

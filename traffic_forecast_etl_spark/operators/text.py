@@ -684,6 +684,94 @@ def pack_token_bins(
     return out
 
 
+def pack_token_bins_best_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 2048,
+    coarse_docs: int = 4096,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Best-fit sequence packing — the padding-waste minimizer
+    :func:`pack_token_bins`'s contiguous layout deliberately skips
+    (training batches padded to ``budget`` waste
+    (budget - fill)/budget of every step; first-fit-decreasing gets
+    within 11/9·OPT+1 bins, Johnson 1973). Two levels so the greedy
+    state stays bounded:
+
+    1. deterministic COARSE shards: docs in ``id`` order (within the
+       stratum) group into runs of ``coarse_docs`` — one window
+       shuffle, the same layout contract as pack_token_bins;
+    2. per coarse shard, first-fit-DECREASING over open bins inside
+       ``applyInPandas`` (the justified sequential-heuristic Python
+       boundary — FFD's bin state is order-dependent, not a join or
+       window): docs sorted by token count desc then id, each placed
+       in the first open bin with room; docs longer than ``budget``
+       get singleton overflow bins. State is O(bins in shard) ≤
+       coarse_docs — independent of corpus size.
+
+    bin_id is globally unique and deterministic:
+    coarse_id * coarse_docs + local bin index. Returns
+    (id, [stratum], n_tokens, bin_id, bin_fill). Greedy bin state is
+    not SQL-expressible, so the catalog entry is rows-only; the FFD
+    kernel is pinned ≡ a pure-Python reference and against the
+    budget/waste invariants in pytest."""
+    import pandas as pd
+
+    n_tok = F.size(tokens(text_col))
+    w = (
+        Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    ).orderBy(id_col)
+    base = df.select(
+        F.col(id_col),
+        *([strata_col] if strata_col else []),
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "__coarse",
+        F.floor((F.row_number().over(w) - 1) / coarse_docs).cast("long"),
+    )
+    group_cols = ([strata_col] if strata_col else []) + ["__coarse"]
+    out_schema = ", ".join(
+        [f"{id_col} long"]
+        + ([f"{strata_col} string"] if strata_col else [])
+        + ["n_tokens int", "bin_id long", "bin_fill int", "__coarse long"]
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        coarse = int(pdf["__coarse"].iloc[0])
+        rows = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        )
+        fills: list[int] = []  # fill level per open bin
+        assign: dict = {}
+        for rid, nt in zip(rows[id_col], rows["n_tokens"]):
+            nt = int(nt)
+            for b, fill in enumerate(fills):
+                if fill + nt <= budget:
+                    assign[rid] = b
+                    fills[b] = fill + nt
+                    break
+            else:  # no room anywhere (or oversized doc): open a bin
+                assign[rid] = len(fills)
+                fills.append(nt)
+        pdf = pdf.copy()
+        pdf["bin_id"] = [
+            coarse * coarse_docs + assign[r] for r in pdf[id_col]
+        ]
+        pdf["bin_fill"] = [fills[assign[r]] for r in pdf[id_col]]
+        return pdf[
+            [id_col]
+            + ([strata_col] if strata_col else [])
+            + ["n_tokens", "bin_id", "bin_fill", "__coarse"]
+        ]
+
+    return (
+        base.groupBy(*group_cols)
+        .applyInPandas(ffd, schema=out_schema)
+        .drop("__coarse")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the canonical normalized form
     (lowercased, punctuation stripped, whitespace collapsed). md5 so

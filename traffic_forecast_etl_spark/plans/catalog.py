@@ -4599,6 +4599,21 @@ def tf4_partition_evolution(spark, sf_dir):
     return out
 
 
+@query("c13_pack_best_fit")
+def c13_pack_best_fit(spark, sf_dir):
+    """Best-fit-decreasing sequence packing (r7): documents pack into
+    ~2048-token training bins minimizing padding waste — the greedy
+    refinement c3's contiguous layout deliberately skips. FFD's bin
+    state is order-dependent (not SQL-expressible), so this key is
+    rows-only; the kernel is pinned ≡ a pure-Python reference, the
+    budget/waste invariants, and cross-layout determinism in
+    test_text_curation."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pack_token_bins_best_fit(
+        docs, "text", "doc_id", budget=2048, coarse_docs=256
+    ).orderBy("doc_id")
+
+
 @query(
     "t21_html_extract",
     r"""
@@ -5387,7 +5402,7 @@ _SWEEP_PRIORITY = [
     # model-validation edits) — then the stalest evidence: the whole
     # q-family and w-family, whose latest green driver rows predate
     # round 5; the rest keep their r6 relative order.
-    "st9_audited_ingest", "d17_trim_duplicate_spans",
+    "c13_pack_best_fit", "st9_audited_ingest", "d17_trim_duplicate_spans",
     "tf4_partition_evolution", "t21_html_extract", "tf3_point_lookup",
     "tf2_partitioned_table", "s7_persistent_ann",
     "tf1_snapshot_update_cdf", "st8_native_cdf_stream",

@@ -1513,6 +1513,9 @@ def snapshot_write(
                 else None
             )
             bcols = list(bloom_cols) if bloom_cols else None
+            for c in bcols or []:
+                _col_type(schema_json, c)  # typo'd bloom col: raise,
+                # don't silently skip building the index forever
         if mode == "replace_partitions" and not spec:
             raise ValueError(
                 "replace_partitions needs a partitioned table (write the "
@@ -3257,14 +3260,32 @@ def snapshot_purge_deletes(spark: SparkSession, path: str) -> int:
         release_writer_lease(path, holder)
 
 
-def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
+def snapshot_expire(
+    path: str, keep_last: int = 2, older_than=None
+) -> list[str]:
     """Expire history: keep the newest ``keep_last`` manifests plus
     every TAGGED version (see :func:`snapshot_tag`), drop older ones,
     and delete data files no retained manifest references (plus any
     orphans from crashed commits). Returns the deleted file paths.
-    The current version is always retained."""
+    The current version is always retained.
+
+    ``older_than`` (datetime or epoch seconds — the Iceberg
+    expire_snapshots(older_than) retention contract): additionally
+    retain every version COMMITTED AT OR AFTER that instant, however
+    many there are — "keep a week of history" composes with
+    ``keep_last`` as a floor, and a burst of recent commits is never
+    expired just because it exceeded a count."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    cutoff_us = None
+    if older_than is not None:
+        if isinstance(older_than, _dt.datetime):
+            ts = older_than
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            cutoff_us = int(ts.timestamp() * 1e6)
+        else:
+            cutoff_us = int(float(older_than) * 1e6)
     holder = acquire_writer_lease(path)
     try:
         versions = sorted(
@@ -3274,6 +3295,12 @@ def snapshot_expire(path: str, keep_last: int = 2) -> list[str]:
         )
         tagged = set(snapshot_refs(path).values())
         drop = [v for v in versions[:-keep_last] if v not in tagged]
+        if cutoff_us is not None:
+            drop = [
+                v
+                for v in drop
+                if (read_manifest(path, v).get("ts") or 0) < cutoff_us
+            ]
         keep = [v for v in versions if v not in drop]
         referenced = set()
         chg_referenced = set()
