@@ -169,6 +169,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # global row_number ordering IS the operator's contract; the scale
     # path is temporal_split_at (date cutoff) — see relational.py
     "o2_temporal_split",
+    # c3's documented coarse-layout window (shard-count granularity;
+    # row-level scale passes strata_col) — c13 adds FFD inside the
+    # coarse shards but keeps the same level-1 layout contract
+    "c13_pack_best_fit",
     # deliberately tiny: ranks the 5-row distinct-agg output
     "a5_distinct_agg",
     # whole-frame totals over the per-SOURCE counts frame (O(sources)

@@ -2291,7 +2291,11 @@ def _uuid_table(spark, tmp_path, n=4000, files=16, bloom=True):
 
 def test_bloom_lookup_prunes_where_minmax_cannot(spark, tmp_path):
     path, ids = _uuid_table(spark, tmp_path)
-    m, by_range = T.snapshot_scan_files(path, "doc_id", ids[17], ids[17])
+    # a TRUE range (two distinct bounds) — equality scans now route
+    # through blooms too (test_equality_scan_uses_blooms), so the
+    # min/max-only reference needs lo < hi
+    lo, hi = sorted([ids[17], ids[18]])
+    m, by_range = T.snapshot_scan_files(path, "doc_id", lo, hi)
     _, by_bloom = T.snapshot_lookup_files(path, "doc_id", [ids[17]])
     total = len(T.manifest_files(path, m))
     # min/max admits ~everything on unclustered uuids; blooms don't
@@ -2889,3 +2893,49 @@ def test_expire_older_than_retains_recent_burst(spark, tmp_path):
     assert kept == {4, 5}
     # current version always readable
     assert T.snapshot_read(spark, path).count() == 6
+
+
+def test_bloom_probe_type_coercion_no_false_negative(spark, tmp_path):
+    """r7 self-review fix: an int probe on a double/decimal bloom
+    column must coerce to the column's native type before hashing —
+    otherwise the canon mismatches the build side and the bloom
+    REJECTS a file that holds the value (a silent lost row)."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(float(i), Decimal(i) / 1, i) for i in range(200)],
+        "fv double, dv decimal(10,2), k long",
+    ).repartition(4)
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, df, path, stats_cols=["fv"], bloom_cols=["fv", "dv"])
+    # int probe on the double column: must find the row
+    assert T.snapshot_lookup(spark, path, "fv", [7]).count() == 1
+    # int probe on the decimal column likewise
+    assert T.snapshot_lookup(spark, path, "dv", [7]).count() == 1
+    # tz-aware timestamp bound raises descriptively, not TypeError
+    import datetime as dt
+
+    df2 = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i % 24)) for i in range(10)],
+        "id long, ts timestamp",
+    )
+    p2 = str(tmp_path / "t2")
+    T.snapshot_write(spark, df2, p2, stats_cols=["ts"], bloom_cols=["ts"])
+    with pytest.raises(ValueError, match="timezone-aware"):
+        T.snapshot_lookup_files(
+            p2, "ts", [dt.datetime(2024, 1, 1, 5, tzinfo=dt.timezone.utc)]
+        )
+
+
+def test_equality_scan_uses_blooms(spark, tmp_path):
+    """snapshot_scan_files with lower == upper is a point probe:
+    blooms prune it like snapshot_lookup_files, and the scan read
+    stays exact."""
+    path, ids = _uuid_table(spark, tmp_path)
+    m, adm_range = T.snapshot_scan_files(path, "doc_id", ids[17], ids[18])
+    _, adm_eq = T.snapshot_scan_files(path, "doc_id", ids[17], ids[17])
+    total = len(T.manifest_files(path, m))
+    assert len(adm_range) == total  # true range: blooms can't help
+    assert len(adm_eq) <= max(1, total // 4)
+    got = T.snapshot_scan(spark, path, "doc_id", ids[17], ids[17]).collect()
+    assert [r.n for r in got] == [17]

@@ -731,9 +731,12 @@ def pack_token_bins_best_fit(
         F.floor((F.row_number().over(w) - 1) / coarse_docs).cast("long"),
     )
     group_cols = ([strata_col] if strata_col else []) + ["__coarse"]
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
     out_schema = ", ".join(
-        [f"{id_col} long"]
-        + ([f"{strata_col} string"] if strata_col else [])
+        [f"{id_col} {id_type[id_col]}"]
+        + ([f"{strata_col} {id_type[strata_col]}"] if strata_col else [])
         + ["n_tokens int", "bin_id long", "bin_fill int", "__coarse long"]
     )
 

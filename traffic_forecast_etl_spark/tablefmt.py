@@ -568,6 +568,28 @@ def _check_bound(v, dtype: DataType, key: str, which: str):
             f"{dtype.simpleString()} (expected {want}) — pass a bound "
             "of the column's native Python type"
         )
+    # NORMALIZE to the column's native Python type: range comparison
+    # tolerates int-vs-float, but the bloom probe canon does not — an
+    # int probe on a double column would hash "i:5" while the build
+    # side hashed "f:5.0", a FALSE NEGATIVE that silently loses rows
+    if isinstance(dtype, DecimalType) and isinstance(v, int):
+        v = _decimal.Decimal(v)
+    elif (
+        not isinstance(dtype, (TimestampType, TimestampNTZType))
+        and dtype.simpleString() in ("float", "double")
+        and isinstance(v, int)
+    ):
+        v = float(v)
+    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+        if v.tzinfo is not None:
+            # manifests/blooms store session-naive instants; a
+            # tz-aware probe would compare aware-vs-naive (TypeError
+            # mid-prune) and canon-mismatch the bloom
+            raise ValueError(
+                f"{which} bound for timestamp column {key!r} is "
+                "timezone-aware — pass a session-naive datetime (the "
+                "collected/stored representation)"
+            )
     return v
 
 
@@ -1650,12 +1672,26 @@ def snapshot_scan_files(
                     for e in _read_segment(path, seg)
                     if padmit(e) and _touched(e, key, lo, hi, None, dtype)
                 )
+        if (
+            lo is not None
+            and lo == hi
+            and key in (m.get("bloom_cols") or [])
+        ):
+            admitted = _bloom_prefilter(path, admitted, key, [lo], dtype)
         return m, admitted
     admitted = [
         e
         for e in m["files"]
         if padmit(e) and _touched(e, key, lo, hi, None, dtype)
     ]
+    if (
+        lo is not None
+        and lo == hi
+        and key in (m.get("bloom_cols") or [])
+    ):
+        # an equality range IS a point probe: let the blooms prune
+        # what min/max can't on an unclustered key
+        admitted = _bloom_prefilter(path, admitted, key, [lo], dtype)
     return m, admitted
 
 
