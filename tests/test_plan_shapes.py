@@ -12,6 +12,15 @@ import pytest
 from traffic_forecast_etl_spark.plans.catalog import QUERIES
 
 
+def final_plan_of(df) -> str:
+    """Execute and return ONLY the AQE final plan (the executed-plan
+    string appends an '== Initial Plan ==' section that still shows
+    the static pre-AQE join choices)."""
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
 def plan_of(spark, name, sf_dir, mode="formatted") -> str:
     df = QUERIES[name](spark, sf_dir)
     jvm = spark._jvm
@@ -89,10 +98,14 @@ def test_d10_diff_shuffles_hashes_not_payload(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
-def test_q5_has_no_sort_merge_join(spark, sf_dir):
-    """All five dims broadcast; a SortMergeJoin appearing means a dim
-    grew past the broadcast path or a hint was dropped."""
-    assert "SortMergeJoin" not in plan_of(spark, "q5_region_volume", sf_dir)
+def test_q5_has_no_sort_merge_join_after_aqe(spark, sf_dir):
+    """q5's sf-growing sides are unhinted (broadcast-hint policy,
+    catalog.py header), so the STATIC plan may conservatively show
+    SortMergeJoin — but AQE must convert every join to broadcast at
+    tiny sf from the runtime sizes. Pin the FINAL adaptive plan."""
+    final = final_plan_of(QUERIES["q5_region_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, final[:800]
 
 
 def test_q1_scan_prunes_columns(spark, sf_dir):
@@ -205,6 +218,9 @@ _CARTESIAN_OK = {
     "t13_unigram_logprob",
     # 1-row (T, V) totals frame broadcast onto the bigram stream
     "t15_bigram_logprob",
+    # 1-row id-bounds frame for the order-preserving range stratum
+    # (auto-stratum packing path, VERDICT r7 item 2)
+    "c13_pack_best_fit",
     # broadcast eval-set × corpus: the eval set is small BY CONTRACT
     # (same shape as s1's query side); corpus never shuffles
     "c7_embedding_decontaminate",
@@ -306,3 +322,52 @@ def test_exact_dup_edges_text_never_shuffles(spark, sf_dir):
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
         assert "text" not in ex, ex
     assert "partial_min" in plan  # map-side combine on the fingerprint agg
+
+
+# Broadcast hints allowed in plans/catalog.py — ONLY sides whose size
+# is independent of scale factor (policy in catalog.py's module
+# docstring, VERDICT r7 item 1). An explicit hint overrides both
+# autoBroadcastJoinThreshold and AQE's runtime size check, so a hint
+# on an sf-growing side (orders/customer/part/supplier or aggregates
+# keyed by their keys) is an OOM at 100 TB.
+_BROADCAST_ROOT_ALLOWLIST = {
+    "n", "r", "n1", "n2",   # nation (25 rows) / region (5 rows)
+    "total", "mx", "thr",    # 1-row global aggregates (q11/q15/c6)
+    "bounds",                # per-event_type min/max (fixed cardinality)
+}
+
+
+def test_broadcast_hint_allowlist():
+    """Every F.broadcast() in the catalog must target an allowlisted
+    fixed-size frame. Catching a reintroduced hint on a scale-growing
+    table here is cheaper than catching the OOM on a cluster."""
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).parent.parent
+        / "traffic_forecast_etl_spark" / "plans" / "catalog.py"
+    ).read_text()
+    roots = re.findall(r"F\.broadcast\(\s*(\w+)", src)
+    offenders = sorted(set(roots) - _BROADCAST_ROOT_ALLOWLIST)
+    assert not offenders, (
+        f"broadcast hint on non-allowlisted frames {offenders}; if the "
+        "side is genuinely sf-independent, extend the allowlist WITH a "
+        "size argument, otherwise drop the hint and let AQE decide"
+    )
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["q3_shipping_priority", "q10_returned_items", "q12_priority_shipmode",
+     "q14_promo_share", "q18_large_orders"],
+)
+def test_aqe_picks_broadcast_without_hints(spark, sf_dir, query):
+    """The de-hinted q-family must still get broadcast joins at tiny
+    sf — from Spark's own size estimates / AQE runtime stats, not from
+    hints. Executes the query (AQE finalizes the plan at runtime) and
+    pins BroadcastHashJoin in the FINAL adaptive plan with no
+    SortMergeJoin fallback."""
+    final = final_plan_of(QUERIES[query](spark, sf_dir))
+    assert "BroadcastHashJoin" in final, f"{query}: no broadcast join\n{final[:800]}"
+    assert "SortMergeJoin" not in final, f"{query}: sort-merge at tiny sf\n{final[:800]}"

@@ -912,3 +912,77 @@ def test_pack_best_fit_strata_and_coarse_bounds(spark):
     assert all(v <= 250 for v in by_.values())
     # ids unique per stratum even across coarse shards
     assert len({(r.src, r.doc_id) for r in out}) == 40
+
+
+def test_pack_auto_stratum_plan_and_parity(spark):
+    """VERDICT r7 item 2: with strata_col=None and a numeric id, both
+    packers derive an order-preserving range stratum so the big
+    window exchange is MULTI-partition (hashpartitioning on __rs, not
+    SinglePartition), and the result is bit-identical to the global-
+    window layout."""
+    import re
+
+    docs = [(i * 7 + 3, " ".join("w" for _ in range(4 + i % 5))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = TX.pack_token_bins(df, "text", "doc_id", budget=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the id-ordered window must hash-partition on the range stratum
+    assert "hashpartitioning(__rs" in plan, plan[:800]
+    # reference: single global cumulative sum in id order
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // 32, (r, cum)
+        cum += r["n_tokens"]
+
+    bf = TX.pack_token_bins_best_fit(df, "text", "doc_id", budget=64, coarse_docs=16)
+    bplan = bf._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__rs" in bplan, bplan[:800]
+    # coarse runs follow global id order: doc rank // coarse_docs
+    got = {r["doc_id"]: r["bin_id"] for r in bf.collect()}
+    ids = sorted(got)
+    for rank, i in enumerate(ids):
+        assert got[i] // 16 == rank // 16, (i, rank, got[i])
+    # globally unique fills within budget (or singleton overflow)
+    fills: dict = {}
+    ntok = {r["doc_id"]: r["n_tokens"] for r in bf.collect()}
+    for i, b in got.items():
+        fills.setdefault(b, []).append(i)
+    for b, members in fills.items():
+        assert sum(ntok[m] for m in members) <= 64 or len(members) == 1
+
+
+def test_pack_non_numeric_id_falls_back(spark):
+    """Non-numeric ids without a stratum keep the documented global-
+    window fallback (shard-count scale only) — same layout semantics."""
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", "a b c d") for i in range(6)], "doc_id string, text string"
+    )
+    rows = sorted(
+        TX.pack_token_bins(df, "text", "doc_id", budget=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["bin_id"] for r in rows] == [0, 0, 1, 1, 2, 2]
+
+
+def test_extract_html_text_vertical_tab_parity(spark):
+    """ADVICE r7: Java's \\s includes \\x0B but RE2's does not — the
+    whitespace collapse spells the class out explicitly on both
+    sides. Pin: a VT-bearing document collapses to single spaces in
+    the ENGINE and in a DuckDB replay of the same automaton."""
+    import duckdb
+
+    raw = "<p>alpha\x0bbeta</p><p>g\tamma\x0b\x0b delta</p>"
+    df = spark.createDataFrame([(1, raw)], "doc_id long, html string")
+    got = TX.extract_html_text(df, "html", "doc_id").collect()[0]
+    assert got["text_extracted"] == "alpha beta g amma delta"
+    duck = duckdb.connect().execute(
+        r"""
+        SELECT trim(regexp_replace(
+                 regexp_replace(?, '(?s)<[^>]+>', ' ', 'g'),
+               '[ \t\n\f\r\x0B]+', ' ', 'g'))
+        """,
+        [raw],
+    ).fetchone()[0]
+    assert duck == got["text_extracted"]

@@ -621,7 +621,11 @@ def extract_html_text(
     Python-library boundary this container doesn't ship; the regex
     chain covers the tag/entity mass and is expressed ONLY in the
     regex subset RE2 and Java share (no backreferences, no
-    lookaround), so the DuckDB oracle replays it verbatim.
+    lookaround), so the DuckDB oracle replays it verbatim. The
+    whitespace collapse spells out Java's ``\\s`` class explicitly
+    (``[ \\t\\n\\f\\r\\x0B]``) because RE2's ``\\s`` EXCLUDES
+    vertical tab — a bare ``\\s+`` would collapse VT-bearing
+    documents differently engine-vs-oracle (ADVICE r7).
 
     Entirely map-only native expressions: zero shuffle, one pass,
     whole-stage codegen, pipelines into the scan — the same 100 TB
@@ -642,13 +646,47 @@ def extract_html_text(
         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # & LAST
     ]:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.trim(F.regexp_replace(c, r"[ \t\n\f\r\x0B]+", " "))
     return df.select(
         F.col(id_col),
         c.alias("text_extracted"),
         F.length(html_col).alias("n_chars_html"),
         F.length(c).alias("n_chars_text"),
     )
+
+
+_AUTO_STRATA = 256
+
+
+def _range_stratum(df: DataFrame, id_col: str, n_strata: int = _AUTO_STRATA):
+    """Order-preserving range stratum over a NUMERIC id: stratum k
+    covers an equal slice of [min_id, max_id], so sorting by
+    (stratum, id) IS sorting by id — per-stratum window results can
+    be corrected into exact global-window results with cross-stratum
+    offsets instead of a single-partition sort (VERDICT r7 item 2).
+
+    Returns (df ⨯ 1-row bounds, stratum Column) or (None, None) when
+    the id is not numeric (callers fall back to the global window —
+    documented as the not-at-scale path). The bucket arithmetic runs
+    in double: exact for ids below 2^52, and only stratum BALANCE
+    (never correctness) degrades past that."""
+    dtype = df.schema[id_col].dataType.simpleString()
+    if dtype not in {"tinyint", "smallint", "int", "bigint"}:
+        return None, None
+    bounds = df.agg(
+        F.min(id_col).cast("double").alias("__mn"),
+        F.max(id_col).cast("double").alias("__mx"),
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    stratum = F.least(
+        F.lit(n_strata - 1).cast("long"),
+        F.floor(
+            (F.col(id_col).cast("double") - F.col("__mn"))
+            / (F.col("__mx") - F.col("__mn") + 1.0)
+            * n_strata
+        ),
+    ).cast("long")
+    return with_bounds, stratum
 
 
 def pack_token_bins(
@@ -668,10 +706,46 @@ def pack_token_bins(
     pass would run inside applyInPandas per shard AFTER this coarse
     assignment, at budget-bounded state).
 
-    One window shuffle keyed by the stratum (or a single global
-    ordering when ``strata_col`` is None — fine for a shard count,
-    wrong for row-level at 100 TB; pass a stratum)."""
+    bin_id is unique PER STRATUM when ``strata_col`` is given
+    (consumers group by (stratum, bin_id)); globally unique when
+    ``strata_col`` is None.
+
+    Shuffle contract: one window shuffle keyed by the stratum. When
+    ``strata_col`` is None and the id is numeric, a deterministic
+    order-preserving range stratum (:func:`_range_stratum`) keeps the
+    window exchange multi-partition and the global cumulative sum is
+    reassembled from per-stratum sums + cross-stratum offsets (the
+    offsets window runs over the ≤256-row stratum-totals frame —
+    bytes through one task). Result is bit-identical to the global
+    window. Non-numeric ids without a stratum fall back to the global
+    window — fine for a shard count, wrong for row-level at 100 TB;
+    pass a stratum."""
     n_tok = F.size(tokens(text_col))
+    if strata_col is None:
+        with_bounds, stratum = _range_stratum(df, id_col)
+        if with_bounds is not None:
+            base = with_bounds.select(
+                F.col(id_col), n_tok.alias("n_tokens"), stratum.alias("__rs")
+            )
+            totals = base.groupBy("__rs").agg(F.sum("n_tokens").alias("__tot"))
+            w_off = (
+                Window.orderBy("__rs")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            offsets = totals.select(
+                "__rs",
+                F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+            )
+            w_local = Window.partitionBy("__rs").orderBy(id_col)
+            local_before = F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+            return (
+                base.join(F.broadcast(offsets), "__rs")
+                .withColumn(
+                    "bin_id",
+                    F.floor((F.col("__off") + local_before) / budget).cast("long"),
+                )
+                .select(id_col, "n_tokens", "bin_id")
+            )
     w = (
         Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
     ).orderBy(id_col)
@@ -701,7 +775,13 @@ def pack_token_bins_best_fit(
 
     1. deterministic COARSE shards: docs in ``id`` order (within the
        stratum) group into runs of ``coarse_docs`` — one window
-       shuffle, the same layout contract as pack_token_bins;
+       shuffle, the same layout contract as pack_token_bins. When
+       ``strata_col`` is None and the id is numeric, the global rank
+       is assembled from a :func:`_range_stratum` window plus
+       cross-stratum row-count offsets (multi-partition exchange,
+       bit-identical to the global window — VERDICT r7 item 2);
+       non-numeric ids without a stratum fall back to the global
+       window (shard-count scale only);
     2. per coarse shard, first-fit-DECREASING over open bins inside
        ``applyInPandas`` (the justified sequential-heuristic Python
        boundary — FFD's bin state is order-dependent, not a join or
@@ -710,8 +790,12 @@ def pack_token_bins_best_fit(
        get singleton overflow bins. State is O(bins in shard) ≤
        coarse_docs — independent of corpus size.
 
-    bin_id is globally unique and deterministic:
-    coarse_id * coarse_docs + local bin index. Returns
+    bin_id = coarse_id * coarse_docs + local bin index, deterministic
+    and unique PER STRATUM — with ``strata_col`` set, stratum A and B
+    can both produce bin_id 0, so consumers MUST group by
+    (stratum, bin_id) (ADVICE r7; the uniqueness test pins exactly
+    that composite). With ``strata_col=None`` bin_id is globally
+    unique (coarse ids come from the global rank). Returns
     (id, [stratum], n_tokens, bin_id, bin_fill). Greedy bin state is
     not SQL-expressible, so the catalog entry is rows-only; the FFD
     kernel is pinned ≡ a pure-Python reference and against the
@@ -719,17 +803,46 @@ def pack_token_bins_best_fit(
     import pandas as pd
 
     n_tok = F.size(tokens(text_col))
-    w = (
-        Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
-    ).orderBy(id_col)
-    base = df.select(
-        F.col(id_col),
-        *([strata_col] if strata_col else []),
-        n_tok.alias("n_tokens"),
-    ).withColumn(
-        "__coarse",
-        F.floor((F.row_number().over(w) - 1) / coarse_docs).cast("long"),
-    )
+    base = None
+    if strata_col is None:
+        with_bounds, stratum = _range_stratum(df, id_col)
+        if with_bounds is not None:
+            pre = with_bounds.select(
+                F.col(id_col), n_tok.alias("n_tokens"), stratum.alias("__rs")
+            )
+            counts = pre.groupBy("__rs").agg(F.count(F.lit(1)).alias("__cnt"))
+            w_off = (
+                Window.orderBy("__rs")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            offsets = counts.select(
+                "__rs",
+                F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+            )
+            w_local = Window.partitionBy("__rs").orderBy(id_col)
+            base = (
+                pre.join(F.broadcast(offsets), "__rs")
+                .withColumn(
+                    "__coarse",
+                    F.floor(
+                        (F.col("__off") + F.row_number().over(w_local) - 1)
+                        / coarse_docs
+                    ).cast("long"),
+                )
+                .select(id_col, "n_tokens", "__coarse")
+            )
+    if base is None:
+        w = (
+            Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+        ).orderBy(id_col)
+        base = df.select(
+            F.col(id_col),
+            *([strata_col] if strata_col else []),
+            n_tok.alias("n_tokens"),
+        ).withColumn(
+            "__coarse",
+            F.floor((F.row_number().over(w) - 1) / coarse_docs).cast("long"),
+        )
     group_cols = ([strata_col] if strata_col else []) + ["__coarse"]
     id_type = dict(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields

@@ -20,6 +20,22 @@ systems, documented once here):
     ``weekday()``, DuckDB ``isodow()-1``;
   - session timezone pinned UTC on the Spark side (session.py) so
     parquet timestamp instants agree.
+
+Broadcast-hint policy (scale contract, VERDICT r7):
+  An explicit ``F.broadcast()`` OVERRIDES both
+  ``autoBroadcastJoinThreshold`` and AQE's runtime size check, so a
+  hint on a side that grows with scale factor (orders, customer,
+  part, supplier, or any aggregate keyed by their keys) is an OOM at
+  the 100 TB north star even though it is fast at sf0.1. Hints in
+  this module are therefore allowed ONLY on sides whose size is
+  independent of sf: nation/region (fixed 5/25 rows), 1-row global
+  aggregates (q11 total, q15 mx, quality-gate thr), and per-category
+  bounds with fixed category cardinality (event_type). Everything
+  else is left unhinted — AQE (enabled in session.py) broadcasts at
+  small sf from actual runtime sizes and degrades to sort-merge at
+  scale. tests/test_plans.py::test_broadcast_hint_allowlist pins the
+  allowlist against this source file; test_aqe_picks_broadcast pins
+  that the unhinted q-family still gets broadcast joins at tiny sf.
 """
 
 from __future__ import annotations
@@ -135,8 +151,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog: selective dim filter → fact join → agg →
-    top-k. customer side is small → broadcast; top-k plans as
-    TakeOrderedAndProject (no global sort)."""
+    top-k. No broadcast hint on orders/customer — both grow with
+    scale factor, so the join strategy is left to AQE (broadcast at
+    small sf from runtime sizes, sort-merge at 100 TB); top-k plans
+    as TakeOrderedAndProject (no global sort)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -145,7 +163,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
     joined = l.join(
-        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)),
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey),
         l.l_orderkey == o.o_orderkey,
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
@@ -175,9 +193,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analog: snowflake join (5 dims around lineitem). All
-    dim sides broadcast — the fact table never shuffles for the joins,
-    only for the final small agg."""
+    """TPC-H Q5 analog: snowflake join (5 dims around lineitem).
+    Only the genuinely fixed-size sides (nation, region) carry
+    broadcast hints; orders/customer/supplier grow with sf, so their
+    join strategy is AQE's call — broadcast at small sf, sort-merge
+    at the 100 TB north star."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -193,9 +213,9 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", "n_name")
     )
     fact = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == dim.c_nationkey))
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == dim.c_nationkey))
     )
     return fact.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -244,8 +264,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 analog: who returned the most revenue — dim-broadcast
-    joins, agg, top-20."""
+    """TPC-H Q10 analog: who returned the most revenue — AQE-chosen
+    joins on the sf-growing sides (orders, customer), hinted broadcast
+    only on fixed-size nation; agg, top-20."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -254,8 +275,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     joined = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
@@ -291,7 +312,7 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -321,7 +342,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
     )
 
@@ -341,7 +362,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(o.select("o_orderkey")), l.l_orderkey == o.o_orderkey)
+        l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 250)
@@ -360,12 +381,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 analog: correlated scalar subquery (per-part average)
-    — decorrelated by hand into an aggregate + broadcast re-join; the
-    same rewrite Catalyst performs for the SQL form (SURVEY §4)."""
+    — decorrelated by hand into an aggregate + re-join; the same
+    rewrite Catalyst performs for the SQL form (SURVEY §4). per_part
+    is keyed by partkey so it GROWS with sf — no hint; AQE broadcasts
+    it at small sf and falls back to a key-colocated sort-merge join
+    (both sides already hashed on l_partkey) at scale."""
     l = _t(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("__half_avg"))
     return (
-        l.join(F.broadcast(per_part), "l_partkey")
+        l.join(per_part, "l_partkey")
         .filter(F.col("l_quantity") < F.col("__half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -431,7 +455,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT SEMI + one LEFT ANTI join, both keyed on orderkey with the
     suppkey inequality in the join condition; `late` is computed once
     and reused for both the driving side and the anti side (same
-    shuffle key → one exchange reused). Supplier dim broadcasts."""
+    shuffle key → one exchange reused). Supplier grows with sf —
+    join strategy left to AQE."""
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -462,7 +487,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_anti",
     )
     return (
-        driving.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        driving.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -549,8 +574,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
     joined = (
         l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck"))
         .filter(
@@ -595,9 +620,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 analog: one nation's market share of ECONOMY-part
     volume per order year — the conditional-aggregate-ratio shape
-    (sum(CASE)/sum, a single grouped pass, no self-join). Part and
-    supplier⋈nation broadcast; the p_type filter prunes the fact rows
-    at the part join before the orders shuffle."""
+    (sum(CASE)/sum, a single grouped pass, no self-join). Only nation
+    keeps a broadcast hint (fixed size); part/supplier grow with sf
+    so AQE picks their join strategy. The p_type filter still prunes
+    the fact rows at the part join before the orders shuffle."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     o = _t(spark, sf_dir, "orders").filter(
@@ -607,9 +633,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -651,17 +677,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 analog (schema has no partsupp/supplycost, so profit
     is gross revenue): LIKE-substring part filter driving a 5-way
     join, grouped by supplier nation × order year. The `%red%`
-    contains-filter is evaluated on the broadcast part side — only
-    matching partkeys reach the fact scan's join."""
+    contains-filter is evaluated on the part side before its join —
+    only matching partkeys reach the fact join; part/supplier are
+    unhinted (sf-growing), nation broadcast-hinted."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     joined = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -759,7 +786,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The revenue frame computes once (one fact shuffle on suppkey) and
     feeds both the 1-row max aggregate (broadcast back) and the join;
     revenue is rounded BEFORE the max comparison on both sides so the
-    float-sum tie compare is exact. Supplier dim broadcasts."""
+    float-sum tie compare is exact. Only the 1-row max aggregate
+    keeps a broadcast hint; supplier grows with sf → AQE decides."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -773,7 +801,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s.select("s_suppkey", "s_name"), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -793,7 +821,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 analog (no partsupp — supplier relationships come
     from shipped lineitems): distinct-count aggregate over a 3-column
-    group with negated + IN-list predicates on the broadcast dim.
+    group with negated + IN-list predicates on the part side (pushed
+    to its scan; the side is sf-growing so the join is unhinted).
     Spark plans count(DISTINCT) as a two-phase expand/partial-agg —
     no per-group set materialization."""
     l = _t(spark, sf_dir, "lineitem")
@@ -804,7 +833,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+        .join(p.select("p_partkey", "p_brand", "p_type", "p_size"),
               l.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
@@ -827,13 +856,13 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 analog: three OR'd conjunct branches spanning both
     join sides. Catalyst derives the cross-side residuals — the brand
-    IN-list and size ≤ 15 push into the broadcast part side, quantity
+    IN-list and size ≤ 15 push into the part scan, quantity
     ≤ 30 into the fact scan — and keeps the full disjunction as the
     post-join filter; the classic test that OR predicates don't defeat
     pushdown."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+    j = l.join(p.select("p_partkey", "p_brand", "p_size"),
                l.l_partkey == F.col("p_partkey"))
     branch = (
         (
@@ -895,8 +924,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cost.join(best, (cost.l_partkey == F.col("__pk")) & (cost.unit_cost == F.col("__best")))
-        .join(F.broadcast(p.select("p_partkey")), cost.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")), cost.l_suppkey == F.col("s_suppkey"))
+        .join(p.select("p_partkey"), cost.l_partkey == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_name"), cost.l_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "s_name", F.round("unit_cost", 4).alias("best_unit_cost"))
     )
 
@@ -928,17 +957,18 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 analog (no partsupp — "availability" is shipped
     volume): the nested-IN-chain shape. Suppliers who shipped more
     than half of some red part's 1996 volume. The part IN-list is a
-    broadcast semi-join on the fact scan; the per-part total DERIVES
-    from the per-(supplier, part) aggregate itself (sum of pair sums
-    = part sum), so the fact is scanned and shuffled once; the outer
-    IN is a left-semi against the small qualifying-supplier set."""
+    semi-join on the fact scan; the per-part total DERIVES from the
+    per-(supplier, part) aggregate itself (sum of pair sums = part
+    sum), so the fact is scanned and shuffled once; the outer IN is
+    a left-semi against the qualifying-supplier set. All these sides
+    grow with sf, so join strategy is AQE's call throughout."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
     s = _t(spark, sf_dir, "supplier")
     ps = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("pair_qty"))
     )
@@ -952,7 +982,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return s.join(
-        F.broadcast(dominant), s.s_suppkey == F.col("__sk"), "left_semi"
+        dominant, s.s_suppkey == F.col("__sk"), "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -1178,7 +1208,7 @@ def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = (F.col("l_quantity") >= F.col("p_size") - 5) & (
         F.col("l_quantity") <= F.col("p_size") + 5
     )
-    joined = J.range_join(l, F.broadcast(p), ["l_partkey"], band)
+    joined = J.range_join(l, p, ["l_partkey"], band)
     return joined.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -4640,7 +4670,7 @@ def c13_pack_best_fit(spark, sf_dir):
                  '(?s)<[^>]+>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             '\s+', ' ', 'g')) AS text_extracted,
+             '[ \t\n\f\r\x0B]+', ' ', 'g')) AS text_extracted,
            CAST(length(html) AS INT) AS n_chars_html,
            CAST(length(trim(regexp_replace(
              replace(replace(replace(replace(replace(replace(
@@ -4654,7 +4684,7 @@ def c13_pack_best_fit(spark, sf_dir):
                  '(?s)<[^>]+>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             '\s+', ' ', 'g'))) AS INT) AS n_chars_text
+             '[ \t\n\f\r\x0B]+', ' ', 'g'))) AS INT) AS n_chars_text
     FROM pages
     """,
 )
