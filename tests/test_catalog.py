@@ -60,6 +60,20 @@ def test_oracle_coverage(spark):
         # reference in test_bpe.py)
         "t19_bpe_train",
     }
+    # ... and COVERAGE.md's "Rows-only keys — pin inventory" table
+    # must list exactly this set (VERDICT r7 #7): the audit trail of
+    # key -> pin test -> bound lives there, one row per key
+    import pathlib
+    import re
+
+    cov = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    section = cov.split("## Rows-only keys")[1]
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
+    assert documented == rows_only, (
+        f"COVERAGE.md pin inventory drifted: "
+        f"missing={sorted(rows_only - documented)} "
+        f"stale={sorted(documented - rows_only)}"
+    )
 
 
 def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):

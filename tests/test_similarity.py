@@ -894,3 +894,126 @@ def test_streaming_ann_index_ingestion_exactly_once(spark, emb, ann_path, tmp_pa
     )
     q2.awaitTermination()
     assert TF.snapshot_read(spark, ann_path + "/codes").count() == n1
+
+
+def test_ann_index_recall_over_incremental_appends(spark, emb, exact, tmp_path):
+    """VERDICT r7 #5 (PQ drift): quantizers are FROZEN at build, so an
+    index grown by many appends serves vectors the codebooks never
+    saw. Pin: after seeding on half the corpus and appending the rest
+    in 10 increments, recall is within eps of a FULL REBUILD's recall
+    at the same settings — frozen-model drift on this distribution
+    costs (nearly) nothing, and a regression here means append started
+    corrupting assignments/codes."""
+    from traffic_forecast_etl_spark.operators import ann_index as AI
+
+    inc_path = str(tmp_path / "inc")
+    reb_path = str(tmp_path / "reb")
+    seed_half = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.ann_index_build(spark, seed_half, inc_path, n_centroids=8, m=8)
+    for b in range(10):  # odd ids, 10 increments of ~25
+        batch = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 20 == 2 * b + 1)
+        )
+        AI.ann_index_append(spark, batch, inc_path)
+    AI.ann_index_build(spark, emb, reb_path, n_centroids=8, m=8)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def recall(path):
+        got = {
+            (r.vec_id, r.neighbor_id)
+            for r in AI.ann_index_search(
+                spark, queries, path, k=5, nprobe=6, refine=16
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_inc, r_reb = recall(inc_path), recall(reb_path)
+    assert r_inc >= r_reb - 0.1, (r_inc, r_reb)
+    assert r_inc >= 0.7, r_inc
+    # every corpus row is indexed exactly once after the 10 appends
+    from traffic_forecast_etl_spark import tablefmt as TF
+
+    codes = TF.snapshot_read(spark, inc_path + "/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("id").distinct().count() == emb.count()
+
+
+def test_ann_index_append_vs_append_race_and_isolated_search(
+    spark, emb, tmp_path
+):
+    """VERDICT r7 #5 (races): two writers appending concurrently must
+    never lose or duplicate a batch — the codes table's writer lease
+    turns the race into an explicit ConcurrentWriterError the loser
+    retries — and a search pinned to a pre-append version is immune
+    to concurrent appends (snapshot isolation)."""
+    import threading
+    import time as _time
+
+    from traffic_forecast_etl_spark import tablefmt as TF
+    from traffic_forecast_etl_spark.operators import ann_index as AI
+    from traffic_forecast_etl_spark.sinks import ConcurrentWriterError
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(
+        spark, emb.filter(F.col("vec_id") < 400), path, n_centroids=8, m=8
+    )
+    cpath = path + "/codes"
+    v0 = TF.current_version(cpath)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = {
+        (r.vec_id, r.neighbor_id, round(r.cosine, 9))
+        for r in AI.ann_index_search(
+            spark, queries, path, k=5, nprobe=6, refine=16, version=v0
+        ).collect()
+    }
+
+    batches = {
+        "a": emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
+        "b": emb.filter(F.col("vec_id") >= 450),
+    }
+    errors: list = []
+    conflicts: list = []
+
+    def appender(name):
+        for _ in range(30):  # retry loop: the loser backs off
+            try:
+                AI.ann_index_append(spark, batches[name], path)
+                return
+            except ConcurrentWriterError:
+                conflicts.append(name)
+                _time.sleep(0.2)
+            except Exception as e:  # noqa: BLE001
+                errors.append((name, e))
+                return
+        errors.append((name, "never acquired the lease"))
+
+    threads = [threading.Thread(target=appender, args=(n,)) for n in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # no lost updates, no duplicates: every id exactly once
+    codes = TF.snapshot_read(spark, cpath)
+    assert codes.count() == emb.count()
+    assert codes.select("id").distinct().count() == emb.count()
+    # snapshot isolation: the pinned-version search is byte-stable
+    after = {
+        (r.vec_id, r.neighbor_id, round(r.cosine, 9))
+        for r in AI.ann_index_search(
+            spark, queries, path, k=5, nprobe=6, refine=16, version=v0
+        ).collect()
+    }
+    assert after == before
+    # and the LATEST search can see an appended vector: a clone of an
+    # appended embedding finds its id at cosine ~1
+    clone = emb.filter(F.col("vec_id") == 460).withColumn(
+        "vec_id", F.lit(9999).cast("long")
+    )
+    hits = AI.ann_index_search(
+        spark, clone, path, k=3, nprobe=8, refine=16
+    ).collect()
+    top = sorted(hits, key=lambda r: r.rank)[0]
+    assert top.neighbor_id == 460 and top.cosine > 0.999999

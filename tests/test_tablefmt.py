@@ -2939,3 +2939,80 @@ def test_equality_scan_uses_blooms(spark, tmp_path):
     assert len(adm_eq) <= max(1, total // 4)
     got = T.snapshot_scan(spark, path, "doc_id", ids[17], ids[17]).collect()
     assert [r.n for r in got] == [17]
+
+
+def test_vacuum_sweeps_stale_staged_commits(spark, tmp_path):
+    """ADVICE r7: a crash between stage and publish/abandon leaves a
+    live staged manifest whose files vacuum() pins forever. The
+    age-based sweep (vacuum(stale_staged_older_than=...)) abandons
+    stages older than the cutoff and collects their files in the same
+    pass; younger stages stay live and publishable."""
+    import datetime as dt
+    import time
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(5)), path)
+    wap_old = T.snapshot_stage_write(spark, _mk(spark, range(5, 8)), path)
+    time.sleep(0.05)
+    mid = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.05)
+    wap_new = T.snapshot_stage_write(spark, _mk(spark, range(8, 12)), path)
+
+    data_dir = os.path.join(path, "data")
+    n_files_before = len(os.listdir(data_dir))
+    # plain vacuum: both stages live, nothing collected
+    assert T.vacuum(path) == []
+    assert len(T.snapshot_list_staged(path)) == 2
+    # sweep stages older than `mid`: only wap_old goes, with its files
+    removed = T.vacuum(path, stale_staged_older_than=mid)
+    assert any(r.startswith("data/") for r in removed)
+    live = {s["wap_id"] for s in T.snapshot_list_staged(path)}
+    assert live == {wap_new}
+    assert len(os.listdir(data_dir)) < n_files_before
+    # swept stage is unpublishable; surviving stage publishes fine
+    with pytest.raises(FileNotFoundError, match="no staged commit"):
+        T.snapshot_publish(path, wap_old)
+    T.snapshot_publish(path, wap_new)
+    assert T.snapshot_read(spark, path).count() == 9
+    # table history/current version untouched by the sweep itself
+    assert _rows(T.snapshot_read(spark, path, version=0)) == _rows(
+        _mk(spark, range(5))
+    )
+
+
+def test_commit_time_cutoffs_treat_naive_as_local(spark, tmp_path):
+    """ADVICE r7: snapshot_expire(older_than=) and
+    snapshot_version_as_of interpret a tz-NAIVE datetime as
+    system-LOCAL wall time (what datetime.now() returns), not UTC —
+    pinned under a non-UTC process timezone so the 5-hour shift would
+    be caught."""
+    import datetime as dt
+    import time
+
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk(spark, range(3)), path)
+    time.sleep(0.05)
+    aware = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.05)
+    T.snapshot_write(spark, _mk(spark, range(4)), path)
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive_local = aware.astimezone().replace(tzinfo=None)
+        # same instant, three spellings -> same resolved version
+        assert T.snapshot_version_as_of(path, aware) == 0
+        assert T.snapshot_version_as_of(path, naive_local) == 0
+        assert T.snapshot_version_as_of(path, aware.timestamp()) == 0
+        # expire with a naive-local cutoff naming that same instant:
+        # v0 (committed before it) is expirable, v1 is not
+        removed = T.snapshot_expire(path, keep_last=1, older_than=naive_local)
+        assert removed, "v0 should expire under the naive-local cutoff"
+        assert {h["version"] for h in T.snapshot_history(path)} == {1}
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

@@ -5413,6 +5413,75 @@ def c12_dsir_resample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SQL text front door (engine.sql, VERDICT r7 missing #3): the same
+# dialect-portable SQL string runs on Spark (via sql()) AND on DuckDB
+# (as the oracle) — one string, two engines, value-verified. The text
+# carries no hints, so join strategy is AQE's call at every scale
+# (broadcast-hint policy above).
+# ---------------------------------------------------------------------------
+
+_SQL_PORTABLE: dict[str, str] = {
+    # q1's shape through the text surface: pushed scan filter +
+    # 8-aggregate hash aggregate
+    "sql1_pricing_summary": """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                          AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           round(avg(l_discount), 6)                          AS avg_disc,
+           count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    # q10's shape: 3-way join + agg + ORDER/LIMIT top-20
+    "sql2_returned_items": """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    # q18's shape: HAVING on an aggregate
+    "sql3_large_orders": """
+    SELECT o.o_orderkey, round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    HAVING sum(l.l_quantity) > 250
+    """,
+}
+
+
+def _register_sql_portable() -> None:
+    from ..sql import sql as engine_sql
+
+    def mk(text: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return engine_sql(spark, text, sf_dir=sf_dir)
+
+        return run
+
+    for name, text in _SQL_PORTABLE.items():
+        fn = mk(text)
+        fn.__doc__ = (
+            "SQL text front door: the oracle string itself, executed "
+            "through engine.sql() — Catalyst plans the text like the "
+            "DataFrame twin (pushdown, pruning, AQE joins)."
+        )
+        QUERIES[name] = fn
+        ORACLE[name] = text
+
+
+_register_sql_portable()
+
+
+# ---------------------------------------------------------------------------
 # Sweep-priority registration order
 #
 # The correctness sweep walks `queries()` in registration order and may
@@ -5425,65 +5494,54 @@ def c12_dsir_resample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 7 rotation (VERDICT r6 #7): lead with the r7-touched keys —
-    # tf1 (NEW: snapshot UPDATE + delete + CDF cross-check), st7 (NEW:
-    # streaming CDF replica), s6 (NEW: IVF-PQ), d3 (promoted to a
-    # value-verified md5-mode oracle), t19/t18 (bpe.py byte-budget +
-    # model-validation edits) — then the stalest evidence: the whole
-    # q-family and w-family, whose latest green driver rows predate
-    # round 5; the rest keep their r6 relative order.
-    "c13_pack_best_fit", "st9_audited_ingest", "d17_trim_duplicate_spans",
-    "tf4_partition_evolution", "t21_html_extract", "tf3_point_lookup",
-    "tf2_partitioned_table", "s7_persistent_ann",
-    "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
-    "st7_snapshot_cdf_replica", "s6_ivf_pq_ann",
-    "d3_simhash_pairs", "t19_bpe_train", "t18_bpe_pair_freq",
-    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share",
-    "q17_below_avg_parts", "q18_large_orders", "q21_waiting_supplier",
-    "q22_dormant_customers", "q4_order_priority", "w1_rolling_avg",
-    "w2_topk_per_group", "w3_lag_delta", "w4_cumsum", "q2_min_cost_supplier",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_count", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers", "w14_seasonal_anomaly",
-    "w13_resample_interpolate", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_region_volume", "q6_forecast_revenue", "w5_tumbling_window",
-    "w7_sessionize", "w12_zscore_anomaly", "w6_sliding_window", "w8_funnel",
-    "w9_rank_family", "w10_cohort_retention", "w11_time_range_rolling",
-    "c11_dsir_weights", "c12_dsir_resample", "c9_leakage_safe_split",
-    "c10_blocklist_filter", "g1_connected_components", "d2_minhash_lsh",
-    "d6_near_dedup_filter", "c1_curate_corpus", "a10_approx_distinct",
-    "d9_incremental_near_dup", "m2_frame_sample", "m3_resize",
-    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_ewma",
-    "st4_stream_stream_join", "st5_stream_static_enrich",
-    "st6_rollup_maintenance", "t14_gopher_rules", "d15_semantic_dedup",
-    "c7_embedding_decontaminate", "t13_unigram_logprob",
-    "t15_bigram_logprob", "j11_edit_distance_join", "t16_corpus_dup_ngrams",
-    "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
+    # round 8 rotation (VERDICT r7 #8): lead with the three NEW sql-text
+    # keys, then the §2 core families (p_*/f_*/j1-j3/a1-a3/o1-o3) whose
+    # last driver-rotation rows predate round 5, then the operators this
+    # round touched (auto-stratum packing, VT-exact HTML extraction, the
+    # de-hinted q-family); the rest keep their r7 relative order.
+    "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "p_project_filter",
+    "p_rename_replace_cast", "p_const_first_row", "f1_date_roundtrip", "f2_multiformat_date",
+    "f4_calendar", "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
+    "f12_string_funcs", "f13_null_handling", "f14_array_ops", "j1_composite_key_join",
+    "j2_fk_lookup", "j3_semi_membership", "a1_group_avg", "a2_minmax_normalize",
+    "a3_profile", "o1_topk_sort", "o2_temporal_split", "o3_union", "c3_pack_token_bins",
+    "c13_pack_best_fit", "t21_html_extract", "q3_shipping_priority", "q5_region_volume",
+    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share", "q17_below_avg_parts",
+    "q18_large_orders", "st9_audited_ingest", "d17_trim_duplicate_spans",
+    "tf4_partition_evolution", "tf3_point_lookup", "tf2_partitioned_table",
+    "s7_persistent_ann", "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
+    "st7_snapshot_cdf_replica", "s6_ivf_pq_ann", "d3_simhash_pairs", "t19_bpe_train",
+    "t18_bpe_pair_freq", "q21_waiting_supplier", "q22_dormant_customers",
+    "q4_order_priority", "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta",
+    "w4_cumsum", "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "w14_seasonal_anomaly", "w13_resample_interpolate",
+    "q1_pricing_summary", "q6_forecast_revenue", "w5_tumbling_window", "w7_sessionize",
+    "w12_zscore_anomaly", "w6_sliding_window", "w8_funnel", "w9_rank_family",
+    "w10_cohort_retention", "w11_time_range_rolling", "c11_dsir_weights",
+    "c12_dsir_resample", "c9_leakage_safe_split", "c10_blocklist_filter",
+    "g1_connected_components", "d2_minhash_lsh", "d6_near_dedup_filter",
+    "c1_curate_corpus", "a10_approx_distinct", "d9_incremental_near_dup",
+    "m2_frame_sample", "m3_resize", "st1_streaming_tumbling", "st2_streaming_sessions",
+    "st3_stateful_ewma", "st4_stream_stream_join", "st5_stream_static_enrich",
+    "st6_rollup_maintenance", "t14_gopher_rules", "d15_semantic_dedup", "c7_embedding_decontaminate",
+    "t13_unigram_logprob", "t15_bigram_logprob", "j11_edit_distance_join",
+    "t16_corpus_dup_ngrams", "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
     "c8_quality_classifier", "t20_line_dedup", "a5_distinct_agg", "a6_pivot",
-    "a7_unpivot", "a8_median_stats", "f10_decimal_comma", "f11_json_extract",
-    "f12_string_funcs", "f13_null_handling", "f1_date_roundtrip",
-    "f2_multiformat_date", "f4_calendar", "f6_unit_conversion",
-    "o1_topk_sort", "o2_temporal_split", "o3_union", "o4_intersect_except",
-    "p_const_first_row", "p_project_filter", "p_rename_replace_cast",
-    "d1_exact_dedup", "d4_ngram_jaccard", "d8_incremental_dedup",
-    "j9_asof_nearest", "j10_interval_overlap", "a15_equi_width_histogram",
-    "a16_mode_per_group", "c6_adaptive_quality_gate", "d10_table_diff",
-    "d12_epoch_shuffle", "m1_media_features", "f14_array_ops",
-    "j6_asof_join", "d13_segment_dedup", "d14_duplicate_spans",
-    "j1_composite_key_join", "j2_fk_lookup", "j3_semi_membership",
-    "j4_anti_join", "j5_range_join", "j7_null_safe_join", "j8_full_outer",
-    "a1_group_avg", "a2_minmax_normalize", "a3_profile", "a4_cube",
-    "a9_rollup", "a14_linear_trend", "s1_cosine_topk",
-    "s4_quantize_embeddings", "t1_token_stats", "c2_decontaminate",
-    "d7_stratified_sample", "d5_embedding_neardup",
-    "d11_embedding_neardup_lsh", "s2_lsh_ann", "s3_ivf_ann",
-    "a11_embedding_centroid", "a12_column_profile", "a13_label_cohesion",
-    "t2_quality_score", "t3_lang_id", "t4_fingerprint", "t5_bpe_tokens",
-    "t6_winnow_fingerprint", "t7_tfidf_topterms", "t8_redact_pii",
-    "t9_chunk_documents", "t10_char_entropy", "t11_repetition",
-    "t12_type_token_ratio", "c3_pack_token_bins", "c4_source_quota",
-    "c5_temperature_mix",
+    "a7_unpivot", "a8_median_stats", "o4_intersect_except", "d1_exact_dedup",
+    "d4_ngram_jaccard", "d8_incremental_dedup", "j9_asof_nearest", "j10_interval_overlap",
+    "a15_equi_width_histogram", "a16_mode_per_group", "c6_adaptive_quality_gate",
+    "d10_table_diff", "d12_epoch_shuffle", "m1_media_features", "j6_asof_join",
+    "d13_segment_dedup", "d14_duplicate_spans", "j4_anti_join", "j5_range_join",
+    "j7_null_safe_join", "j8_full_outer", "a4_cube", "a9_rollup", "a14_linear_trend",
+    "s1_cosine_topk", "s4_quantize_embeddings", "t1_token_stats", "c2_decontaminate",
+    "d7_stratified_sample", "d5_embedding_neardup", "d11_embedding_neardup_lsh",
+    "s2_lsh_ann", "s3_ivf_ann", "a11_embedding_centroid", "a12_column_profile",
+    "a13_label_cohesion", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms", "t8_redact_pii",
+    "t9_chunk_documents", "t10_char_entropy", "t11_repetition", "t12_type_token_ratio",
+    "c4_source_quota", "c5_temperature_mix",
 ]
 
 

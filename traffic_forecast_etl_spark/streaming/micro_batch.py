@@ -352,7 +352,13 @@ def streaming_audited_append(
     orphans; optionally dumped to ``quarantine_path`` for forensics)
     and the table records a metadata-only marker commit so the
     rejection is exactly-once too. Readers never see an unaudited
-    row; a crash mid-audit leaves only orphans, never a half batch.
+    row. A crash BETWEEN stage and publish/abandon never exposes a
+    half batch, but it does leave a live staged manifest behind: the
+    replayed epoch stages a fresh wap_id, so nothing ever abandons
+    the orphaned stage and vacuum() deliberately treats its files as
+    referenced. Sweep those with
+    ``vacuum(path, stale_staged_older_than=...)`` (cutoff well past
+    the audit window) as part of table maintenance (ADVICE r7).
 
     ``audit(staged_view, batch) -> bool`` — ``staged_view`` is the
     table AS IT WOULD LOOK after publishing (so gates can check

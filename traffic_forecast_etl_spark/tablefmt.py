@@ -2509,18 +2509,32 @@ def snapshot_ref_version(path: str, ref: str) -> int:
     return refs[ref]
 
 
+def _instant_us(ts) -> int:
+    """Wall-clock instant → epoch microseconds, shared by every
+    commit-time API (:func:`snapshot_version_as_of` retention and
+    :func:`snapshot_expire` ``older_than``). A NAIVE datetime is
+    interpreted as SYSTEM-LOCAL wall time (what ``datetime.now()``
+    produces — ``astimezone()`` on a naive value attaches the local
+    zone), a tz-aware one as the instant it names, a number as epoch
+    seconds. Commit times are absolute instants (manifest ``ts`` is
+    epoch micros), unlike DATA-value scan bounds, which compare
+    against stored session-naive values and therefore REJECT tz-aware
+    input in ``_check_bound`` — that asymmetry is deliberate (ADVICE
+    r7): commit-time cutoffs name a moment, scan bounds name a stored
+    representation."""
+    if isinstance(ts, _dt.datetime):
+        return int(ts.astimezone().timestamp() * 1e6)
+    return int(float(ts) * 1e6)
+
+
 def snapshot_version_as_of(path: str, ts) -> int:
-    """Version visible at wall-clock time ``ts`` (datetime or epoch
+    """Version visible at wall-clock time ``ts`` (datetime — naive
+    means system-local wall time, see :func:`_instant_us` — or epoch
     seconds) — the AS OF TIMESTAMP half of time travel: the newest
     retained version whose commit time <= ts. Raises if every
     retained commit is later (expired history or a before-creation
     timestamp — re-bootstrap from an explicit version)."""
-    if isinstance(ts, _dt.datetime):
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=_dt.timezone.utc)
-        ts_us = int(ts.timestamp() * 1e6)
-    else:
-        ts_us = int(float(ts) * 1e6)
+    ts_us = _instant_us(ts)
     best = None
     for name in sorted(os.listdir(_mdir(path))):
         if name.startswith("v") and name.endswith(".json"):
@@ -3315,13 +3329,7 @@ def snapshot_expire(
         raise ValueError("keep_last must be >= 1")
     cutoff_us = None
     if older_than is not None:
-        if isinstance(older_than, _dt.datetime):
-            ts = older_than
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
-            cutoff_us = int(ts.timestamp() * 1e6)
-        else:
-            cutoff_us = int(float(older_than) * 1e6)
+        cutoff_us = _instant_us(older_than)
     holder = acquire_writer_lease(path)
     try:
         versions = sorted(
@@ -3401,11 +3409,38 @@ def snapshot_expire(
         release_writer_lease(path, holder)
 
 
-def vacuum(path: str) -> list[str]:
+def vacuum(path: str, stale_staged_older_than=None) -> list[str]:
     """Remove crash orphans only (staged dirs and data files no
-    retained manifest references) without expiring any history."""
+    retained manifest references) without expiring any history.
+
+    ``stale_staged_older_than`` (datetime — naive means system-local,
+    see :func:`_instant_us` — or epoch seconds): additionally abandon
+    write–audit–publish stages STAGED BEFORE that instant and collect
+    their files in the same pass. Without it a crash between
+    snapshot_stage_write and publish/abandon pins the stage forever:
+    the replayed epoch stages a NEW wap_id, so nothing ever abandons
+    the orphaned one, and a live staged manifest's files are
+    deliberately not collectable (ADVICE r7). Size the cutoff well
+    past the longest legitimate audit window — an auditor holding a
+    stage open across it loses the stage (publish raises
+    FileNotFoundError), which is the WAP equivalent of Iceberg's
+    remove_orphan_files(older_than) contract."""
+    stale_cut_us = (
+        None if stale_staged_older_than is None
+        else _instant_us(stale_staged_older_than)
+    )
     holder = acquire_writer_lease(path)
     try:
+        if stale_cut_us is not None:
+            for name in sorted(os.listdir(_mdir(path))):
+                if name.startswith("staged-") and name.endswith(".json"):
+                    with open(os.path.join(_mdir(path), name)) as f:
+                        st = json.load(f)
+                    # a stage written before 'ts' existed has no
+                    # timestamp to defend itself with — stale by any
+                    # cutoff (it predates this code by definition)
+                    if (st.get("ts") or 0) < stale_cut_us:
+                        os.remove(os.path.join(_mdir(path), name))
         referenced = set()
         chg_referenced = set()
         seg_referenced = set()
