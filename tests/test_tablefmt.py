@@ -3016,3 +3016,43 @@ def test_commit_time_cutoffs_treat_naive_as_local(spark, tmp_path):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_scan_planning_stays_flat_at_100k_files(tmp_path):
+    """Read-side planning regression guard (VERDICT r7 #6, numbers in
+    SCALE.md): on a 100k-file sharded manifest, key-ranged planning
+    must stay segment-pruned — a narrow scan reads ~1 segment, not
+    the whole file list. Walls get a ~100x headroom ceiling (measured
+    ~4 ms) so host noise never flakes this; what it catches is the
+    algorithmic regression to O(table files) per narrow plan."""
+    import time
+
+    from tools.measure_plan_cost import ROWS_PER_FILE, build_synthetic
+
+    path = str(tmp_path / "t")
+    n_files = 100_000
+    build_synthetic(path, n_files)
+    m = T.read_manifest(path)
+    assert "segments" in m, "100k files must shard"
+    assert len(T.manifest_files(path, m)) == n_files
+
+    mid = (n_files // 2) * ROWS_PER_FILE
+
+    def best_wall(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def narrow():
+        _, adm = T.snapshot_scan_files(path, "id", mid, mid + 8 * ROWS_PER_FILE - 1)
+        assert len(adm) == 8
+
+    def point():
+        _, adm = T.snapshot_scan_files(path, "id", mid, mid)
+        assert len(adm) == 1
+
+    assert best_wall(narrow) < 0.5, "narrow planning regressed to O(files)"
+    assert best_wall(point) < 0.5, "point planning regressed to O(files)"
