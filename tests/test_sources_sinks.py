@@ -634,3 +634,181 @@ def test_merge_upsert_concurrent_writer_aborts(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
     assert not os.path.exists(lease)  # new holder released its (stolen) lease
     release_writer_lease(path, holder_dead)  # no-op: not ours anymore
+
+
+# ---------------------------------------------------------------------------
+# Delta log interop (sources/delta_log.py, r8) — the PUBLIC Delta
+# transaction-log protocol read/written directly, no jars. Pinned
+# self-consistent + against the protocol document; cross-validation
+# vs delta-spark is environment-blocked.
+# ---------------------------------------------------------------------------
+
+
+def _rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_roundtrip_and_time_travel(spark, tmp_path):
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    assert DL.write_delta_append(spark, df0, path) == 0
+    df1 = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(10, 15)], "id long, val string"
+    )
+    assert DL.write_delta_append(spark, df1, path) == 1
+
+    got = DL.read_delta(spark, path)
+    assert _rows_set(got) == _rows_set(df0.unionByName(df1))
+    # time travel: version 0 sees only the first batch
+    assert _rows_set(DL.read_delta(spark, path, version=0)) == _rows_set(df0)
+    # planning surface: O(log) arithmetic, no data reads
+    files = DL.delta_snapshot_files(spark, path)
+    assert all(f["dataChange"] for f in files)
+    assert len(files) >= 2
+    # log layout follows the protocol naming
+    import os
+
+    assert os.path.exists(path + "/_delta_log/00000000000000000000.json")
+    # schema mismatch on append is refused (v1 contract)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1.0,)], "id double")
+    with _pytest.raises(ValueError, match="schema"):
+        DL.write_delta_append(spark, bad, path)
+
+
+def test_delta_partitioned_write_read_and_null_partition(spark, tmp_path):
+    """Partition columns live ONLY in the log (protocol): data files
+    exclude them, read_delta re-attaches them typed, NULL partitions
+    round-trip through the hive null sentinel."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, None, 40.0)],
+        "id long, cat string, v double",
+    )
+    DL.write_delta_append(spark, df, path, partition_by=["cat"])
+    got = DL.read_delta(spark, path)
+    assert got.schema["cat"].dataType.simpleString() == "string"
+    assert _rows_set(got) == _rows_set(df)
+    # the staged data files must NOT contain the partition column
+    a_file = next(
+        os.path.join(r, n)
+        for r, _, ns in os.walk(path)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert "cat" not in spark.read.parquet(a_file).columns
+    # partition pruning is log arithmetic: filter admitted adds by value
+    adds = DL.delta_snapshot_files(spark, path)
+    a_only = [a for a in adds if a["partitionValues"]["cat"] == "a"]
+    assert 1 <= len(a_only) < len(adds)
+    # appends must keep the partitioning
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned by"):
+        DL.write_delta_append(spark, df, path, partition_by=["id"])
+
+
+def test_delta_checkpoint_replay(spark, tmp_path):
+    """Reader honors _last_checkpoint: state reconstructs from the
+    checkpoint parquet + later JSON commits even when the earlier
+    JSON commits are gone (log cleanup)."""
+    import json
+    import os
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df0 = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    df1 = spark.createDataFrame([(i,) for i in range(5, 8)], "id long")
+    df2 = spark.createDataFrame([(i,) for i in range(8, 9)], "id long")
+    DL.write_delta_append(spark, df0, path)
+    DL.write_delta_append(spark, df1, path)
+
+    # synthesize the v1 checkpoint per the spec's columnar layout:
+    # one action per row in add/metaData/protocol struct columns
+    actions = []
+    with open(path + "/_delta_log/00000000000000000000.json") as f:
+        actions += [json.loads(x) for x in f if x.strip()]
+    with open(path + "/_delta_log/00000000000000000001.json") as f:
+        actions += [json.loads(x) for x in f if x.strip()]
+    rows = [json.dumps(a) for a in actions if "commitInfo" not in a]
+    cp_df = spark.read.json(spark.sparkContext.parallelize(rows))
+    cp = path + "/_delta_log/00000000000000000001.checkpoint.parquet"
+    import tempfile
+
+    tmpd = tempfile.mkdtemp()
+    cp_df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+    part = next(
+        os.path.join(tmpd, n) for n in os.listdir(tmpd) if n.endswith(".parquet")
+    )
+    os.rename(part, cp)
+    with open(path + "/_delta_log/_last_checkpoint", "w") as f:
+        json.dump({"version": 1, "size": len(rows)}, f)
+    # drop the pre-checkpoint JSON commits — replay must survive
+    os.remove(path + "/_delta_log/00000000000000000000.json")
+    os.remove(path + "/_delta_log/00000000000000000001.json")
+
+    DL.write_delta_append(spark, df2, path)
+    got = DL.read_delta(spark, path)
+    assert got.count() == 9
+    assert {r.id for r in got.collect()} == set(range(9))
+
+
+def test_delta_reader_feature_guard(spark, tmp_path):
+    """Tables requiring column mapping / deletion vectors are refused
+    loudly, never mis-read."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df0 = spark.createDataFrame([(1,)], "id long")
+    DL.write_delta_append(spark, df0, path)
+    # rewrite the protocol action to demand reader features
+    vf = path + "/_delta_log/00000000000000000000.json"
+    lines = [json.loads(x) for x in open(vf) if x.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+            }
+    os.remove(vf)
+    with open(vf, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with _pytest.raises(NotImplementedError, match="deletionVectors"):
+        DL.read_delta(spark, path)
+
+
+def test_delta_concurrent_commit_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same version: exactly one wins the
+    O_EXCL create; the loser re-plans (the protocol's storage
+    contract)."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    DL.write_delta_append(spark, spark.createDataFrame([(1,)], "id long"), path)
+    with _pytest.raises(FileExistsError):
+        DL._commit_delta(path, 0, [{"commitInfo": {"operation": "X"}}])
+    # a fresh append re-plans to version 1 and succeeds
+    assert DL.write_delta_append(
+        spark, spark.createDataFrame([(2,)], "id long"), path
+    ) == 1

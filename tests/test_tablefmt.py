@@ -3056,3 +3056,103 @@ def test_scan_planning_stays_flat_at_100k_files(tmp_path):
 
     assert best_wall(narrow) < 0.5, "narrow planning regressed to O(files)"
     assert best_wall(point) < 0.5, "point planning regressed to O(files)"
+
+
+def _mk_2d(spark, n=32768):
+    """Two independent uniform dimensions — the z-order test corpus."""
+    return (
+        spark.range(n)
+        .withColumn("a", F.pmod(F.xxhash64("id"), F.lit(1000)).cast("long"))
+        .withColumn("b", F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)).cast("long"))
+        .withColumn("v", (F.col("id") % 97).cast("double"))
+    )
+
+
+def test_zorder_cluster_contents_and_history(spark, tmp_path):
+    """Clustering is a pure layout rewrite: row multiset identical,
+    old layout still readable via time travel, op recorded."""
+    path = str(tmp_path / "t")
+    df = _mk_2d(spark, 4096)
+    T.snapshot_write(spark, df, path, stats_cols=["a", "b"])
+    v1 = T.snapshot_cluster(spark, path, ["a", "b"], n_files=8)
+    assert v1 == 1
+    assert T.read_manifest(path)["op"] == "cluster"
+    assert _rows(T.snapshot_read(spark, path)) == _rows(df)
+    assert T.snapshot_read(spark, path, version=0).count() == 4096
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """The point of z-order: after clustering on (a, b), a narrow
+    predicate on EITHER column prunes files via min/max stats — vs
+    the a-sorted baseline where only a prunes and b admits every
+    file."""
+    path_lin = str(tmp_path / "lin")
+    path_z = str(tmp_path / "z")
+    df = _mk_2d(spark)
+    # baseline: linear sort on a, 16 files
+    T.snapshot_write(
+        spark,
+        df.repartitionByRange(16, "a").sortWithinPartitions("a"),
+        path_lin,
+        stats_cols=["a", "b"],
+    )
+    T.snapshot_write(spark, df, path_z, stats_cols=["a", "b"])
+    T.snapshot_cluster(spark, path_z, ["a", "b"], n_files=16)
+
+    def admitted(path, key, lo, hi):
+        m, adm = T.snapshot_scan_files(path, key, lo, hi)
+        return len(adm), len(T.manifest_files(path, m))
+
+    # leading column prunes in both layouts
+    n_lin_a, total_lin = admitted(path_lin, "a", 100, 149)
+    n_z_a, total_z = admitted(path_z, "a", 100, 149)
+    assert total_lin == 16 and total_z == 16
+    assert n_lin_a <= 3
+    assert n_z_a <= 8
+    # non-leading column: linear admits EVERYTHING, z-order prunes
+    n_lin_b, _ = admitted(path_lin, "b", 100, 149)
+    n_z_b, _ = admitted(path_z, "b", 100, 149)
+    assert n_lin_b == 16, "a-sorted layout can't prune on b"
+    assert n_z_b <= 8, f"z-order should prune on b, admitted {n_z_b}/16"
+    # and the pruned read returns exactly the right rows
+    got = T.snapshot_scan(spark, path_z, "b", 100, 149).filter(
+        F.col("b").between(100, 149)
+    )
+    want = df.filter(F.col("b").between(100, 149))
+    assert got.count() == want.count()
+
+
+def test_zorder_materializes_mor_deletes_and_guards(spark, tmp_path):
+    """Clustering rewrites every file -> pending MoR deletes
+    materialize and retire in the same commit; partitioned tables and
+    string columns are refused."""
+    path = str(tmp_path / "t")
+    df = _mk_2d(spark, 2048)
+    T.snapshot_write(spark, df, path, stats_cols=["a", "b"])
+    kdf = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    T.snapshot_delete(spark, path, keys_df=kdf, keys=["id"], mode="mor")
+    assert T.read_manifest(path).get("eq_deletes")
+    T.snapshot_cluster(spark, path, ["a", "b"], n_files=4)
+    m = T.read_manifest(path)
+    assert not m.get("eq_deletes")
+    assert T.snapshot_read(spark, path).count() == 2045
+    assert (
+        T.snapshot_read(spark, path).filter(F.col("id").isin(0, 1, 2)).count()
+        == 0
+    )
+
+    pp = str(tmp_path / "part")
+    T.snapshot_write(
+        spark, df, pp, partition_spec=[("bucket", "id", 4)], stats_cols=["a"]
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        T.snapshot_cluster(spark, pp, ["a", "b"])
+
+    sp = str(tmp_path / "s")
+    T.snapshot_write(
+        spark, df.withColumn("s", F.col("id").cast("string")), sp
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        T.snapshot_cluster(spark, sp, ["a", "s"])
+    with pytest.raises(ValueError, match="2-4"):
+        T.snapshot_cluster(spark, sp, ["a"])

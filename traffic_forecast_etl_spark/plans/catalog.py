@@ -5412,6 +5412,96 @@ def c12_dsir_resample(spark, sf_dir):
     )
 
 
+@query(
+    "tf5_zorder_scan",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value >= 50.0 AND value <= 120.0
+      AND user_id BETWEEN 3 AND 7
+    """,
+)
+def tf5_zorder_scan(spark, sf_dir):
+    """Z-order clustering end-to-end (r8): events land in a snapshot
+    table, ``snapshot_cluster`` rewrites it z-ordered on
+    (user_id, value), and a two-dimension predicate reads back through
+    ``snapshot_scan`` file pruning on the NON-leading dimension plus
+    an exact residual filter — the Delta OPTIMIZE ZORDER BY loop, with
+    the oracle value-verifying the rewrite changed no row. pytest pins
+    that the clustered layout actually prunes on both dimensions
+    (test_tablefmt.py::test_zorder_prunes_on_every_dimension)."""
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf5_zorder_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(spark, ev, path, stats_cols=["user_id", "value"])
+        TF.snapshot_cluster(spark, path, ["user_id", "value"], n_files=8)
+        out = (
+            TF.snapshot_scan(spark, path, "value", 50.0, 120.0)
+            .filter(
+                F.col("value").between(50.0, 120.0)
+                & F.col("user_id").between(3, 7)
+            )
+            .select("event_id", "user_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "tf6_delta_interop",
+    """
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    """,
+)
+def tf6_delta_interop(spark, sf_dir):
+    """Delta Lake log interop (r8): events write out as a REAL Delta
+    table — JSON transaction log, hive-laid data files WITHOUT the
+    partition column, add-actions carrying partitionValues, all per
+    the public protocol — through sources/delta_log.py (no jars),
+    then read back from the log with the partition column re-attached
+    and pruned to two partition values at the LOG level (only those
+    partitions' files are ever handed to the parquet scan). The
+    oracle value-verifies the whole write -> log-replay -> read loop
+    against from-scratch SQL over the raw parquet."""
+    import shutil
+    import tempfile
+
+    from ..sources import delta_log as DL
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf6_delta_")
+    try:
+        path = f"{tmp}/t"
+        DL.write_delta_append(
+            spark, ev.filter(F.col("user_id") < 8), path,
+            partition_by=["event_type"],
+        )
+        DL.write_delta_append(spark, ev.filter(F.col("user_id") >= 8), path)
+        out = (
+            DL.read_delta(spark, path)
+            .filter(F.col("event_type").isin("view", "purchase"))
+            .select("event_id", "event_type", "user_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL text front door (engine.sql, VERDICT r7 missing #3): the same
 # dialect-portable SQL string runs on Spark (via sql()) AND on DuckDB
@@ -5499,7 +5589,7 @@ _SWEEP_PRIORITY = [
     # last driver-rotation rows predate round 5, then the operators this
     # round touched (auto-stratum packing, VT-exact HTML extraction, the
     # de-hinted q-family); the rest keep their r7 relative order.
-    "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "p_project_filter",
+    "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "p_project_filter",
     "p_rename_replace_cast", "p_const_first_row", "f1_date_roundtrip", "f2_multiformat_date",
     "f4_calendar", "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
     "f12_string_funcs", "f13_null_handling", "f14_array_ops", "j1_composite_key_join",

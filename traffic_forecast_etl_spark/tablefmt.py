@@ -3205,6 +3205,157 @@ def snapshot_compact(
         release_writer_lease(path, holder)
 
 
+def _zorder_expr(
+    df: DataFrame, by: Sequence[str], bits: int = 8
+):
+    """Z-value expression over 2-4 columns: each column rank-buckets
+    into 2^bits quantile bins (one combined approxQuantile pass —
+    skew-robust, unlike min/max linear scaling), then the bucket bits
+    INTERLEAVE into one long, so sorting by it gives every listed
+    column locality in the file layout. All native expressions
+    (aggregate-over-literal-boundaries + shift/mask chain), fully
+    codegen — the boundary arrays are 2^bits-1 doubles per column on
+    the driver, nothing else leaves the executors.
+
+    Numeric, date, and timestamp columns only: quantile bucketing
+    needs an order-preserving double projection; strings have none
+    (hashing would destroy the locality that is the whole point) —
+    bucket strings upstream (e.g. a category code) and cluster on
+    that."""
+    if not 2 <= len(by) <= 4:
+        raise ValueError(f"z-order wants 2-4 columns, got {len(by)}")
+    if bits * len(by) > 62:
+        raise ValueError("bits * len(by) must fit a long")
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    proj = []
+    for c in by:
+        dtype = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dtype in ("timestamp", "timestamp_ntz", "date"):
+            col = col.cast("timestamp").cast("double")
+        elif dtype.startswith("decimal") or dtype in numeric:
+            col = col.cast("double")
+        else:
+            raise TypeError(
+                f"z-order column {c!r} has type {dtype} — numeric/"
+                "date/timestamp only (see _zorder_expr docstring)"
+            )
+        proj.append(col)
+    n_bins = 2**bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    qdf = df.select(*[p.alias(f"__q{i}") for i, p in enumerate(proj)])
+    all_bounds = qdf.approxQuantile(
+        [f"__q{i}" for i in range(len(proj))], probs, 1.0 / n_bins
+    )
+    buckets = []
+    for col, bounds in zip(proj, all_bounds):
+        # count of boundaries <= v == quantile bucket; NULLs sort first
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        buckets.append(
+            F.coalesce(
+                F.aggregate(
+                    barr,
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(col >= b, 1).otherwise(0),
+                ),
+                F.lit(0),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, bucket in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)).cast("long"),
+                    bit * len(by) + ci,
+                )
+            )
+    return z
+
+
+def snapshot_cluster(
+    spark: SparkSession,
+    path: str,
+    by: Sequence[str],
+    n_files: int = 16,
+    bits: int = 8,
+    stats_cols: Sequence[str] | None = None,
+) -> int:
+    """Z-ORDER clustering rewrite (the Delta ``OPTIMIZE ... ZORDER
+    BY`` / Iceberg ``rewrite_data_files(sort_order=zorder(...))``
+    concept): rewrite the table's files range-partitioned and sorted
+    by the interleaved-bit z-value of ``by``, so per-file min/max
+    stats become selective on EVERY listed column — a linear sort
+    makes only its leading column prunable; z-order gives each of the
+    2-4 dimensions ~1/n_files^(1/len(by)) selectivity. History keeps
+    the old layout readable; pending merge-on-read deletes are
+    materialized by the rewrite (all files get a new sequence, so the
+    delete files retire in the same commit — the compaction contract).
+
+    The 100 TB rationale: "WHERE user_id = X AND day = Y" on a table
+    sorted by day reads every file of that day; z-ordered on
+    (day, user_id) it reads ~sqrt of that. Planning stays pure
+    manifest arithmetic — clustering just makes the min/max boxes
+    tight on all dimensions at once.
+
+    v1 contract: unpartitioned tables only (hidden partitioning
+    already gives its transform columns exact pruning; clustering
+    WITHIN partitions is the follow-up) — raises on a partitioned
+    table. ``stats_cols`` defaults to ``by`` plus whatever the
+    manifest already tracked."""
+    holder = acquire_writer_lease(path)
+    try:
+        parent = current_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = read_manifest(path, parent)
+        if m.get("partition_spec"):
+            raise ValueError(
+                "snapshot_cluster v1 supports unpartitioned tables only"
+            )
+        entries = manifest_files(path, m, tag_segments=True)
+        if not entries:
+            return parent
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
+        df = _visible_read(spark, path, m, entries, schema=table_schema)
+        z = _zorder_expr(df, list(by), bits=bits)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(max(1, n_files), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        stats = list(
+            dict.fromkeys(
+                list(stats_cols or [])
+                + list(by)
+                + list(entries[0].get("stats", {}).keys())
+            )
+        )
+        # only columns that survive the schema (evolution may have
+        # dropped one a stale caller still names)
+        stats = [c for c in stats if c in {f.name for f in table_schema.fields}]
+        new_entries = _stage_files(
+            spark, clustered, path, stats, bloom_cols=m.get("bloom_cols")
+        )
+        fileset = _fileset_for_commit(
+            path,
+            m,
+            {e["path"] for e in entries},
+            {e["_seg"] for e in entries if e.get("_seg") is not None},
+            new_entries,
+            m["schema"],
+        )
+        return _commit(
+            path, fileset, "cluster", m["schema"], parent,
+            _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
+            bloom_cols=m.get("bloom_cols"),
+        )
+    finally:
+        release_writer_lease(path, holder)
+
+
 def snapshot_purge_deletes(spark: SparkSession, path: str) -> int:
     """Materialize every pending merge-on-read delete file into the
     data files it masks and retire the delete files (the Iceberg
