@@ -3156,3 +3156,85 @@ def test_zorder_materializes_mor_deletes_and_guards(spark, tmp_path):
         T.snapshot_cluster(spark, sp, ["a", "s"])
     with pytest.raises(ValueError, match="2-4"):
         T.snapshot_cluster(spark, sp, ["a"])
+
+
+def test_backfill_stats_from_footers(spark, tmp_path):
+    """Retroactive pruning (r8): a table written WITHOUT stats_cols
+    gains per-file min/max from the parquet footers as a
+    metadata-only commit — paths and sequences untouched, rows
+    unchanged, pruning live afterwards; repeat call is a no-op."""
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(4096)
+        .withColumn("v", (F.col("id") * 2).cast("double"))
+        .withColumn("s", F.format_string("k%05d", F.col("id")))
+    )
+    T.snapshot_write(
+        spark, df.repartitionByRange(8, "id").sortWithinPartitions("id"), path
+    )
+    m0 = T.read_manifest(path)
+    paths0 = {e["path"] for e in T.manifest_files(path, m0)}
+    assert all(not e.get("stats") for e in T.manifest_files(path, m0))
+    _, adm0 = T.snapshot_scan_files(path, "id", 100, 150)
+    assert len(adm0) == 8  # stats-less: everything admits
+
+    v = T.snapshot_backfill_stats(spark, path, ["id", "s"])
+    assert v == 1 and T.read_manifest(path)["op"] == "backfill_stats"
+    m1 = T.read_manifest(path)
+    assert {e["path"] for e in T.manifest_files(path, m1)} == paths0
+    _, adm_id = T.snapshot_scan_files(path, "id", 100, 150)
+    _, adm_s = T.snapshot_scan_files(path, "s", "k00100", "k00150")
+    assert len(adm_id) <= 2 and len(adm_s) <= 2
+    assert T.snapshot_read(spark, path).count() == 4096
+    assert _rows(T.snapshot_read(spark, path)) == _rows(
+        T.snapshot_read(spark, path, version=0)
+    )
+    # no-op repeat: no empty commit
+    assert T.snapshot_backfill_stats(spark, path, ["id"]) == 1
+    # CDF skips the metadata-only commit
+    assert T.read_snapshot_changes(spark, path, 0).count() == 0
+
+
+def test_backfill_stats_compute_missing_covers_ntz(spark, tmp_path):
+    """Spark writes no footer statistics for timestamp_ntz — the
+    footer pass leaves them open (conservative), compute_missing=True
+    fills the gap with one aggregate over only the gapped slice."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(512)
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(mins=F.col("id").cast("int")),
+        )
+    )
+    T.snapshot_write(
+        spark, df.repartitionByRange(4, "id").sortWithinPartitions("id"), path
+    )
+    T.snapshot_backfill_stats(spark, path, ["ts"])
+    _, adm = T.snapshot_scan_files(
+        path, "ts", dt.datetime(2024, 1, 1, 2, 10), dt.datetime(2024, 1, 1, 3, 0)
+    )
+    assert len(adm) == 4, "footer-only pass must leave ntz unpruned"
+    T.snapshot_backfill_stats(spark, path, ["ts"], compute_missing=True)
+    _, adm2 = T.snapshot_scan_files(
+        path, "ts", dt.datetime(2024, 1, 1, 2, 10), dt.datetime(2024, 1, 1, 3, 0)
+    )
+    assert len(adm2) <= 2
+    # sequences preserved -> a MoR delete recorded before the backfill
+    # still masks its rows afterwards
+    kdf = spark.createDataFrame([(5,)], "id long")
+    T.snapshot_delete(spark, path, keys_df=kdf, keys=["id"], mode="mor")
+    T.snapshot_backfill_stats(spark, path, ["id"], compute_missing=True)
+    assert T.snapshot_read(spark, path).filter(F.col("id") == 5).count() == 0
+
+
+def test_cluster_commit_skipped_by_cdf(spark, tmp_path):
+    """A cluster rewrite is a layout move: the change feed yields
+    nothing for it (like compact), even though every file changed."""
+    path = str(tmp_path / "t")
+    T.snapshot_write(spark, _mk_2d(spark, 1024), path, stats_cols=["a", "b"])
+    T.snapshot_cluster(spark, path, ["a", "b"], n_files=4)
+    assert T.read_snapshot_changes(spark, path, 0).count() == 0

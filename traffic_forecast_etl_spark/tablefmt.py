@@ -2969,7 +2969,9 @@ def read_snapshot_changes(
     - first commits (parent None) and ``overwrite`` — synthesized as
       inserts of the new files (plus deletes of the parent's files
       for overwrite);
-    - ``compact`` — skipped (file moves, no logical change);
+    - ``compact`` / ``cluster`` / ``backfill_stats`` — skipped (file
+      moves or metadata enrichment, no logical change; MoR deletes a
+      cluster rewrite materializes were already applied in reads);
     - MERGE/DELETE recorded WITHOUT change files — raises: rewritten
       files mix kept and new rows, so row deltas are not
       reconstructible after the fact (enable ``change_feed`` on the
@@ -3009,7 +3011,9 @@ def read_snapshot_changes(
     v = since_version + 1
     while v <= end:
         m = read_manifest(path, v)
-        if m["op"] == "compact":
+        if m["op"] in ("compact", "cluster", "backfill_stats"):
+            # pure layout/metadata rewrites — file moves or stat
+            # enrichment, zero logical row changes
             v += 1
             continue
         part: DataFrame | None = None
@@ -3351,6 +3355,133 @@ def snapshot_cluster(
             path, fileset, "cluster", m["schema"], parent,
             _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
             bloom_cols=m.get("bloom_cols"),
+        )
+    finally:
+        release_writer_lease(path, holder)
+
+
+def snapshot_backfill_stats(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    compute_missing: bool = False,
+) -> int:
+    """Backfill per-file min/max stats for ``cols`` from the PARQUET
+    FOOTERS — a metadata-only commit, zero data movement, zero Spark
+    jobs (pyarrow reads each footer's row-group statistics on the
+    driver). The retroactive-pruning story: a table written before
+    anyone passed ``stats_cols`` gets full scan/merge/delete pruning
+    after the fact, entries keep their paths AND sequences (MoR
+    delete applicability is untouched), and files whose footer lacks
+    usable statistics for a column stay stats-less — pruning remains
+    an optimization, never a filter.
+
+    Footer bounds are trusted as written (parquet writers may
+    TRUNCATE long string stats, but truncation keeps them valid
+    bounds by spec). Some types never get footer stats from Spark's
+    writer (timestamp_ntz, notably); ``compute_missing=True`` fills
+    whatever the footer pass left open with ONE Spark min/max
+    aggregate grouped by input file, scanning ONLY the still-missing
+    (file, column) slice — no longer zero-job, still column-pruned
+    and O(gap). Returns the new version; no-op (no commit) when
+    every file already has stats for every requested column."""
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("snapshot_backfill_stats needs pyarrow") from e
+
+    holder = acquire_writer_lease(path)
+    try:
+        parent = current_version(path)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = read_manifest(path, parent)
+        for c in cols:
+            _col_type(m["schema"], c)  # KeyError on unknown column
+        entries = manifest_files(path, m, tag_segments=True)
+        new_entries: list[dict] = []
+        n_changed = 0
+        for e in entries:
+            stats = dict(e.get("stats") or {})
+            missing = [c for c in cols if c not in stats]
+            clean = {k: v for k, v in e.items() if k != "_seg"}
+            if missing:
+                md = _pq.ParquetFile(os.path.join(path, e["path"])).metadata
+                col_idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for c in missing:
+                    i = col_idx.get(c)
+                    if i is None:
+                        continue  # pre-evolution file without the column
+                    mn = mx = None
+                    ok = md.num_row_groups > 0
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, _dt.datetime) and lo.tzinfo:
+                            lo = lo.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                            hi = hi.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                        mn = lo if mn is None or lo < mn else mn
+                        mx = hi if mx is None or hi > mx else mx
+                    if ok and mn is not None:
+                        stats[c] = [_enc_stat(mn), _enc_stat(mx)]
+                        n_changed += 1
+                clean["stats"] = stats
+            new_entries.append(clean)
+        if compute_missing:
+            # one aggregate over only the still-gapped files, only
+            # the still-gapped columns
+            gapped = [
+                e for e in new_entries
+                if e.get("rows", 1) and any(c not in e["stats"] for c in cols)
+            ]
+            if gapped:
+                gap_cols = sorted(
+                    {c for e in gapped for c in cols if c not in e["stats"]}
+                )
+                scan = spark.read.parquet(
+                    *[os.path.join(path, e["path"]) for e in gapped]
+                ).withColumn("__file", F.input_file_name())
+                aggs = []
+                for c in gap_cols:
+                    aggs.append(F.min(c).alias(f"__min_{c}"))
+                    aggs.append(F.max(c).alias(f"__max_{c}"))
+                by_file = {
+                    os.path.basename(r["__file"].replace("file:", "")): r
+                    for r in scan.groupBy("__file").agg(*aggs).collect()
+                }
+                for e in gapped:
+                    r = by_file.get(os.path.basename(e["path"]))
+                    if r is None:
+                        continue
+                    for c in gap_cols:
+                        if c in e["stats"]:
+                            continue
+                        mn, mx = r[f"__min_{c}"], r[f"__max_{c}"]
+                        if mn is not None:
+                            e["stats"][c] = [_enc_stat(mn), _enc_stat(mx)]
+                            n_changed += 1
+        if not n_changed:
+            return parent
+        fileset = _fileset_for_commit(
+            path,
+            m,
+            {e["path"] for e in entries},
+            {e["_seg"] for e in entries if e.get("_seg") is not None},
+            new_entries,
+            m["schema"],
+        )
+        return _commit(
+            path, fileset, "backfill_stats", m["schema"], parent,
+            _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
+            partition_spec=m.get("partition_spec"),
+            bloom_cols=m.get("bloom_cols"),
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
