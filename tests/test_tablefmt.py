@@ -3141,13 +3141,6 @@ def test_zorder_materializes_mor_deletes_and_guards(spark, tmp_path):
         == 0
     )
 
-    pp = str(tmp_path / "part")
-    T.snapshot_write(
-        spark, df, pp, partition_spec=[("bucket", "id", 4)], stats_cols=["a"]
-    )
-    with pytest.raises(ValueError, match="unpartitioned"):
-        T.snapshot_cluster(spark, pp, ["a", "b"])
-
     sp = str(tmp_path / "s")
     T.snapshot_write(
         spark, df.withColumn("s", F.col("id").cast("string")), sp
@@ -3238,3 +3231,68 @@ def test_cluster_commit_skipped_by_cdf(spark, tmp_path):
     T.snapshot_write(spark, _mk_2d(spark, 1024), path, stats_cols=["a", "b"])
     T.snapshot_cluster(spark, path, ["a", "b"], n_files=4)
     assert T.read_snapshot_changes(spark, path, 0).count() == 0
+
+
+def test_zorder_cluster_within_partitions(spark, tmp_path):
+    """Partitioned z-order (r8 v2): clustering a hidden-partitioned
+    table range-splits WITHIN each partition tuple — the
+    one-tuple-per-file invariant holds, partition pruning stays
+    exact, and the z-columns become prunable INSIDE each admitted
+    partition."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = (
+        _mk_2d(spark, 16384)
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(hours=(F.col("id") % 72).cast("int")),
+        )
+    )
+    T.snapshot_write(
+        spark, df, path,
+        partition_spec=[("days", "ts")], stats_cols=["a", "b"],
+    )
+    m0 = T.read_manifest(path)
+    files_before = len(T.manifest_files(path, m0))
+    T.snapshot_cluster(spark, path, ["a", "b"], n_files=48)
+    m1 = T.read_manifest(path)
+    entries = T.manifest_files(path, m1)
+    assert m1["op"] == "cluster"
+    assert m1.get("partition_spec") == m0.get("partition_spec")
+    # invariant: every file carries exactly one partition tuple
+    assert all(e.get("partition") is not None for e in entries)
+    days = {tuple(e["partition"]) for e in entries}
+    assert len(days) == 3
+    # rows identical
+    assert _rows(T.snapshot_read(spark, path)) == _rows(df)
+    # partition pruning still exact: one day admits only that day
+    _, adm_day = T.snapshot_scan_files(
+        path, "ts", dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 23)
+    )
+    assert {tuple(e["partition"]) for e in adm_day} == {
+        tuple(e["partition"])
+        for e in entries
+        if dt.date(2024, 1, 2).isoformat() in str(e["partition"])
+    } or len({tuple(e["partition"]) for e in adm_day}) == 1
+    # z-pruning INSIDE partitions: files per day > 1 and a narrow
+    # a-range admits a strict subset within the admitted day
+    per_day: dict = {}
+    for e in entries:
+        per_day.setdefault(tuple(e["partition"]), []).append(e)
+    assert all(len(v) > 1 for v in per_day.values()), (
+        "clustering must split each partition into several files"
+    )
+    _, adm_a = T.snapshot_scan_files(path, "a", 100, 149)
+    _, adm_b = T.snapshot_scan_files(path, "b", 100, 149)
+    total_rows = sum(e["rows"] for e in entries)
+    frac_a = sum(e["rows"] for e in adm_a) / total_rows
+    frac_b = sum(e["rows"] for e in adm_b) / total_rows
+    assert frac_a <= 0.6 and frac_b <= 0.6, (
+        f"z-range should prune within partitions: a={frac_a:.2f} "
+        f"b={frac_b:.2f} (files {len(adm_a)}/{len(entries)}, "
+        f"{len(adm_b)}/{len(entries)})"
+    )
+    # evolution interplay: the rewrite keeps resolvable spec metadata
+    assert files_before >= 3

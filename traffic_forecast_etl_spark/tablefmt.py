@@ -1199,6 +1199,7 @@ def _stage_files(
     subdir: str = _DATA_DIR,
     partition_spec: list[dict] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    presplit=None,
 ) -> list[dict]:
     """Write ``df`` as new immutable files under ``subdir`` (data/
     for table files, _changes/ for change-feed files) and return
@@ -1218,7 +1219,16 @@ def _stage_files(
 
     ``bloom_cols``: also build per-(file, col) bloom sidecars (see
     the bloom section comment) for the named columns present in
-    ``df``; each entry records its pointers under ``"blooms"``."""
+    ``df``; each entry records its pointers under ``"blooms"``.
+
+    ``presplit``: optional layout hook ``DataFrame -> DataFrame``
+    applied INSTEAD of the default task assignment (the partitioned
+    default is one task per tuple). snapshot_cluster uses it to
+    range-split each partition tuple into several z-sorted tasks —
+    the hive write still splits any task spanning tuples, so the
+    one-tuple-per-FILE pruning invariant holds regardless of what
+    the hook does. The hook sees the ``__pt_i`` derived columns and
+    must drop any synthetic columns it added."""
     staging = os.path.join(path, f"__stage_{uuid.uuid4().hex}")
     part_cols: list[str] = []
     if partition_spec:
@@ -1227,12 +1237,16 @@ def _stage_files(
             dtype = _col_type(df.schema.json(), f["source"])
             out_df = out_df.withColumn(f"__pt_{i}", _part_expr(f, dtype))
         part_cols = [f"__pt_{i}" for i in range(len(partition_spec))]
-        # one task per partition tuple -> one file per tuple
-        out_df.repartition(*[F.col(c) for c in part_cols]).write.mode(
-            "overwrite"
-        ).partitionBy(*part_cols).parquet(staging)
+        # default: one task per partition tuple -> one file per tuple
+        laid = (
+            presplit(out_df)
+            if presplit is not None
+            else out_df.repartition(*[F.col(c) for c in part_cols])
+        )
+        laid.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
     else:
-        df.write.mode("overwrite").parquet(staging)
+        laid = presplit(df) if presplit is not None else df
+        laid.write.mode("overwrite").parquet(staging)
     os.makedirs(os.path.join(path, subdir), exist_ok=True)
     moved: list[tuple[str, str]] = []  # (abs path, rel name)
     token = uuid.uuid4().hex[:12]
@@ -3267,12 +3281,15 @@ def _zorder_expr(
             )
         )
     z = F.lit(0).cast("long")
+    # within each bit level the FIRST listed column takes the more
+    # significant position, so earlier columns split earlier on the
+    # curve (ties in caller priority resolve toward by[0])
     for bit in range(bits):
         for ci, bucket in enumerate(buckets):
             z = z.bitwiseOR(
                 F.shiftleft(
                     F.shiftright(bucket, bit).bitwiseAND(F.lit(1)).cast("long"),
-                    bit * len(by) + ci,
+                    bit * len(by) + (len(by) - 1 - ci),
                 )
             )
     return z
@@ -3303,33 +3320,31 @@ def snapshot_cluster(
     manifest arithmetic — clustering just makes the min/max boxes
     tight on all dimensions at once.
 
-    v1 contract: unpartitioned tables only (hidden partitioning
-    already gives its transform columns exact pruning; clustering
-    WITHIN partitions is the follow-up) — raises on a partitioned
-    table. ``stats_cols`` defaults to ``by`` plus whatever the
-    manifest already tracked."""
+    On a HIDDEN-PARTITIONED table (r8 v2), clustering happens WITHIN
+    partitions: the layout range-splits on (partition tuple, z), so
+    each tuple's rows spread over several z-contiguous files — the
+    one-tuple-per-file invariant holds (the hive write separates any
+    task spanning tuples), partition pruning stays exact, and the
+    z-ordered min/max make the ``by`` columns prunable INSIDE the
+    admitted partitions. Every file rewrites under the CURRENT
+    default spec, so clustering doubles as the eager spec-migration
+    path (same as compact's lazy one). ``n_files`` is the total
+    file-count target across all partitions; quantile buckets are
+    computed once globally. ``stats_cols`` defaults to ``by`` plus
+    whatever the manifest already tracked."""
     holder = acquire_writer_lease(path)
     try:
         parent = current_version(path)
         if parent is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
         m = read_manifest(path, parent)
-        if m.get("partition_spec"):
-            raise ValueError(
-                "snapshot_cluster v1 supports unpartitioned tables only"
-            )
+        spec = m.get("partition_spec")
         entries = manifest_files(path, m, tag_segments=True)
         if not entries:
             return parent
         table_schema = StructType.fromJson(json.loads(m["schema"]))
         df = _visible_read(spark, path, m, entries, schema=table_schema)
         z = _zorder_expr(df, list(by), bits=bits)
-        clustered = (
-            df.withColumn("__z", z)
-            .repartitionByRange(max(1, n_files), "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
         stats = list(
             dict.fromkeys(
                 list(stats_cols or [])
@@ -3340,9 +3355,34 @@ def snapshot_cluster(
         # only columns that survive the schema (evolution may have
         # dropped one a stale caller still names)
         stats = [c for c in stats if c in {f.name for f in table_schema.fields}]
-        new_entries = _stage_files(
-            spark, clustered, path, stats, bloom_cols=m.get("bloom_cols")
-        )
+        if spec:
+            part_cols = [f"__pt_{i}" for i in range(len(spec))]
+
+            def presplit(out_df: DataFrame) -> DataFrame:
+                return (
+                    out_df.withColumn("__z", z)
+                    .repartitionByRange(
+                        max(1, n_files), *part_cols, "__z"
+                    )
+                    .sortWithinPartitions(*part_cols, "__z")
+                    .drop("__z")
+                )
+
+            new_entries = _stage_files(
+                spark, df, path, stats,
+                partition_spec=spec, bloom_cols=m.get("bloom_cols"),
+                presplit=presplit,
+            )
+        else:
+            clustered = (
+                df.withColumn("__z", z)
+                .repartitionByRange(max(1, n_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            new_entries = _stage_files(
+                spark, clustered, path, stats, bloom_cols=m.get("bloom_cols")
+            )
         fileset = _fileset_for_commit(
             path,
             m,
@@ -3354,7 +3394,9 @@ def snapshot_cluster(
         return _commit(
             path, fileset, "cluster", m["schema"], parent,
             _parent_txns(path, parent), eq_deletes=m.get("eq_deletes"),
+            partition_spec=spec,
             bloom_cols=m.get("bloom_cols"),
+            partition_specs=m.get("partition_specs"),
         )
     finally:
         release_writer_lease(path, holder)
