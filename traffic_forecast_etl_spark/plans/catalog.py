@@ -5548,6 +5548,51 @@ _SQL_PORTABLE: dict[str, str] = {
 }
 
 
+@query(
+    "sql4_snapshot_view",
+    """
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS sum_v
+    FROM events e
+    WHERE e.user_id < 10
+    GROUP BY e.event_type
+    """,
+)
+def sql4_snapshot_view(spark, sf_dir):
+    """engine.sql over a SNAPSHOT table (r8): events land in a
+    tablefmt snapshot table, ``sql(snapshot_tables=...)`` registers
+    its CURRENT version as a view, and the aggregate runs as SQL text
+    against it — the front door a reference user migrating SQL
+    workloads onto versioned tables hits first. Oracle re-derives the
+    same aggregate from the raw parquet, value-verifying the write →
+    register → SQL loop."""
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+    from ..sql import sql as engine_sql
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="sql4_snap_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(spark, ev, path, stats_cols=["user_id"])
+        out = engine_sql(
+            spark,
+            """
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(e.value), 2) AS sum_v
+            FROM snap_events e
+            WHERE e.user_id < 10
+            GROUP BY e.event_type
+            """,
+            snapshot_tables={"snap_events": path},
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _register_sql_portable() -> None:
     from ..sql import sql as engine_sql
 
@@ -5589,7 +5634,7 @@ _SWEEP_PRIORITY = [
     # last driver-rotation rows predate round 5, then the operators this
     # round touched (auto-stratum packing, VT-exact HTML extraction, the
     # de-hinted q-family); the rest keep their r7 relative order.
-    "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "p_project_filter",
+    "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "sql4_snapshot_view", "p_project_filter",
     "p_rename_replace_cast", "p_const_first_row", "f1_date_roundtrip", "f2_multiformat_date",
     "f4_calendar", "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
     "f12_string_funcs", "f13_null_handling", "f14_array_ops", "j1_composite_key_join",
