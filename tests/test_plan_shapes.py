@@ -371,3 +371,47 @@ def test_aqe_picks_broadcast_without_hints(spark, sf_dir, query):
     final = final_plan_of(QUERIES[query](spark, sf_dir))
     assert "BroadcastHashJoin" in final, f"{query}: no broadcast join\n{final[:800]}"
     assert "SortMergeJoin" not in final, f"{query}: sort-merge at tiny sf\n{final[:800]}"
+
+
+# Keys whose plans legitimately cross into Python — ALL Arrow-batched
+# (pandas_udf / applyInPandas / mapInPandas), each a documented
+# boundary where no native expression exists. Row-at-a-time
+# BatchEvalPython is allowed NOWHERE.
+_ARROW_BOUNDARY_OK = {
+    # FFD greedy bin state (order-dependent heuristic, text.py)
+    "c13_pack_best_fit",
+    # packed-float L2/hamming kernels over array<float> sketches
+    "d5_embedding_neardup", "d11_embedding_neardup_lsh", "s2_lsh_ann",
+    # PQ ADC scoring over m-byte codes + per-query shortlist refine
+    "s6_ivf_pq_ann",
+    # media decode/resize kernels (binary columns, multimodal.py)
+    "m1_media_features", "m3_resize",
+}
+
+
+def test_no_python_row_nodes_in_any_catalog_plan(spark, sf_dir):
+    """Catalog-wide U1 audit at the PLAN level (stronger than the
+    source-level @udf grep): no query may plan a row-at-a-time
+    BatchEvalPython node anywhere, and Arrow-batched Python nodes may
+    appear only in the documented-boundary allowlist. A native-expr
+    refactor that silently falls back to a Python UDF regresses 10 to
+    100x at 100 TB — this is what catches it."""
+    offenders = {}
+    for name in QUERIES:
+        if name.startswith("st"):  # streaming builders make sinks
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython (row-at-a-time!)"
+            continue
+        arrow = [
+            n
+            for n in (
+                "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+                "FlatMapGroupsInPandasWithState",
+            )
+            if n in plan
+        ]
+        if arrow and name not in _ARROW_BOUNDARY_OK:
+            offenders[name] = arrow
+    assert not offenders, f"undocumented Python plan nodes: {offenders}"
