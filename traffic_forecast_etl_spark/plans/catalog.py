@@ -33,9 +33,10 @@ Broadcast-hint policy (scale contract, VERDICT r7):
   bounds with fixed category cardinality (event_type). Everything
   else is left unhinted — AQE (enabled in session.py) broadcasts at
   small sf from actual runtime sizes and degrades to sort-merge at
-  scale. tests/test_plans.py::test_broadcast_hint_allowlist pins the
-  allowlist against this source file; test_aqe_picks_broadcast pins
-  that the unhinted q-family still gets broadcast joins at tiny sf.
+  scale. tests/test_plan_shapes.py::test_broadcast_hint_allowlist
+  pins the allowlist against this source file;
+  test_aqe_picks_broadcast_without_hints pins that the unhinted
+  q-family still gets broadcast joins at tiny sf.
 """
 
 from __future__ import annotations
@@ -5502,6 +5503,50 @@ def tf6_delta_interop(spark, sf_dir):
     return out
 
 
+@query(
+    "tf7_delta_dv",
+    """
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE NOT (event_type = 'click' AND user_id < 12)
+    """,
+)
+def tf7_delta_dv(spark, sf_dir):
+    """Delta DELETION-VECTOR read (r9, VERDICT r8 missing #1): events
+    write out as a Delta table, a row-level DELETE records matching
+    positions as RoaringBitmapArray sidecars (spec-shaped: Z85 UUID
+    path, protocol upgraded to the deletionVectors reader/writer
+    feature, NO data file rewritten), and read_delta masks the
+    positions EXECUTOR-side (descriptors by broadcast, per-task DV
+    decode inside the Arrow batch). The oracle value-verifies the
+    surviving rows against from-scratch SQL over the raw parquet —
+    the gap a 2024+ Delta estate (DVs on by default since DBR 14)
+    hits immediately."""
+    import shutil
+    import tempfile
+
+    from ..sources import delta_log as DL
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf7_dv_")
+    try:
+        path = f"{tmp}/t"
+        DL.write_delta_append(spark, ev, path)
+        DL.delete_from_delta(
+            spark, path, "event_type = 'click' AND user_id < 12"
+        )
+        out = (
+            DL.read_delta(spark, path)
+            .select("event_id", "event_type", "user_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL text front door (engine.sql, VERDICT r7 missing #3): the same
 # dialect-portable SQL string runs on Spark (via sql()) AND on DuckDB
@@ -5634,7 +5679,7 @@ _SWEEP_PRIORITY = [
     # last driver-rotation rows predate round 5, then the operators this
     # round touched (auto-stratum packing, VT-exact HTML extraction, the
     # de-hinted q-family); the rest keep their r7 relative order.
-    "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "sql4_snapshot_view", "p_project_filter",
+    "tf7_delta_dv", "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "sql4_snapshot_view", "p_project_filter",
     "p_rename_replace_cast", "p_const_first_row", "f1_date_roundtrip", "f2_multiformat_date",
     "f4_calendar", "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
     "f12_string_funcs", "f13_null_handling", "f14_array_ops", "j1_composite_key_join",

@@ -1,0 +1,255 @@
+"""Delta Lake deletion-vector codecs — pure-Python, jar-free.
+
+Implements the serialization formats the PUBLIC Delta protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md,
+"Deletion Vector Descriptor Schema" + "Deletion Vector Format")
+specifies for row-level deletes:
+
+- **Z85** (ZeroMQ RFC 32, https://rfc.zeromq.org/spec/32/): the
+  ASCII armor Delta uses for the UUID inside ``pathOrInlineDv``
+  (storageType ``u``) and for the whole payload of inline DVs
+  (storageType ``i``). 4 bytes -> 5 chars, big-endian base-85.
+
+- **64-bit RoaringBitmapArray, "portable" format** (the protocol's
+  required DV payload): ``u64 LE`` number of 32-bit bitmaps, then per
+  bitmap a ``u32 LE`` key (the high 32 bits of the member values)
+  followed by a standard *portable* 32-bit Roaring bitmap
+  (https://github.com/RoaringBitmap/RoaringFormatSpec): cookie,
+  descriptive header of (key, cardinality-1) pairs, offset header,
+  then array (<=4096 values, u16 LE each) / bitset (8 KiB) / run
+  containers. The writer emits array/bitset containers only (always
+  valid — run encoding is an optional optimization); the reader
+  accepts all three so bitmaps produced by real Delta writers decode.
+
+- **DV payload framing**: the serialized payload is a ``u32 LE``
+  magic number 1681511377 followed by the bitmap array; inside a
+  ``.bin`` DV file each payload sits behind a ``u32 BE`` size field
+  and is followed by a ``u32 BE`` CRC-32 of the payload, the file
+  opening with a single format-version byte (= 1). A descriptor's
+  ``offset`` points at the size field of its payload.
+
+Everything here is bytes-in/bytes-out and session-free so executors
+can decode DVs locally (the read path in sources/delta_log.py ships
+descriptors via broadcast and filters row positions in Arrow batches,
+never materializing deleted-row lists on the driver).
+
+Honesty: cross-validation against delta-spark is environment-blocked
+(no jars in this sandbox); the formats are pinned self-consistent and
+against the protocol document's field-by-field description, including
+a handcrafted run-container fixture in tests/test_sources_sinks.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterable
+
+Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(Z85_ALPHABET)}
+
+DV_MAGIC = 1681511377  # u32 LE prefix of every serialized DV payload
+DV_FILE_VERSION = 1  # first byte of a .bin DV file
+
+_COOKIE_NO_RUN = 12346  # SERIAL_COOKIE_NO_RUNCONTAINER
+_COOKIE_RUN = 12347  # SERIAL_COOKIE (run containers present)
+_NO_OFFSET_THRESHOLD = 4  # run-cookie streams omit offsets below this
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85: 4 bytes -> 5 chars, big-endian. Length must be a
+    multiple of 4 (true for UUIDs and our padded payloads... the
+    protocol only ever encodes multiple-of-4 byte strings)."""
+    if len(data) % 4:
+        raise ValueError(f"Z85 input must be 4-byte aligned, got {len(data)}")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError(f"Z85 text must be 5-char aligned, got {len(text)}")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_DECODE[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _serialize_bitmap32(values: list[int]) -> bytes:
+    """Portable 32-bit Roaring bitmap of sorted u16-keyed containers.
+    Writer policy: array container when cardinality <= 4096, bitset
+    otherwise (run containers are a size optimization the spec lets
+    serializers skip)."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    header = struct.pack("<II", _COOKIE_NO_RUN, n)
+    desc = b"".join(
+        struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
+    )
+    # offset header: byte offset of each container from stream start
+    payloads = []
+    for k in keys:
+        vals = sorted(containers[k])
+        if len(vals) <= 4096:
+            payloads.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            payloads.append(struct.pack("<1024Q", *words))
+    base = len(header) + len(desc) + 4 * n
+    offsets = []
+    pos = base
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    off = struct.pack(f"<{n}I", *offsets) if n else b""
+    return header + desc + off + b"".join(payloads)
+
+
+def _deserialize_bitmap32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Decode one portable 32-bit bitmap at ``pos``; returns (sorted
+    values, next position). Accepts both cookies, incl. run
+    containers (real Delta writers emit them)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    start = pos
+    pos += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nbytes]
+        pos += nbytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie} at {start}")
+    desc = struct.unpack_from(f"<{2 * n}H", buf, pos)
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # containers follow in order; offsets redundant
+    out: list[int] = []
+    for i in range(n):
+        key, card_m1 = desc[2 * i], desc[2 * i + 1]
+        card = card_m1 + 1
+        hi = key << 16
+        if run_flags and (run_flags[i >> 3] >> (i & 7)) & 1:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                s, ln = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                out.extend(hi | v for v in range(s, s + ln + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            out.extend(hi | v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    out.append(hi | (wi << 6) | (b.bit_length() - 1))
+                    w ^= b
+    return out, pos
+
+
+def roaring_array_serialize(positions: Iterable[int]) -> bytes:
+    """64-bit RoaringBitmapArray, portable: u64 LE bitmap count, then
+    per bitmap u32 LE high-32 key + portable 32-bit bitmap."""
+    by_hi: dict[int, list[int]] = {}
+    for p in positions:
+        if p < 0:
+            raise ValueError(f"negative row position {p}")
+        by_hi.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    parts = [struct.pack("<Q", len(by_hi))]
+    for hi in sorted(by_hi):
+        parts.append(struct.pack("<I", hi))
+        parts.append(_serialize_bitmap32(by_hi[hi]))
+    return b"".join(parts)
+
+
+def roaring_array_deserialize(buf: bytes) -> list[int]:
+    (n,) = struct.unpack_from("<Q", buf, 0)
+    pos = 8
+    out: list[int] = []
+    for _ in range(n):
+        (hi,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals, pos = _deserialize_bitmap32(buf, pos)
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
+def dv_payload_encode(positions: Iterable[int]) -> bytes:
+    """magic (u32 LE) + serialized bitmap array — the descriptor's
+    ``sizeInBytes`` is the length of exactly this."""
+    return struct.pack("<I", DV_MAGIC) + roaring_array_serialize(positions)
+
+
+def dv_payload_decode(data: bytes) -> list[int]:
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != DV_MAGIC:
+        raise ValueError(f"bad DV magic {magic}")
+    return roaring_array_deserialize(data[4:])
+
+
+def dv_file_write(path: str, payloads: list[bytes]) -> list[int]:
+    """Write a ``.bin`` DV file holding ``payloads``; returns the
+    ``offset`` (position of the u32 BE size field) for each payload's
+    descriptor. Layout per the protocol: version byte, then per DV
+    <u32 BE size><payload><u32 BE CRC-32(payload)>."""
+    offsets = []
+    with open(path, "wb") as f:
+        f.write(bytes([DV_FILE_VERSION]))
+        pos = 1
+        for data in payloads:
+            offsets.append(pos)
+            f.write(struct.pack(">I", len(data)))
+            f.write(data)
+            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            pos += 4 + len(data) + 4
+        f.flush()
+    return offsets
+
+
+def dv_file_read(path: str, offset: int, size_in_bytes: int) -> bytes:
+    """Read one DV payload back out of a ``.bin`` file, verifying the
+    version byte, the stored size against the descriptor, and the
+    CRC-32 trailer."""
+    with open(path, "rb") as f:
+        version = f.read(1)
+        if not version or version[0] != DV_FILE_VERSION:
+            raise ValueError(f"bad DV file version {version!r} in {path}")
+        f.seek(offset)
+        (stored,) = struct.unpack(">I", f.read(4))
+        if stored != size_in_bytes:
+            raise ValueError(
+                f"DV size mismatch in {path}@{offset}: file says {stored}, "
+                f"descriptor says {size_in_bytes}"
+            )
+        data = f.read(stored)
+        (crc,) = struct.unpack(">I", f.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch in {path}@{offset}")
+    return data
