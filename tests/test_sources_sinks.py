@@ -814,11 +814,11 @@ def test_delta_reader_feature_guard(spark, tmp_path):
         DL.read_delta(spark, path)
 
 
-def test_delta_column_mapping_guard(spark, tmp_path):
-    """ADVICE r8 (medium): column mapping ships at minReaderVersion 2
-    via metaData.configuration — physical parquet columns are renamed
-    col-<uuid>, so reading by logical names would return all-NULL
-    columns. The reader must refuse, not mis-read."""
+def test_delta_column_mapping_guards(spark, tmp_path):
+    """ADVICE r8 (medium), upgraded in r9: the all-NULL hazard is
+    structurally closed — 'id' mode refuses (field-id resolution),
+    and a 'name'-mode table whose schema LACKS physicalName metadata
+    is malformed and errors loudly instead of reading NULLs."""
     import pytest as _pytest
 
     from traffic_forecast_etl_spark.sources import delta_log as DL
@@ -826,13 +826,125 @@ def test_delta_column_mapping_guard(spark, tmp_path):
     path = str(tmp_path / "dt")
     DL.write_delta_append(spark, spark.createDataFrame([(1,)], "id long"), path)
 
-    def set_mapping(a):
+    def set_id_mode(a):
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+
+    _rewrite_commit(path, 0, set_id_mode)
+    with _pytest.raises(NotImplementedError, match="'id'"):
+        DL.read_delta(spark, path)
+
+    def set_name_mode_without_metadata(a):
         if "metaData" in a:
             a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
 
-    _rewrite_commit(path, 0, set_mapping)
-    with _pytest.raises(NotImplementedError, match="column mapping"):
+    _rewrite_commit(path, 0, set_name_mode_without_metadata)
+    with _pytest.raises(ValueError, match="physicalName"):
         DL.read_delta(spark, path)
+
+
+def test_delta_column_mapping_name_mode_read(spark, tmp_path):
+    """'name'-mode column mapping READS (r9): data files carry
+    col-<uuid> physical names, the logical schema maps to them via
+    delta.columnMapping.physicalName, partitionValues key by the
+    PHYSICAL name — the reader aliases everything back to logical
+    names with correct values (the exact table shape Databricks
+    writes by default since DBR 14)."""
+    import json
+
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    # files on disk use physical names; the forged metaData maps them
+    phys = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "`col-111` long, `col-222` string, `col-333` double",
+    )
+    DL.write_delta_append(spark, phys, path, partition_by=["col-222"])
+
+    logical_schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-111",
+                },
+            },
+            {
+                "name": "cat",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-222",
+                },
+            },
+            {
+                "name": "v",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-333",
+                },
+            },
+        ],
+    }
+
+    def map_schema(a):
+        if "metaData" in a:
+            a["metaData"]["schemaString"] = json.dumps(logical_schema)
+            a["metaData"]["partitionColumns"] = ["cat"]
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            }
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
+
+    _rewrite_commit(path, 0, map_schema)
+    got = DL.read_delta(spark, path)
+    assert got.columns == ["id", "cat", "v"]
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5),
+    ]
+    # write-side mapping is out of scope, loudly
+    with _pytest.raises(NotImplementedError, match="WRITER"):
+        DL.delete_from_delta(spark, path, "id = 1")
+
+
+def test_delta_timestamp_ntz_feature_allowed(spark, tmp_path):
+    """timestampNtz is a pure type-presence reader feature — the
+    schema-driven parquet scan already handles it, so the guard lets
+    it through."""
+    import datetime
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 5, 1, 12, 0))], "id long, ts timestamp_ntz"
+    )
+    DL.write_delta_append(spark, df, path)
+
+    def add_feature(a):
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+
+    _rewrite_commit(path, 0, add_feature)
+    got = DL.read_delta(spark, path).collect()
+    assert got[0].ts == datetime.datetime(2024, 5, 1, 12, 0)
 
 
 def test_delta_concurrent_commit_put_if_absent(spark, tmp_path):

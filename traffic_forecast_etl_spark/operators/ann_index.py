@@ -22,7 +22,15 @@ under one directory:
 
 Maintenance is O(new data) because the quantizers are FROZEN after
 build (the standard incremental-IVF pattern — recall degrades only
-if the data distribution drifts, at which point you rebuild):
+if the data distribution drifts, at which point
+:func:`ann_index_recluster` re-trains the quantizers on the current
+vectors and re-encodes the lists as a NEW codes version: the model
+artifact is VERSIONED alongside the codes table (``model.v{N}.json``
+activates at codes version N), so time-travel search on a
+pre-recluster version decodes with the exact quantizers that wrote
+it. Appends and reclusters serialize on an index-level writer lease
+— an append encoded against quantizers a concurrent recluster is
+retiring can never land in the new epoch):
 ``ann_index_append`` assigns + encodes new vectors against the
 stored model and commits mode='append' (pure metadata carry +
 O(new) files) or upserts via ``snapshot_merge`` keyed on id.
@@ -42,11 +50,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tablefmt as TF
+from ..sinks import acquire_writer_lease, release_writer_lease
 from .similarity import _dot, _norm, pq_encode, pq_train, ivf_assign
 
 try:  # pragma: no cover
@@ -63,9 +73,28 @@ def _codes_path(path: str) -> str:
 
 
 def ann_index_model(path: str) -> dict:
-    """Load the frozen quantizer artifact (raises FileNotFoundError
-    if the index was never built)."""
+    """Load the CURRENT frozen quantizer artifact (raises
+    FileNotFoundError if the index was never built)."""
     with open(os.path.join(path, _MODEL_NAME)) as f:
+        return json.load(f)
+
+
+def _model_for_version(path: str, codes_version: int) -> dict:
+    """The quantizer model ACTIVE at ``codes_version``: the newest
+    ``model.v{N}.json`` with N <= codes_version (each recluster/build
+    stamps the codes version it re-encoded). Falls back to
+    ``model.json`` for pre-r9 indexes that never versioned their
+    model (those never recluster, so the single model is correct at
+    every version)."""
+    versions = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"model\.v(\d+)\.json", name)
+        if m:
+            versions.append(int(m.group(1)))
+    eligible = [n for n in versions if n <= codes_version]
+    if not eligible:
+        return ann_index_model(path)
+    with open(os.path.join(path, f"model.v{max(eligible)}.json")) as f:
         return json.load(f)
 
 
@@ -112,11 +141,6 @@ def ann_index_build(
     assigned, cent = ivf_assign(corpus, vec_col, id_col, n_centroids, seed=seed)
     rows = _index_rows(spark, corpus, id_col, vec_col, assigned, books)
     os.makedirs(path, exist_ok=True)
-    v = TF.snapshot_write(
-        spark, rows, _codes_path(path),
-        partition_spec=[("identity", "centroid_id")],
-        stats_cols=["id"],
-    )
     model = {
         "m": m,
         "nbits": nbits,
@@ -129,6 +153,19 @@ def ann_index_build(
             for r in cent.orderBy("centroid_id").collect()
         ],
     }
+    # the versioned model lands BEFORE the codes commit (a stray
+    # model.v file for a never-committed version is inert), the
+    # current-model swap after — search resolves through the
+    # versioned file, so every crash window reads consistently
+    _cur = TF.current_version(_codes_path(path))
+    v_pred = 0 if _cur is None else _cur + 1
+    TF._atomic_write_json(os.path.join(path, f"model.v{v_pred}.json"), model)
+    v = TF.snapshot_write(
+        spark, rows, _codes_path(path),
+        partition_spec=[("identity", "centroid_id")],
+        stats_cols=["id"],
+    )
+    assert v == v_pred, f"codes version raced: {v} != {v_pred}"
     TF._atomic_write_json(os.path.join(path, _MODEL_NAME), model)
     return v
 
@@ -187,19 +224,101 @@ def ann_index_append(
         raise ValueError(f"mode must be append|upsert: {mode}")
     if np is None:  # pragma: no cover
         raise ImportError("numpy required for PQ encoding")
-    model = ann_index_model(path)
-    books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
-    assigned = _assign_frozen(new_df, id_col, vec_col, _cent_df(spark, model))
-    rows = _index_rows(spark, new_df, id_col, vec_col, assigned, books)
-    if mode == "append":
-        return TF.snapshot_write(
-            spark, rows, _codes_path(path), mode="append",
+    # index-level lease (distinct from the codes table's commit
+    # lease): assign/encode + commit must be atomic AGAINST A
+    # RECLUSTER — rows encoded with quantizers a concurrent recluster
+    # is retiring must never land in the re-encoded epoch
+    holder = acquire_writer_lease(path)
+    try:
+        model = ann_index_model(path)
+        books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
+        assigned = _assign_frozen(
+            new_df, id_col, vec_col, _cent_df(spark, model)
+        )
+        rows = _index_rows(spark, new_df, id_col, vec_col, assigned, books)
+        if mode == "append":
+            return TF.snapshot_write(
+                spark, rows, _codes_path(path), mode="append",
+                txn_app=txn_app, txn_version=txn_version,
+            )
+        return TF.snapshot_merge(
+            spark, rows, _codes_path(path), keys=["id"],
             txn_app=txn_app, txn_version=txn_version,
         )
-    return TF.snapshot_merge(
-        spark, rows, _codes_path(path), keys=["id"],
-        txn_app=txn_app, txn_version=txn_version,
-    )
+    finally:
+        release_writer_lease(path, holder)
+
+
+def ann_index_recluster(
+    spark: SparkSession,
+    path: str,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    nbits: int | None = None,
+    seed: int | None = None,
+    sample_rows: int = 65536,
+) -> int:
+    """Re-train the quantizers on the CURRENT vectors and re-encode
+    every inverted list — the drift answer the frozen-quantizer
+    design defers to (VERDICT r8 measured the drift; this closes it).
+    Hyperparameters default to the current model's; ``seed`` defaults
+    to the old seed + 1 so re-trained centroids actually move.
+
+    Mechanics: under the index writer lease (serializing against
+    appends), read the current codes table's ``(id, vector)`` rows,
+    retrain IVF centroids + PQ codebooks, re-assign + re-encode, and
+    commit as a NEW codes version (mode='overwrite' — prior versions'
+    files stay for time travel). The new model is stamped
+    ``model.v{new_version}.json`` BEFORE the commit and swapped into
+    ``model.json`` after, so searches resolve the quantizers that
+    actually encoded whichever version they read —
+    ``ann_index_search(version=pre)`` keeps working on the retired
+    epoch. O(corpus) by necessity (every list re-encodes), vs the
+    O(new) appends it rejuvenates."""
+    if np is None:  # pragma: no cover
+        raise ImportError("numpy required for PQ encoding")
+    holder = acquire_writer_lease(path)
+    try:
+        old = ann_index_model(path)
+        n_centroids = n_centroids or old["n_centroids"]
+        m = m or old["m"]
+        nbits = nbits or old["nbits"]
+        seed = old["seed"] + 1 if seed is None else seed
+        cpath = _codes_path(path)
+        cur = TF.snapshot_read(spark, cpath).select(
+            "id", F.col("vector").alias("embedding")
+        )
+        books = pq_train(cur, "embedding", m=m, nbits=nbits,
+                         sample_rows=sample_rows, seed=seed)
+        assigned, cent = ivf_assign(cur, "embedding", "id", n_centroids,
+                                    seed=seed)
+        rows = _index_rows(spark, cur, "id", "embedding", assigned, books)
+        model = {
+            "m": m,
+            "nbits": nbits,
+            "n_centroids": n_centroids,
+            "dim": old["dim"],
+            "seed": seed,
+            "codebooks": [[list(map(float, row)) for row in b] for b in books],
+            "centroids": [
+                [float(x) for x in r["centroid"]]
+                for r in cent.orderBy("centroid_id").collect()
+            ],
+        }
+        v_pred = TF.current_version(cpath) + 1
+        TF._atomic_write_json(
+            os.path.join(path, f"model.v{v_pred}.json"), model
+        )
+        v = TF.snapshot_write(
+            spark, rows, cpath,
+            partition_spec=[("identity", "centroid_id")],
+            stats_cols=["id"],
+        )
+        assert v == v_pred, f"codes version raced under lease: {v} != {v_pred}"
+        TF._atomic_write_json(os.path.join(path, _MODEL_NAME), model)
+        return v
+    finally:
+        release_writer_lease(path, holder)
 
 
 def ann_index_search(
@@ -219,10 +338,15 @@ def ann_index_search(
     and exact-cosine refine the top ``k·refine``. Output schema
     matches s1/s3/s6: (query_id, neighbor_id, cosine, rank) with
     exact cosines. ``version=`` time-travels the index (tags via
-    ``TF.snapshot_tag`` on the codes table)."""
+    ``TF.snapshot_tag`` on the codes table) — the quantizer model
+    resolves to the one ACTIVE at that codes version
+    (:func:`_model_for_version`), so pre-recluster epochs decode with
+    the quantizers that encoded them."""
     if np is None:  # pragma: no cover
         raise ImportError("numpy required for ADC scoring")
-    model = ann_index_model(path)
+    model = _model_for_version(
+        path, TF.read_manifest(_codes_path(path), version)["version"]
+    )
     books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
     mm = len(books)
     dsub = books[0].shape[1]

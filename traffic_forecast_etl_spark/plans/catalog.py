@@ -5772,54 +5772,70 @@ _register_sql_portable()
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 8 rotation (VERDICT r7 #8): lead with the three NEW sql-text
-    # keys, then the §2 core families (p_*/f_*/j1-j3/a1-a3/o1-o3) whose
-    # last driver-rotation rows predate round 5, then the operators this
-    # round touched (auto-stratum packing, VT-exact HTML extraction, the
-    # de-hinted q-family); the rest keep their r7 relative order.
-    "tf7_delta_dv", "tf8_iceberg_read", "tf6_delta_interop", "tf5_zorder_scan", "sql1_pricing_summary", "sql2_returned_items", "sql3_large_orders", "sql4_snapshot_view", "sql5_time_travel", "p_project_filter",
-    "p_rename_replace_cast", "p_const_first_row", "f1_date_roundtrip", "f2_multiformat_date",
-    "f4_calendar", "f6_unit_conversion", "f10_decimal_comma", "f11_json_extract",
-    "f12_string_funcs", "f13_null_handling", "f14_array_ops", "j1_composite_key_join",
-    "j2_fk_lookup", "j3_semi_membership", "a1_group_avg", "a2_minmax_normalize",
-    "a3_profile", "o1_topk_sort", "o2_temporal_split", "o3_union", "c3_pack_token_bins",
-    "c13_pack_best_fit", "t21_html_extract", "q3_shipping_priority", "q5_region_volume",
-    "q10_returned_items", "q12_priority_shipmode", "q14_promo_share", "q17_below_avg_parts",
-    "q18_large_orders", "st9_audited_ingest", "d17_trim_duplicate_spans",
-    "tf4_partition_evolution", "tf3_point_lookup", "tf2_partitioned_table",
-    "s7_persistent_ann", "tf1_snapshot_update_cdf", "st8_native_cdf_stream",
-    "st7_snapshot_cdf_replica", "s6_ivf_pq_ann", "d3_simhash_pairs", "t19_bpe_train",
-    "t18_bpe_pair_freq", "q21_waiting_supplier", "q22_dormant_customers",
-    "q4_order_priority", "w1_rolling_avg", "w2_topk_per_group", "w3_lag_delta",
-    "w4_cumsum", "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers", "w14_seasonal_anomaly", "w13_resample_interpolate",
-    "q1_pricing_summary", "q6_forecast_revenue", "w5_tumbling_window", "w7_sessionize",
-    "w12_zscore_anomaly", "w6_sliding_window", "w8_funnel", "w9_rank_family",
-    "w10_cohort_retention", "w11_time_range_rolling", "c11_dsir_weights",
-    "c12_dsir_resample", "c9_leakage_safe_split", "c10_blocklist_filter",
-    "g1_connected_components", "d2_minhash_lsh", "d6_near_dedup_filter",
-    "c1_curate_corpus", "a10_approx_distinct", "d9_incremental_near_dup",
-    "m2_frame_sample", "m3_resize", "st1_streaming_tumbling", "st2_streaming_sessions",
-    "st3_stateful_ewma", "st4_stream_stream_join", "st5_stream_static_enrich",
-    "st6_rollup_maintenance", "t14_gopher_rules", "d15_semantic_dedup", "c7_embedding_decontaminate",
-    "t13_unigram_logprob", "t15_bigram_logprob", "j11_edit_distance_join",
-    "t16_corpus_dup_ngrams", "t17_bm25_search", "d16_priority_dedup", "s5_random_projection",
-    "c8_quality_classifier", "t20_line_dedup", "a5_distinct_agg", "a6_pivot",
-    "a7_unpivot", "a8_median_stats", "o4_intersect_except", "d1_exact_dedup",
-    "d4_ngram_jaccard", "d8_incremental_dedup", "j9_asof_nearest", "j10_interval_overlap",
-    "a15_equi_width_histogram", "a16_mode_per_group", "c6_adaptive_quality_gate",
-    "d10_table_diff", "d12_epoch_shuffle", "m1_media_features", "j6_asof_join",
-    "d13_segment_dedup", "d14_duplicate_spans", "j4_anti_join", "j5_range_join",
-    "j7_null_safe_join", "j8_full_outer", "a4_cube", "a9_rollup", "a14_linear_trend",
-    "s1_cosine_topk", "s4_quantize_embeddings", "t1_token_stats", "c2_decontaminate",
-    "d7_stratified_sample", "d5_embedding_neardup", "d11_embedding_neardup_lsh",
-    "s2_lsh_ann", "s3_ivf_ann", "a11_embedding_centroid", "a12_column_profile",
-    "a13_label_cohesion", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
-    "t5_bpe_tokens", "t6_winnow_fingerprint", "t7_tfidf_topterms", "t8_redact_pii",
-    "t9_chunk_documents", "t10_char_entropy", "t11_repetition", "t12_type_token_ratio",
-    "c4_source_quota", "c5_temperature_mix",
+    # round 9 rotation (VERDICT r8 #6): lead with the three NEW keys
+    # (tf7 DV read, tf8 Iceberg read, sql5 SQL time travel), then the
+    # families whose last driver-rotation rows are stalest — the full
+    # w-family (absent since r6), m1-m3, d5/d7/d8, the c-family oracle
+    # keys — then keys whose code this round TOUCHED (c13/sql4 via the
+    # string stratum + sql surface, tf6 via the delta_log overhaul,
+    # s6/s7 via the versioned ann model), then one representative per
+    # remaining stale family (g1/d1/d4/t17/j11/a10/s1/st1/q1). The
+    # rest keep their r8 relative order.
+    'tf7_delta_dv', 'tf8_iceberg_read', 'sql5_time_travel',
+    'w1_rolling_avg', 'w2_topk_per_group', 'w3_lag_delta', 'w4_cumsum',
+    'w5_tumbling_window', 'w6_sliding_window', 'w7_sessionize', 'w8_funnel',
+    'w9_rank_family', 'w10_cohort_retention', 'w11_time_range_rolling',
+    'w12_zscore_anomaly', 'w13_resample_interpolate',
+    'w14_seasonal_anomaly', 'm1_media_features', 'm2_frame_sample',
+    'm3_resize', 'd5_embedding_neardup', 'd7_stratified_sample',
+    'd8_incremental_dedup', 'c2_decontaminate', 'c3_pack_token_bins',
+    'c4_source_quota', 'c5_temperature_mix', 'c6_adaptive_quality_gate',
+    'c7_embedding_decontaminate', 'c9_leakage_safe_split',
+    'c10_blocklist_filter', 'c11_dsir_weights', 'c12_dsir_resample',
+    'c13_pack_best_fit', 'sql4_snapshot_view', 'tf6_delta_interop',
+    's6_ivf_pq_ann', 's7_persistent_ann', 'g1_connected_components',
+    'd1_exact_dedup', 'd4_ngram_jaccard', 't17_bm25_search',
+    'j11_edit_distance_join', 'a10_approx_distinct', 's1_cosine_topk',
+    'st1_streaming_tumbling', 'q1_pricing_summary', 'tf5_zorder_scan',
+    'sql1_pricing_summary', 'sql2_returned_items', 'sql3_large_orders',
+    'p_project_filter', 'p_rename_replace_cast', 'p_const_first_row',
+    'f1_date_roundtrip', 'f2_multiformat_date', 'f4_calendar',
+    'f6_unit_conversion', 'f10_decimal_comma', 'f11_json_extract',
+    'f12_string_funcs', 'f13_null_handling', 'f14_array_ops',
+    'j1_composite_key_join', 'j2_fk_lookup', 'j3_semi_membership',
+    'a1_group_avg', 'a2_minmax_normalize', 'a3_profile', 'o1_topk_sort',
+    'o2_temporal_split', 'o3_union', 't21_html_extract',
+    'q3_shipping_priority', 'q5_region_volume', 'q10_returned_items',
+    'q12_priority_shipmode', 'q14_promo_share', 'q17_below_avg_parts',
+    'q18_large_orders', 'st9_audited_ingest', 'd17_trim_duplicate_spans',
+    'tf4_partition_evolution', 'tf3_point_lookup', 'tf2_partitioned_table',
+    'tf1_snapshot_update_cdf', 'st8_native_cdf_stream',
+    'st7_snapshot_cdf_replica', 'd3_simhash_pairs', 't19_bpe_train',
+    't18_bpe_pair_freq', 'q21_waiting_supplier', 'q22_dormant_customers',
+    'q4_order_priority', 'q2_min_cost_supplier', 'q7_nation_volume',
+    'q8_market_share', 'q9_product_profit', 'q11_important_parts',
+    'q13_customer_distribution', 'q15_top_supplier', 'q16_supplier_count',
+    'q19_disjunctive_revenue', 'q20_dominant_suppliers',
+    'q6_forecast_revenue', 'd2_minhash_lsh', 'd6_near_dedup_filter',
+    'c1_curate_corpus', 'd9_incremental_near_dup', 'st2_streaming_sessions',
+    'st3_stateful_ewma', 'st4_stream_stream_join',
+    'st5_stream_static_enrich', 'st6_rollup_maintenance',
+    't14_gopher_rules', 'd15_semantic_dedup', 't13_unigram_logprob',
+    't15_bigram_logprob', 't16_corpus_dup_ngrams', 'd16_priority_dedup',
+    's5_random_projection', 'c8_quality_classifier', 't20_line_dedup',
+    'a5_distinct_agg', 'a6_pivot', 'a7_unpivot', 'a8_median_stats',
+    'o4_intersect_except', 'j9_asof_nearest', 'j10_interval_overlap',
+    'a15_equi_width_histogram', 'a16_mode_per_group', 'd10_table_diff',
+    'd12_epoch_shuffle', 'j6_asof_join', 'd13_segment_dedup',
+    'd14_duplicate_spans', 'j4_anti_join', 'j5_range_join',
+    'j7_null_safe_join', 'j8_full_outer', 'a4_cube', 'a9_rollup',
+    'a14_linear_trend', 's4_quantize_embeddings', 't1_token_stats',
+    'd11_embedding_neardup_lsh', 's2_lsh_ann', 's3_ivf_ann',
+    'a11_embedding_centroid', 'a12_column_profile', 'a13_label_cohesion',
+    't2_quality_score', 't3_lang_id', 't4_fingerprint', 't5_bpe_tokens',
+    't6_winnow_fingerprint', 't7_tfidf_topterms', 't8_redact_pii',
+    't9_chunk_documents', 't10_char_entropy', 't11_repetition',
+    't12_type_token_ratio',
 ]
 
 

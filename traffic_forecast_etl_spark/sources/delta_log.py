@@ -36,12 +36,19 @@ batch — no deleted-row list ever materializes on the driver, so a
 100 TB table with 10^9 deleted rows reads at the same driver cost as
 a clean one. Codecs live in :mod:`.delta_dv`.
 
+Column mapping (round 9): 'name'-mode tables — the form Databricks
+enables by default on new tables — READ correctly: each field's
+``delta.columnMapping.physicalName`` (col-<uuid>) drives the parquet
+scan and the result aliases back to the logical schema;
+partitionValues resolve physical-first. 'id' mode (parquet field-id
+resolution, which a name-based reader cannot honor) and any reader
+feature beyond deletionVectors/columnMapping/timestampNtz still
+raise NotImplementedError rather than mis-reading (ADVICE r8's
+all-NULL hazard is structurally closed either way).
+
 Honesty: round-trips are pinned self-consistent and against the
 published protocol document; cross-validation against delta-spark
-itself is environment-blocked (no jars here). Remaining advanced
-reader features (column mapping — incl. the minReaderVersion=2
-configuration form, ADVICE r8 — and anything beyond deletion
-vectors) raise NotImplementedError rather than mis-reading.
+itself is environment-blocked (no jars here).
 """
 
 from __future__ import annotations
@@ -209,28 +216,56 @@ def _replay(
                     adds.pop(a["remove"]["path"], None)
     if not meta:
         raise ValueError(f"Delta log at {path} never committed metaData")
-    unsupported = set(protocol.get("readerFeatures") or []) - {"deletionVectors"}
+    unsupported = set(protocol.get("readerFeatures") or []) - {
+        "deletionVectors",
+        "columnMapping",
+        "timestampNtz",
+    }
     if int(protocol.get("minReaderVersion", 1)) > 3 or unsupported:
         raise NotImplementedError(
             "Delta table requires reader features "
-            f"{sorted(unsupported) or protocol} beyond deletion vectors — "
-            "out of this reader's scope"
+            f"{sorted(unsupported) or protocol} beyond "
+            "deletionVectors/columnMapping/timestampNtz — out of this "
+            "reader's scope"
         )
     # Column mapping ships at minReaderVersion 2 via table CONFIG, not
-    # readerFeatures (ADVICE r8): physical parquet columns are renamed
-    # to col-<uuid>, so reading by logical schemaString names would
-    # silently return all-NULL columns. Refuse instead of mis-reading.
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") in (
-        "name",
-        "id",
-    ):
+    # only readerFeatures (ADVICE r8): physical parquet columns are
+    # renamed to col-<uuid>, so reading by logical schemaString names
+    # would silently return all-NULL columns. 'name' mode is SUPPORTED
+    # (r9): the read path resolves each field's
+    # delta.columnMapping.physicalName (see _column_mapping). 'id'
+    # mode resolves by parquet field id, which Spark's name-based
+    # reader cannot honor — refuse rather than mis-read.
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "id":
         raise NotImplementedError(
-            "Delta table uses column mapping "
-            f"(delta.columnMapping.mode={meta['configuration']['delta.columnMapping.mode']!r}); "
-            "physical column names differ from the logical schema — "
-            "refusing rather than reading all-NULL columns"
+            "Delta table uses column mapping mode 'id' (parquet "
+            "field-id resolution) — this reader supports 'name' mode "
+            "only; refusing rather than reading all-NULL columns"
         )
     return protocol, meta, adds
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """logical -> physical column names for 'name'-mode column-mapped
+    tables (delta.columnMapping.physicalName in each field's schema
+    metadata), or None for unmapped tables. A mapped table missing a
+    physicalName is malformed — loud error, never a silent NULL
+    column."""
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mode in (None, "none"):
+        return None
+    out = {}
+    for f in delta_schema(meta).fields:
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"column-mapped Delta table: field {f.name!r} lacks "
+                "delta.columnMapping.physicalName in schemaString"
+            )
+        out[f.name] = phys
+    return out
 
 
 def delta_schema(meta: dict) -> T.StructType:
@@ -348,21 +383,31 @@ def read_delta(
     protocol) and deletion vectors applied as executor-side row
     filters (see :func:`_dv_filtered_scan`). ``version=``
     time-travels — a pre-delete version reads the same files WITHOUT
-    their later DVs."""
+    their later DVs. 'name'-mode column-mapped tables (r9) scan by
+    each field's physical col-<uuid> name and alias back to the
+    logical schema; partitionValues are looked up physical-first."""
     _, meta, adds = _replay(path, version)
     schema = delta_schema(meta)
+    mapping = _column_mapping(meta) or {}
     part_cols = list(meta.get("partitionColumns") or [])
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
     if not adds:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
+        ))
     table_abs = os.path.abspath(path)
     # group files by partition tuple, split clean vs DV-bearing
     by_tuple: dict[tuple, dict[str, list[str]]] = {}
     dv_by_uri: dict[str, dict] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(mapping.get(c, c), pv.get(c)) for c in part_cols)
         grp = by_tuple.setdefault(key, {"plain": [], "dv": []})
         fpath = os.path.join(table_abs, a["path"])
         dv = a.get("deletionVector")
@@ -387,6 +432,13 @@ def read_delta(
                 )
             )
         for df in frames:
+            # physical -> logical rename (identity when unmapped)
+            df = df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in data_fields
+                ]
+            )
             for c, raw in zip(part_cols, key):
                 lit = (
                     F.lit(None).cast(types[c])
@@ -704,6 +756,12 @@ def delete_from_delta(
     DELETE; the spec's distributed-DV-write would shard this). The
     READ path never does — it decodes sidecars on executors."""
     protocol, meta, adds = _replay(path)
+    if _column_mapping(meta):
+        raise NotImplementedError(
+            "DELETE on a column-mapped Delta table requires the "
+            "columnMapping WRITER feature — this writer targets "
+            "unmapped tables (read-side mapping is supported)"
+        )
     schema = delta_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     data_fields = [f for f in schema.fields if f.name not in part_cols]
