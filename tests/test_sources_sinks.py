@@ -1523,3 +1523,87 @@ def test_iceberg_empty_table_schema(spark, tmp_path):
     got = IM.read_iceberg(spark, path)
     assert got.count() == 0
     assert [f.dataType.simpleString() for f in got.schema.fields] == ["bigint", "string"]
+
+
+def test_roaring_property_roundtrip():
+    """Property pin: ANY set of u64 row positions round-trips through
+    the portable RoaringBitmapArray — mixed container types, chunk
+    boundaries, high-32 keys, dense runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.sets(
+            st.one_of(
+                st.integers(min_value=0, max_value=200_000),
+                st.integers(min_value=65_530, max_value=65_545),  # chunk edge
+                st.integers(min_value=(1 << 32) - 5, max_value=(1 << 32) + 5),
+                st.integers(min_value=0, max_value=(1 << 40)),
+            ),
+            max_size=300,
+        )
+    )
+    def rt(positions):
+        data = DV.dv_payload_encode(positions)
+        assert DV.dv_payload_decode(data) == sorted(positions)
+
+    rt()
+
+
+def test_z85_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+    def rt(raw):
+        assert DV.z85_decode(DV.z85_encode(raw)) == raw
+
+    rt()
+
+
+def test_avro_property_roundtrip():
+    """Property pin: random records over the manifest-like schema
+    round-trip through the object container."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from traffic_forecast_etl_spark.sources import avro_io as AV
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "s": st.text(max_size=20),
+            "n": st.integers(min_value=-(1 << 62), max_value=1 << 62),
+            "opt": st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+            "arr": st.lists(st.integers(min_value=-5, max_value=5), max_size=5),
+            "m": st.dictionaries(st.text(max_size=5), st.integers(min_value=0, max_value=9), max_size=4),
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(rec, max_size=8))
+    def rt(records):
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+            AV.write_avro(f.name, schema, records)
+            _, got = AV.read_avro(f.name)
+            assert got == records
+
+    rt()
