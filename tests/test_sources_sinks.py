@@ -1607,3 +1607,67 @@ def test_avro_property_roundtrip():
             assert got == records
 
     rt()
+
+
+def test_delta_column_mapping_with_deletion_vectors(spark, tmp_path):
+    """The real DBR-14+ table shape: 'name'-mode column mapping AND
+    deletion vectors on the same table — the physical-name scan, the
+    executor-side DV mask, and the logical rename must compose."""
+    import json
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    phys = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "`col-aa` long, `col-bb` double"
+    ).coalesce(1)
+    DL.write_delta_append(spark, phys, path)
+    logical = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ],
+    }
+
+    def forge(a):
+        if "metaData" in a:
+            a["metaData"]["schemaString"] = json.dumps(logical)
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name"
+            }
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": ["columnMapping", "deletionVectors"],
+            }
+
+    _rewrite_commit(path, 0, forge)
+    # attach an inline DV deleting physical row positions 2 and 5
+    adds = DL.delta_snapshot_files(spark, path)
+    assert len(adds) == 1
+    payload = DV.dv_payload_encode([2, 5])
+    assert len(payload) % 4 == 0
+    new_add = dict(adds[0])
+    new_add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": DV.z85_encode(payload),
+        "sizeInBytes": len(payload),
+        "cardinality": 2,
+    }
+    DL._commit_delta(
+        path, 1,
+        [{"remove": {"path": adds[0]["path"], "dataChange": True}},
+         {"add": new_add}],
+    )
+    got = DL.read_delta(spark, path)
+    assert got.columns == ["id", "v"]
+    assert {r.id for r in got.collect()} == set(range(10)) - {2, 5}
+    # pre-delete version: logical names, all rows
+    assert DL.read_delta(spark, path, version=0).count() == 10
