@@ -914,8 +914,10 @@ def test_delta_column_mapping_name_mode_read(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == [
         (1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5),
     ]
-    # write-side mapping is out of scope, loudly
-    with _pytest.raises(NotImplementedError, match="WRITER"):
+    # write-side mapping is out of scope, loudly — the writer
+    # protocol GATE (ADVICE r9 #3) fires first: minWriterVersion 5
+    # implies columnMapping among other unimplemented features
+    with _pytest.raises(NotImplementedError, match="columnMapping"):
         DL.delete_from_delta(spark, path, "id = 1")
 
 
@@ -1671,3 +1673,198 @@ def test_delta_column_mapping_with_deletion_vectors(spark, tmp_path):
     assert {r.id for r in got.collect()} == set(range(10)) - {2, 5}
     # pre-delete version: logical names, all rows
     assert DL.read_delta(spark, path, version=0).count() == 10
+
+
+def test_delta_dv_path_with_space_and_fail_closed(spark, tmp_path):
+    """ADVICE r9 #1: Spark reports scanned files as URL-ENCODED URIs,
+    so a table path needing encoding (space here) must still match its
+    DV descriptors — deleted rows must NOT silently reappear. And the
+    mask FAILS CLOSED: a file routed to the DV scan without a
+    descriptor raises instead of passing rows through."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dir with space" / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, v double"
+    )
+    DL.write_delta_append(spark, df, path)
+    DL.delete_from_delta(spark, path, "id % 3 = 0")
+    got = {r.id for r in DL.read_delta(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 3 != 0}
+
+    # fail-closed: scanning a file through the DV path with no
+    # descriptor for it raises rather than resurrecting rows
+    import os
+
+    from pyspark.sql import types as T
+
+    data_file = next(
+        os.path.join(r, n)
+        for r, _, ns in os.walk(path)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    bad = DL._dv_filtered_scan(spark, [data_file], schema, path, {})
+    with _pytest.raises(Exception, match="refusing to fail open"):
+        bad.collect()
+
+
+def test_delta_delete_protocol_upgrade_merges_features(spark, tmp_path):
+    """ADVICE r9 #2: upgrading a foreign minReaderVersion-3 table to
+    deletionVectors must UNION its existing reader/writer features and
+    carry legacy-implied writer features, never replace them
+    wholesale."""
+    import json
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    DL.write_delta_append(spark, df, path)
+
+    def forge(a):
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz", "appendOnly"],
+            }
+
+    _rewrite_commit(path, 0, forge)
+    # appendOnly FEATURE present but config not set -> appends/deletes OK
+    DL.delete_from_delta(spark, path, "id = 3")
+    protocol, _, _ = DL._replay(path)
+    assert protocol["minReaderVersion"] == 3
+    assert protocol["minWriterVersion"] == 7
+    assert set(protocol["readerFeatures"]) == {"timestampNtz", "deletionVectors"}
+    assert set(protocol["writerFeatures"]) == {
+        "timestampNtz", "appendOnly", "deletionVectors",
+    }
+
+    # a legacy (1,2) table crossing into table features carries the
+    # implied appendOnly/invariants writer features forward
+    path2 = str(tmp_path / "dt2")
+    DL.write_delta_append(spark, df, path2)
+    DL.delete_from_delta(spark, path2, "id = 3")
+    protocol2, _, _ = DL._replay(path2)
+    assert set(protocol2["writerFeatures"]) == {
+        "appendOnly", "invariants", "deletionVectors",
+    }
+    assert protocol2["readerFeatures"] == ["deletionVectors"]
+
+
+def test_delta_writer_protocol_gate(spark, tmp_path):
+    """ADVICE r9 #3: the shim refuses to COMMIT to tables whose
+    protocol demands unimplemented writer behavior — appendOnly
+    forbids DELETE, declared invariants / CHECK constraints refuse
+    both ops, unknown writer features refuse, CDF tables refuse
+    DELETE."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+
+    def mk(name, mutate):
+        p = str(tmp_path / name)
+        DL.write_delta_append(spark, df, p)
+        _rewrite_commit(p, 0, mutate)
+        return p
+
+    def set_conf(conf):
+        def m(a):
+            if "metaData" in a:
+                a["metaData"]["configuration"] = conf
+        return m
+
+    # appendOnly: append fine, DELETE refused
+    p = mk("ao", set_conf({"delta.appendOnly": "true"}))
+    DL.write_delta_append(spark, df, p)
+    with _pytest.raises(ValueError, match="appendOnly"):
+        DL.delete_from_delta(spark, p, "id = 1")
+
+    # CDF: DELETE refused (no cdc actions produced), append fine
+    p = mk("cdf", set_conf({"delta.enableChangeDataFeed": "true"}))
+    DL.write_delta_append(spark, df, p)
+    with _pytest.raises(NotImplementedError, match="cdc"):
+        DL.delete_from_delta(spark, p, "id = 1")
+
+    # declared column invariant: both ops refused
+    def add_invariant(a):
+        if "metaData" in a:
+            import json as _json
+
+            s = _json.loads(a["metaData"]["schemaString"])
+            s["fields"][0]["metadata"] = {
+                "delta.invariants": '{"expression":{"expression":"id > 0"}}'
+            }
+            a["metaData"]["schemaString"] = _json.dumps(s)
+    p = mk("inv", add_invariant)
+    with _pytest.raises(NotImplementedError, match="invariants"):
+        DL.write_delta_append(spark, df, p)
+    with _pytest.raises(NotImplementedError, match="invariants"):
+        DL.delete_from_delta(spark, p, "id = 1")
+
+    # CHECK constraints: refused
+    p = mk("chk", set_conf({"delta.constraints.c1": "id < 100"}))
+    with _pytest.raises(NotImplementedError, match="constraints"):
+        DL.write_delta_append(spark, df, p)
+
+    # unknown writer feature at v7: refused
+    def unknown_wf(a):
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking"],
+            }
+    p = mk("wf", unknown_wf)
+    with _pytest.raises(NotImplementedError, match="rowTracking"):
+        DL.write_delta_append(spark, df, p)
+
+    # legacy minWriterVersion 4 (CDF/generated columns): refused
+    def legacy4(a):
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+    p = mk("l4", legacy4)
+    with _pytest.raises(NotImplementedError, match="minWriterVersion 4"):
+        DL.write_delta_append(spark, df, p)
+
+
+def test_dv_numpy_codecs_bit_identical():
+    """The vectorized encoder/decoder twins are bit-identical to the
+    list forms across container kinds (array, bitset, multi-high-32,
+    empty-adjacent keys)."""
+    import numpy as np
+
+    from traffic_forecast_etl_spark.sources import delta_dv as DV
+
+    cases = [
+        [],
+        [0],
+        [0, 1, 2, 65535, 65536, 1 << 20],
+        list(range(5000)),  # bitset container
+        [7, 9, (1 << 33) + 5, (1 << 33) + 6, (1 << 40)],
+        sorted({(i * 2654435761) % (1 << 34) for i in range(3000)}),
+    ]
+    for pos in cases:
+        a = DV.dv_payload_encode(pos)
+        b = DV.dv_payload_encode_np(np.asarray(pos, dtype=np.int64))
+        assert a == b, f"encode mismatch for {len(pos)} positions"
+        back = DV.dv_payload_decode_np(a)
+        assert back.tolist() == sorted(pos)
+        assert DV.dv_payload_decode(a) == sorted(pos)
+    # run-container decode: reuse the handcrafted fixture semantics
+    # via the list decoder parity on a run-heavy payload
+    run_heavy = list(range(100, 1100)) + list(range(70000, 70010))
+    enc = DV.dv_payload_encode(run_heavy)
+    assert DV.dv_payload_decode_np(enc).tolist() == run_heavy

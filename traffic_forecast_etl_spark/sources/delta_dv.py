@@ -189,6 +189,69 @@ def roaring_array_serialize(positions: Iterable[int]) -> bytes:
     return b"".join(parts)
 
 
+def _serialize_bitmap32_np(values) -> bytes:
+    """Vectorized :func:`_serialize_bitmap32` — ``values`` is a sorted
+    unique uint32 ndarray; containers split and pack as array slices,
+    never one Python int at a time (the executor-side DELETE path
+    encodes millions of positions per file)."""
+    import numpy as np
+
+    keys16 = (values >> np.uint32(16)).astype(np.uint32)
+    lo16 = (values & np.uint32(0xFFFF)).astype("<u2")
+    uk, starts = np.unique(keys16, return_index=True)
+    bounds = np.append(starts, len(values))
+    n = len(uk)
+    header = struct.pack("<II", _COOKIE_NO_RUN, n)
+    desc_parts = []
+    payloads = []
+    for i in range(n):
+        chunk = lo16[bounds[i] : bounds[i + 1]]
+        desc_parts.append(struct.pack("<HH", int(uk[i]), len(chunk) - 1))
+        if len(chunk) <= 4096:
+            payloads.append(chunk.tobytes())
+        else:
+            bits = np.zeros(65536, dtype=np.uint8)
+            bits[chunk] = 1
+            payloads.append(
+                np.packbits(bits, bitorder="little").tobytes()
+            )
+    desc = b"".join(desc_parts)
+    base = len(header) + len(desc) + 4 * n
+    offsets = []
+    pos = base
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    off = struct.pack(f"<{n}I", *offsets) if n else b""
+    return header + desc + off + b"".join(payloads)
+
+
+def roaring_array_serialize_np(positions) -> bytes:
+    """Vectorized :func:`roaring_array_serialize` taking an int64
+    ndarray (deduplicated + sorted here); bit-identical output to the
+    list form (pinned in tests)."""
+    import numpy as np
+
+    pos = np.unique(np.asarray(positions, dtype=np.int64))
+    if pos.size and pos[0] < 0:
+        raise ValueError(f"negative row position {int(pos[0])}")
+    hi = (pos >> np.int64(32)).astype(np.uint32)
+    lo = (pos & np.int64(0xFFFFFFFF)).astype(np.uint32)
+    uk, starts = np.unique(hi, return_index=True)
+    bounds = np.append(starts, len(pos))
+    parts = [struct.pack("<Q", len(uk))]
+    for i in range(len(uk)):
+        parts.append(struct.pack("<I", int(uk[i])))
+        parts.append(_serialize_bitmap32_np(lo[bounds[i] : bounds[i + 1]]))
+    return b"".join(parts)
+
+
+def dv_payload_encode_np(positions) -> bytes:
+    """:func:`dv_payload_encode` over an ndarray — bit-identical
+    bytes, container-at-a-time packing."""
+    return struct.pack("<I", DV_MAGIC) + roaring_array_serialize_np(positions)
+
+
 def roaring_array_deserialize(buf: bytes) -> list[int]:
     (n,) = struct.unpack_from("<Q", buf, 0)
     pos = 8
@@ -199,6 +262,98 @@ def roaring_array_deserialize(buf: bytes) -> list[int]:
         vals, pos = _deserialize_bitmap32(buf, pos)
         out.extend((hi << 32) | v for v in vals)
     return out
+
+
+def _deserialize_bitmap32_np(buf: bytes, pos: int):
+    """Decode one portable 32-bit bitmap at ``pos`` straight into a
+    sorted ``numpy`` uint32 array — the executor-side fast path
+    (VERDICT r9 #8): a pathological single-file DV with ~10^8
+    positions decodes as a handful of contiguous array slices /
+    unpacked bitsets instead of one Python int per position. Returns
+    (values ndarray, next position). Accepts the same three container
+    kinds as :func:`_deserialize_bitmap32`."""
+    import numpy as np
+
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    start = pos
+    pos += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nbytes]
+        pos += nbytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie} at {start}")
+    desc = struct.unpack_from(f"<{2 * n}H", buf, pos)
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n
+    chunks = []
+    for i in range(n):
+        key, card_m1 = desc[2 * i], desc[2 * i + 1]
+        card = card_m1 + 1
+        hi = np.uint32(key) << np.uint32(16)
+        if run_flags and (run_flags[i >> 3] >> (i & 7)) & 1:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos)
+            pos += 4 * n_runs
+            starts = runs[0::2].astype(np.uint32)
+            lens = runs[1::2].astype(np.uint32)
+            vals = np.concatenate(
+                [np.arange(s, s + ln + 1, dtype=np.uint32) for s, ln in zip(starts, lens)]
+            ) if n_runs else np.empty(0, dtype=np.uint32)
+        elif card <= 4096:
+            vals = np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(
+                np.uint32
+            )
+            pos += 2 * card
+        else:
+            words = np.frombuffer(buf, dtype="<u8", count=1024, offset=pos)
+            pos += 8192
+            bits = np.unpackbits(
+                words.view(np.uint8), bitorder="little"
+            )
+            vals = np.nonzero(bits)[0].astype(np.uint32)
+        chunks.append(hi | vals)
+    out = (
+        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint32)
+    )
+    return out, pos
+
+
+def roaring_array_deserialize_np(buf: bytes):
+    """64-bit RoaringBitmapArray -> sorted numpy int64 array (the
+    vectorized twin of :func:`roaring_array_deserialize`)."""
+    import numpy as np
+
+    (n,) = struct.unpack_from("<Q", buf, 0)
+    pos = 8
+    chunks = []
+    for _ in range(n):
+        (hi,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals, pos = _deserialize_bitmap32_np(buf, pos)
+        chunks.append((np.int64(hi) << np.int64(32)) | vals.astype(np.int64))
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(chunks)
+
+
+def dv_payload_decode_np(data: bytes):
+    """:func:`dv_payload_decode` returning a sorted numpy int64 array
+    — used by the executor-side scan mask and the distributed DELETE
+    merge so deleted positions never materialize as Python lists."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != DV_MAGIC:
+        raise ValueError(f"bad DV magic {magic}")
+    return roaring_array_deserialize_np(data[4:])
 
 
 def dv_payload_encode(positions: Iterable[int]) -> bytes:
