@@ -1868,3 +1868,200 @@ def test_dv_numpy_codecs_bit_identical():
     run_heavy = list(range(100, 1100)) + list(range(70000, 70010))
     enc = DV.dv_payload_encode(run_heavy)
     assert DV.dv_payload_decode_np(enc).tolist() == run_heavy
+
+
+def _forge_commit(path, actions):
+    """Append a raw commit (test helper standing in for a foreign
+    writer emitting actions ours never does — plain removes, txn)."""
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    v = DL._latest_version(path) + 1
+    DL._commit_delta(path, v, actions)
+    return v
+
+
+def test_delta_checkpoint_carries_tombstones_and_txn(spark, tmp_path):
+    """ADVICE r9 #4: checkpoints carry unexpired remove tombstones and
+    txn actions, so external readers keep vacuum/idempotency state
+    once commit JSONs are cleaned. Expired tombstones fall out."""
+    import glob
+    import os
+    import time
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                               "id long, v double")
+    DL.write_delta_append(spark, df, path)
+    adds = DL.delta_snapshot_files(spark, path)
+    import pyarrow.parquet as pq
+
+    victim = next(
+        a["path"] for a in adds
+        if pq.read_metadata(os.path.join(path, a["path"])).num_rows > 0
+    )
+    now_ms = int(time.time() * 1000)
+    # foreign writer: one fresh tombstone, one expired, one txn
+    _forge_commit(path, [
+        {"remove": {"path": victim, "deletionTimestamp": now_ms,
+                    "dataChange": True}},
+        {"remove": {"path": "ghost-expired.parquet",
+                    "deletionTimestamp": now_ms - 30 * 24 * 3600 * 1000,
+                    "dataChange": True}},
+        {"txn": {"appId": "stream-42", "version": 7,
+                 "lastUpdated": now_ms}},
+    ])
+    DL.write_delta_checkpoint(path)
+    # clean ALL commit JSONs <= checkpoint; replay must come from it
+    for f in glob.glob(path + "/_delta_log/*.json"):
+        os.remove(f)
+    state = DL._replay_full(path)
+    assert victim not in state["adds"]
+    assert victim in state["removes"]
+    assert state["removes"][victim]["deletionTimestamp"] == now_ms
+    assert "ghost-expired.parquet" not in state["removes"]  # expired
+    assert state["txns"]["stream-42"]["version"] == 7
+    import pyarrow.parquet as pq
+
+    victim_rows = pq.read_metadata(os.path.join(path, victim)).num_rows
+    assert victim_rows > 0
+    assert DL.read_delta(spark, path).count() == 20 - victim_rows
+
+
+def test_delta_multipart_and_v2_checkpoint_replay(spark, tmp_path):
+    """VERDICT r9 #3: multi-part and v2 (sidecar) checkpoints replay
+    to the SAME state as JSON-only replay — pinned by deleting every
+    commit JSON after each checkpoint form and re-reading."""
+    import glob
+    import os
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    def fresh(name, **cp_kwargs):
+        path = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)],
+            "id long, k long, v double",
+        )
+        DL.write_delta_append(spark, df, path, partition_by=["k"],
+                              checkpoint_interval=None)
+        DL.write_delta_append(
+            spark,
+            spark.createDataFrame([(100 + i, i % 3, 0.5) for i in range(6)],
+                                  "id long, k long, v double"),
+            path, checkpoint_interval=None,
+        )
+        DL.delete_from_delta(spark, path, "id % 5 = 0")
+        expect = sorted(
+            r.id for r in DL.read_delta(spark, path).collect()
+        )
+        DL.write_delta_checkpoint(path, **cp_kwargs)
+        for f in glob.glob(path + "/_delta_log/*.json"):
+            os.remove(f)
+        got = sorted(r.id for r in DL.read_delta(spark, path).collect())
+        assert got == expect, f"{name}: checkpoint replay diverged"
+        return path
+
+    fresh("classic")
+    p = fresh("multipart", parts=3)
+    names = os.listdir(p + "/_delta_log")
+    assert sum(".checkpoint.0000000001.0000000003." in n for n in names) == 1
+    assert sum(".checkpoint." in n and n.endswith(".parquet") for n in names) == 3
+    p = fresh("v2", v2=True)
+    names = os.listdir(p + "/_delta_log")
+    assert os.path.isdir(p + "/_delta_log/_sidecars")
+    assert len(os.listdir(p + "/_delta_log/_sidecars")) == 1
+    # exactly one v2 top file, no classic file
+    tops = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(tops) == 1 and not tops[0].endswith(".checkpoint.parquet")
+
+
+def test_delta_v2_json_checkpoint_read(spark, tmp_path):
+    """A v2 checkpoint in JSON form (foreign writers may emit
+    .checkpoint.<uuid>.json) replays identically."""
+    import glob
+    import json as _json
+    import os
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    path = str(tmp_path / "dt")
+    df = spark.createDataFrame([(i, float(i)) for i in range(12)],
+                               "id long, v double")
+    DL.write_delta_append(spark, df, path, checkpoint_interval=None)
+    DL.delete_from_delta(spark, path, "id = 3")
+    expect = sorted(r.id for r in DL.read_delta(spark, path).collect())
+    state = DL._replay_full(path)
+    v = DL._latest_version(path)
+    d = path + "/_delta_log"
+    with open(os.path.join(d, f"{v:020d}.checkpoint.abcdef01.json"), "w") as f:
+        f.write(_json.dumps({"checkpointMetadata": {"version": v}}) + "\n")
+        f.write(_json.dumps({"protocol": state["protocol"]}) + "\n")
+        f.write(_json.dumps({"metaData": state["meta"]}) + "\n")
+        for a in state["adds"].values():
+            f.write(_json.dumps({"add": a}) + "\n")
+    with open(os.path.join(d, "_last_checkpoint"), "w") as f:
+        _json.dump({"version": v, "size": 3 + len(state["adds"])}, f)
+    for f2 in glob.glob(d + "/0*.json"):
+        if ".checkpoint." not in f2:
+            os.remove(f2)
+    got = sorted(r.id for r in DL.read_delta(spark, path).collect())
+    assert got == expect
+    # a version mismatch in checkpointMetadata is refused
+    import pytest as _pytest
+
+    with open(os.path.join(d, f"{v:020d}.checkpoint.abcdef01.json")) as f:
+        lines = f.readlines()
+    lines[0] = _json.dumps({"checkpointMetadata": {"version": v + 9}}) + "\n"
+    with open(os.path.join(d, f"{v:020d}.checkpoint.abcdef01.json"), "w") as f:
+        f.writelines(lines)
+    with _pytest.raises(ValueError, match="declares version"):
+        DL.read_delta(spark, path)
+
+
+def test_avro_union_multi_nonnull_branch(tmp_path):
+    """ADVICE r9 #5: a union with two non-null branches encodes each
+    value against the branch matching its PYTHON type; ambiguity
+    (two branches accepting the same type) refuses rather than
+    corrupting output."""
+    import pytest as _pytest
+
+    from traffic_forecast_etl_spark.sources.avro_io import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "x", "type": ["null", "long", "string"]},
+            {"name": "y", "type": ["boolean", "double"]},
+        ],
+    }
+    rows = [
+        {"x": None, "y": True},
+        {"x": 42, "y": 2.5},
+        {"x": "forty-two", "y": False},
+    ]
+    p = str(tmp_path / "u.avro")
+    write_avro(p, schema, rows)
+    _, back = read_avro(p)
+    assert back == rows
+    # bool is NOT an int branch match (Python bool subclasses int)
+    schema2 = {
+        "type": "record", "name": "r2",
+        "fields": [{"name": "x", "type": ["long", "boolean"]}],
+    }
+    p2 = str(tmp_path / "u2.avro")
+    write_avro(p2, schema2, [{"x": True}, {"x": 3}])
+    _, back2 = read_avro(p2)
+    assert back2 == [{"x": True}, {"x": 3}]
+    # ambiguous: two branches accept a str
+    amb = {
+        "type": "record", "name": "r3",
+        "fields": [{"name": "x", "type": [
+            "string",
+            {"type": "enum", "name": "E", "symbols": ["a", "b"]},
+        ]}],
+    }
+    with _pytest.raises(ValueError, match="ambiguous"):
+        write_avro(str(tmp_path / "u3.avro"), amb, [{"x": "a"}])

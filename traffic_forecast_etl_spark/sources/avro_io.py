@@ -170,17 +170,53 @@ def _decode(schema, buf: io.BytesIO, reg: _Registry):
     raise ValueError(f"unsupported avro type {schema!r}")
 
 
+def _union_branch_accepts(branch_type: str, value) -> bool:
+    """Match a value's PYTHON type against an avro branch type —
+    null-ness alone mis-encodes unions with two non-null branches
+    (e.g. ['null','long','string'], ADVICE r9 #5)."""
+    if branch_type == "null":
+        return value is None
+    if branch_type == "boolean":
+        return isinstance(value, bool)
+    if branch_type in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if branch_type in ("float", "double"):
+        return isinstance(value, float)
+    if branch_type == "string":
+        return isinstance(value, str)
+    if branch_type in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if branch_type in ("record", "map"):
+        return isinstance(value, dict)
+    if branch_type == "array":
+        return isinstance(value, list)
+    if branch_type == "enum":
+        return isinstance(value, str)
+    return False
+
+
 def _encode(schema, value, out: io.BytesIO, reg: _Registry) -> None:
     schema = _resolve(schema, reg)
-    if isinstance(schema, list):  # union: first branch accepting value
+    if isinstance(schema, list):  # union: branch matching the value's type
+        matches = []
         for i, branch in enumerate(schema):
             b = _resolve(branch, reg)
             bt = b if isinstance(b, str) else b.get("type")
-            if (value is None) == (bt == "null"):
-                _write_long(out, i)
-                _encode(branch, value, out, reg)
-                return
-        raise ValueError(f"no union branch for {value!r} in {schema}")
+            if _union_branch_accepts(bt, value):
+                matches.append((i, branch))
+        if not matches:
+            raise ValueError(f"no union branch for {value!r} in {schema}")
+        if len(matches) > 1:
+            # ambiguous only when two branches accept the same Python
+            # type (e.g. ['string','enum E']) — refuse, never guess
+            raise ValueError(
+                f"ambiguous union branches {[m[0] for m in matches]} "
+                f"for {value!r} in {schema}"
+            )
+        i, branch = matches[0]
+        _write_long(out, i)
+        _encode(branch, value, out, reg)
+        return
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
