@@ -42,8 +42,8 @@ apply — "search the index the 2024-08 run used" is
 Citations: Jégou et al. 2011 (PQ/ADC); the IVF file layout follows
 the public Faiss on-disk inverted-list design. Reference anchor: the
 reference persists its model artifact to disk and reloads it for
-serving (reference: notebooks/Model_Training.ipynb save step) — this
-is the search-index equivalent.
+serving (reference: Traffic-Prediction-Modelling.ipynb, the
+joblib.dump model-save cell) — this is the search-index equivalent.
 """
 
 from __future__ import annotations

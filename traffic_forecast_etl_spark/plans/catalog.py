@@ -5588,6 +5588,51 @@ def tf8_iceberg_read(spark, sf_dir):
     return out
 
 
+@query(
+    "tf9_iceberg_v2_deletes",
+    """
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE NOT (event_type = 'click' AND user_id < 12)
+    """,
+)
+def tf9_iceberg_v2_deletes(spark, sf_dir):
+    """Iceberg format-v2 POSITION-DELETE read (r10, VERDICT r9 #1):
+    events write out as an Iceberg table, a row-level DELETE records
+    matching (file_path, pos) pairs in a spec-shaped position-delete
+    parquet (sorted, spec-reserved field ids) committed through a
+    content=1 delete manifest, and read_iceberg applies the positions
+    as EXECUTOR-side row masks — delete-file footer stats bound the
+    candidate data files on the driver, per-task pyarrow reads with a
+    pushed file_path filter resolve the exact positions. The oracle
+    value-verifies the surviving rows against from-scratch SQL over
+    the raw parquet — the gap every format-v2 estate (the ecosystem
+    default) hits immediately."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberg_meta as IM
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf9_icedel_")
+    try:
+        path = f"{tmp}/t"
+        IM.write_iceberg_append(spark, ev, path)
+        IM.delete_from_iceberg(
+            spark, path, "event_type = 'click' AND user_id < 12"
+        )
+        out = (
+            IM.read_iceberg(spark, path)
+            .select("event_id", "event_type", "user_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL text front door (engine.sql, VERDICT r7 missing #3): the same
 # dialect-portable SQL string runs on Spark (via sql()) AND on DuckDB
@@ -5736,6 +5781,75 @@ def sql5_time_travel(spark, sf_dir):
     return out
 
 
+@query(
+    "sql6_dml",
+    """
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS sum_v
+    FROM events e
+    WHERE e.event_type <> 'click'
+    GROUP BY e.event_type
+    """,
+)
+def sql6_dml(spark, sf_dir):
+    """SQL DML front door (r10, VERDICT r9 #4): the write plane runs
+    as TEXT — ``CREATE TABLE ... AS`` seeds a snapshot table from the
+    registered events view, ``INSERT INTO`` appends the rest
+    (positional alignment + cast, an O(new files) snapshot append),
+    ``DELETE FROM ... WHERE`` removes the click rows (copy-on-write
+    snapshot_delete), and the final aggregate SELECTs through the
+    auto-refreshed view. The oracle re-derives the same state from
+    the raw parquet: a missed insert, a stale view, or an unapplied
+    delete all diverge the hash."""
+    import shutil
+    import tempfile
+
+    from ..sql import sql as engine_sql
+
+    tmp = tempfile.mkdtemp(prefix="sql6_dml_")
+    try:
+        path = f"{tmp}/t"
+        snap = {"dml_events": path}
+        engine_sql(
+            spark,
+            """
+            CREATE TABLE dml_events AS
+            SELECT event_type, user_id, value FROM events
+            WHERE user_id < 10
+            """,
+            sf_dir=sf_dir,
+            snapshot_tables=snap,
+        ).collect()
+        engine_sql(
+            spark,
+            """
+            INSERT INTO dml_events
+            SELECT event_type, user_id, value FROM events
+            WHERE user_id >= 10
+            """,
+            sf_dir=sf_dir,
+            snapshot_tables=snap,
+        ).collect()
+        engine_sql(
+            spark,
+            "DELETE FROM dml_events WHERE event_type = 'click'",
+            snapshot_tables=snap,
+        ).collect()
+        out = engine_sql(
+            spark,
+            """
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(e.value), 2) AS sum_v
+            FROM dml_events e
+            GROUP BY e.event_type
+            """,
+            snapshot_tables=snap,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _register_sql_portable() -> None:
     from ..sql import sql as engine_sql
 
@@ -5772,16 +5886,34 @@ _register_sql_portable()
 # ---------------------------------------------------------------------------
 
 _SWEEP_PRIORITY = [
-    # round 9 rotation (VERDICT r8 #6): lead with the three NEW keys
-    # (tf7 DV read, tf8 Iceberg read, sql5 SQL time travel), then the
-    # families whose last driver-rotation rows are stalest — the full
-    # w-family (absent since r6), m1-m3, d5/d7/d8, the c-family oracle
-    # keys — then keys whose code this round TOUCHED (c13/sql4 via the
-    # string stratum + sql surface, tf6 via the delta_log overhaul,
-    # s6/s7 via the versioned ann model), then one representative per
-    # remaining stale family (g1/d1/d4/t17/j11/a10/s1/st1/q1). The
-    # rest keep their r8 relative order.
-    'tf7_delta_dv', 'tf8_iceberg_read', 'sql5_time_travel',
+    # round 10 rotation (VERDICT r9 #6): clear the r2/r4 driver-record
+    # backlog FIRST — t1-t12 (last driver rotation ROUND 2), j4-j10 +
+    # d10/d12-d14 (round 4), a11-a16, s4/s5 (r3/r4) — then the two NEW
+    # keys (tf9 Iceberg v2 deletes, sql6 SQL DML), then keys whose
+    # code this round TOUCHED (tf6/tf7 via the delta_log DV/checkpoint
+    # overhaul, tf8 via iceberg/avro, sql4/sql5 via the sql-surface
+    # DML dispatch). Everything else keeps its r9 relative order, so
+    # after this 50-key window no key's latest driver record predates
+    # round 6.
+    't1_token_stats', 't2_quality_score', 't3_lang_id', 't4_fingerprint',
+    't5_bpe_tokens', 't6_winnow_fingerprint', 't7_tfidf_topterms',
+    't8_redact_pii', 't9_chunk_documents', 't10_char_entropy',
+    't11_repetition', 't12_type_token_ratio',
+    'j4_anti_join', 'j5_range_join', 'j6_asof_join', 'j7_null_safe_join',
+    'j8_full_outer', 'j9_asof_nearest', 'j10_interval_overlap',
+    'd10_table_diff', 'd12_epoch_shuffle', 'd13_segment_dedup',
+    'd14_duplicate_spans',
+    'a11_embedding_centroid', 'a12_column_profile', 'a13_label_cohesion',
+    'a14_linear_trend', 'a15_equi_width_histogram', 'a16_mode_per_group',
+    's4_quantize_embeddings', 's5_random_projection',
+    'tf9_iceberg_v2_deletes', 'sql6_dml',
+    'tf7_delta_dv', 'tf6_delta_interop', 'tf8_iceberg_read',
+    'sql4_snapshot_view', 'sql5_time_travel',
+    'a4_cube', 'a5_distinct_agg', 'a6_pivot', 'a7_unpivot',
+    'a8_median_stats', 'a9_rollup', 'o4_intersect_except',
+    'd3_simhash_pairs', 't19_bpe_train', 't18_bpe_pair_freq',
+    'd16_priority_dedup', 'c1_curate_corpus',
+    # --- end of the 50-key window ---
     'w1_rolling_avg', 'w2_topk_per_group', 'w3_lag_delta', 'w4_cumsum',
     'w5_tumbling_window', 'w6_sliding_window', 'w7_sessionize', 'w8_funnel',
     'w9_rank_family', 'w10_cohort_retention', 'w11_time_range_rolling',
@@ -5792,7 +5924,7 @@ _SWEEP_PRIORITY = [
     'c4_source_quota', 'c5_temperature_mix', 'c6_adaptive_quality_gate',
     'c7_embedding_decontaminate', 'c9_leakage_safe_split',
     'c10_blocklist_filter', 'c11_dsir_weights', 'c12_dsir_resample',
-    'c13_pack_best_fit', 'sql4_snapshot_view', 'tf6_delta_interop',
+    'c13_pack_best_fit',
     's6_ivf_pq_ann', 's7_persistent_ann', 'g1_connected_components',
     'd1_exact_dedup', 'd4_ngram_jaccard', 't17_bm25_search',
     'j11_edit_distance_join', 'a10_approx_distinct', 's1_cosine_topk',
@@ -5810,32 +5942,20 @@ _SWEEP_PRIORITY = [
     'q18_large_orders', 'st9_audited_ingest', 'd17_trim_duplicate_spans',
     'tf4_partition_evolution', 'tf3_point_lookup', 'tf2_partitioned_table',
     'tf1_snapshot_update_cdf', 'st8_native_cdf_stream',
-    'st7_snapshot_cdf_replica', 'd3_simhash_pairs', 't19_bpe_train',
-    't18_bpe_pair_freq', 'q21_waiting_supplier', 'q22_dormant_customers',
+    'st7_snapshot_cdf_replica',
+    'q21_waiting_supplier', 'q22_dormant_customers',
     'q4_order_priority', 'q2_min_cost_supplier', 'q7_nation_volume',
     'q8_market_share', 'q9_product_profit', 'q11_important_parts',
     'q13_customer_distribution', 'q15_top_supplier', 'q16_supplier_count',
     'q19_disjunctive_revenue', 'q20_dominant_suppliers',
     'q6_forecast_revenue', 'd2_minhash_lsh', 'd6_near_dedup_filter',
-    'c1_curate_corpus', 'd9_incremental_near_dup', 'st2_streaming_sessions',
+    'd9_incremental_near_dup', 'st2_streaming_sessions',
     'st3_stateful_ewma', 'st4_stream_stream_join',
     'st5_stream_static_enrich', 'st6_rollup_maintenance',
     't14_gopher_rules', 'd15_semantic_dedup', 't13_unigram_logprob',
-    't15_bigram_logprob', 't16_corpus_dup_ngrams', 'd16_priority_dedup',
-    's5_random_projection', 'c8_quality_classifier', 't20_line_dedup',
-    'a5_distinct_agg', 'a6_pivot', 'a7_unpivot', 'a8_median_stats',
-    'o4_intersect_except', 'j9_asof_nearest', 'j10_interval_overlap',
-    'a15_equi_width_histogram', 'a16_mode_per_group', 'd10_table_diff',
-    'd12_epoch_shuffle', 'j6_asof_join', 'd13_segment_dedup',
-    'd14_duplicate_spans', 'j4_anti_join', 'j5_range_join',
-    'j7_null_safe_join', 'j8_full_outer', 'a4_cube', 'a9_rollup',
-    'a14_linear_trend', 's4_quantize_embeddings', 't1_token_stats',
+    't15_bigram_logprob', 't16_corpus_dup_ngrams',
+    'c8_quality_classifier', 't20_line_dedup',
     'd11_embedding_neardup_lsh', 's2_lsh_ann', 's3_ivf_ann',
-    'a11_embedding_centroid', 'a12_column_profile', 'a13_label_cohesion',
-    't2_quality_score', 't3_lang_id', 't4_fingerprint', 't5_bpe_tokens',
-    't6_winnow_fingerprint', 't7_tfidf_topterms', 't8_redact_pii',
-    't9_chunk_documents', 't10_char_entropy', 't11_repetition',
-    't12_type_token_ratio',
 ]
 
 

@@ -325,19 +325,13 @@ def _replay(
     # Column mapping ships at minReaderVersion 2 via table CONFIG, not
     # only readerFeatures (ADVICE r8): physical parquet columns are
     # renamed to col-<uuid>, so reading by logical schemaString names
-    # would silently return all-NULL columns. 'name' mode is SUPPORTED
-    # (r9): the read path resolves each field's
-    # delta.columnMapping.physicalName (see _column_mapping). 'id'
-    # mode resolves by parquet field id, which Spark's name-based
-    # reader cannot honor — refuse rather than mis-read.
-    if (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode"
-    ) == "id":
-        raise NotImplementedError(
-            "Delta table uses column mapping mode 'id' (parquet "
-            "field-id resolution) — this reader supports 'name' mode "
-            "only; refusing rather than reading all-NULL columns"
-        )
+    # would silently return all-NULL columns. 'name' mode resolves via
+    # each field's delta.columnMapping.physicalName (r9, see
+    # _column_mapping); 'id' mode resolves by parquet FIELD ID from
+    # each data file's footer (r10, VERDICT r9 #2, see
+    # _file_id_mapping) — the converted-from-Iceberg case where
+    # parquet column names match neither the logical nor the physical
+    # name and only field ids are authoritative.
     return protocol, meta, adds
 
 
@@ -354,11 +348,62 @@ def _column_mapping(meta: dict) -> dict[str, str] | None:
     for f in delta_schema(meta).fields:
         phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
         if not phys:
+            if mode == "id":
+                # id mode reads data by parquet FIELD ID; physicalName
+                # only serves partitionValues lookup, which falls back
+                # to the logical name
+                continue
             raise ValueError(
                 f"column-mapped Delta table: field {f.name!r} lacks "
                 "delta.columnMapping.physicalName in schemaString"
             )
         out[f.name] = phys
+    return out
+
+
+def _field_id_mapping(meta: dict) -> dict[str, int]:
+    """logical column name -> delta.columnMapping.id for 'id'-mode
+    tables (the field id stamped into every data file's parquet
+    schema). Loud on a missing id — never a silent NULL column."""
+    out = {}
+    for f in delta_schema(meta).fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"id-mapped Delta table: field {f.name!r} lacks "
+                "delta.columnMapping.id in schemaString"
+            )
+        out[f.name] = int(fid)
+    return out
+
+
+def _file_id_mapping(
+    fpath: str, wanted: dict[str, int]
+) -> dict[str, str]:
+    """Resolve ``wanted`` (logical name -> field id) against ONE data
+    file's parquet footer -> logical name -> parquet column name.
+    Per-file because converted tables (Iceberg-uniform, rename
+    history) may carry different physical names per file with the
+    same ids. Footer reads are KB-scale driver planning cost,
+    O(files) only on id-mode tables."""
+    import pyarrow.parquet as pq
+
+    arrow_schema = pq.read_schema(fpath)
+    by_id: dict[int, str] = {}
+    for af in arrow_schema:
+        md = af.metadata or {}
+        raw = md.get(b"PARQUET:field_id")
+        if raw is not None:
+            by_id[int(raw)] = af.name
+    out = {}
+    for logical, fid in wanted.items():
+        if fid not in by_id:
+            raise ValueError(
+                f"id-mapped Delta table: data file {fpath} has no "
+                f"parquet field id {fid} for column {logical!r} "
+                f"(footer ids: {sorted(by_id)})"
+            )
+        out[logical] = by_id[fid]
     return out
 
 
@@ -578,33 +623,47 @@ def read_delta(
     protocol) and deletion vectors applied as executor-side row
     filters (see :func:`_dv_filtered_scan`). ``version=``
     time-travels — a pre-delete version reads the same files WITHOUT
-    their later DVs. 'name'-mode column-mapped tables (r9) scan by
-    each field's physical col-<uuid> name and alias back to the
-    logical schema; partitionValues are looked up physical-first."""
+    their later DVs. Column-mapped tables: 'name' mode (r9) scans by
+    each field's physical col-<uuid> name; 'id' mode (r10, VERDICT r9
+    #2) resolves each DATA FILE's parquet footer field ids against the
+    schema's delta.columnMapping.id — files whose parquet column
+    names differ (Iceberg-converted estates) group by their resolved
+    mapping and scan correctly. Both alias back to the logical schema
+    and look partitionValues up physical-first."""
     _, meta, adds = _replay(path, version)
     schema = delta_schema(meta)
+    conf = meta.get("configuration") or {}
     mapping = _column_mapping(meta) or {}
     part_cols = list(meta.get("partitionColumns") or [])
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(
-        [
-            T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
     if not adds:
         return spark.createDataFrame([], T.StructType(
             [T.StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
         ))
+    wanted_ids = None
+    if conf.get("delta.columnMapping.mode") == "id":
+        id_map = _field_id_mapping(meta)
+        wanted_ids = {f.name: id_map[f.name] for f in data_fields}
     table_abs = os.path.abspath(path)
-    # group files by partition tuple, split clean vs DV-bearing
-    by_tuple: dict[tuple, dict[str, list[str]]] = {}
+    # group files by (partition tuple, resolved scan mapping) and
+    # split clean vs DV-bearing; the mapping is constant except in id
+    # mode, where it is footer-resolved per file
+    by_group: dict[tuple, dict] = {}
     dv_by_path: dict[str, dict] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(mapping.get(c, c), pv.get(c)) for c in part_cols)
-        grp = by_tuple.setdefault(key, {"plain": [], "dv": []})
         fpath = os.path.join(table_abs, a["path"])
+        if wanted_ids is not None:
+            scan_map = _file_id_mapping(fpath, wanted_ids)
+        else:
+            scan_map = {
+                f.name: mapping.get(f.name, f.name) for f in data_fields
+            }
+        gkey = (key, tuple(sorted(scan_map.items())))
+        grp = by_group.setdefault(
+            gkey, {"plain": [], "dv": [], "map": scan_map, "key": key}
+        )
         dv = a.get("deletionVector")
         if dv:
             grp["dv"].append(fpath)
@@ -616,9 +675,18 @@ def read_delta(
     out = None
     types = {f.name: f.dataType for f in schema.fields}
     # NULL partition values sort first (tuple keys may mix None/str)
-    for key, grp in sorted(
-        by_tuple.items(), key=lambda kv: tuple((v is not None, v) for v in kv[0])
+    for gkey in sorted(
+        by_group,
+        key=lambda g: (tuple((v is not None, v) for v in g[0]), g[1]),
     ):
+        grp = by_group[gkey]
+        key, scan_map = grp["key"], grp["map"]
+        data_schema = T.StructType(
+            [
+                T.StructField(scan_map[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
         frames = []
         if grp["plain"]:
             frames.append(spark.read.schema(data_schema).parquet(*grp["plain"]))
@@ -631,10 +699,7 @@ def read_delta(
         for df in frames:
             # physical -> logical rename (identity when unmapped)
             df = df.select(
-                *[
-                    F.col(mapping.get(f.name, f.name)).alias(f.name)
-                    for f in data_fields
-                ]
+                *[F.col(scan_map[f.name]).alias(f.name) for f in data_fields]
             )
             for c, raw in zip(part_cols, key):
                 lit = (

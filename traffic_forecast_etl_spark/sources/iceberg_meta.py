@@ -17,8 +17,12 @@ keeps its own manifest list. Avro decoding is the pure-Python reader
 in :mod:`.avro_io` (no spark-avro jar in this environment — VERDICT
 r8 anticipated exactly this fallback).
 
-Out of scope, refused loudly rather than mis-read: v2 row-level
-deletes (delete manifests / delete files), non-parquet data files.
+Format-v2 POSITION deletes read correctly (r10, VERDICT r9 #1):
+delete manifests replay alongside data manifests, delete-file footer
+stats bound the affected data files on the driver, and the positions
+apply as executor-side row masks (the same shape as Delta's DV scan).
+Out of scope, refused loudly rather than mis-read: EQUALITY delete
+files (need sequence-number ordering), non-parquet data files.
 
 Write side: ``write_iceberg_append`` is a FIXTURE-GRADE writer — it
 emits spec-shaped metadata (vN.metadata.json + version-hint.text,
@@ -41,6 +45,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .avro_io import read_avro, write_avro
@@ -150,41 +155,60 @@ def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
     raise ValueError(f"current-snapshot-id {cur} missing from snapshots")
 
 
-def iceberg_snapshot_files(
+def _snapshot_state(
     path: str, snapshot_id: int | None = None
-) -> list[dict]:
-    """Planning surface: the live data_file records at the snapshot —
-    manifest-list -> manifest replay, zero data-file reads (KBs of
-    Avro on the driver, symmetric to delta_snapshot_files)."""
+) -> tuple[list[dict], list[dict]]:
+    """Replay manifest-list -> manifests into (live data files, live
+    POSITION delete files) at the snapshot — zero data-file reads (KBs
+    of Avro on the driver, symmetric to delta_snapshot_files).
+    Equality delete files (content 2) refuse loudly: applying them
+    correctly needs sequence-number ordering this reader does not
+    track. Position deletes (content 1) are safe WITHOUT sequence
+    numbers — they reference data files by exact path, and a path can
+    never be (re)written after a delete file that names it (rewrites
+    mint new paths), so applying every live position delete to every
+    matching live path is exact."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
     if snap is None:
-        return []
+        return [], []
     _, manifests = read_avro(_localize(snap["manifest-list"], path))
-    live: list[dict] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
-            raise NotImplementedError(
-                "Iceberg DELETES manifest (v2 row-level deletes) — out of "
-                "this reader's scope"
-            )
         _, entries = read_avro(_localize(m["manifest_path"], path))
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
+            content = df.get("content", 0)
+            if content == 2:
                 raise NotImplementedError(
-                    "Iceberg delete file (position/equality deletes) — out "
-                    "of this reader's scope"
+                    "Iceberg EQUALITY delete file — applying it needs "
+                    "sequence-number ordering; out of this reader's scope"
                 )
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg data file format {df['file_format']!r} "
                     "(parquet only)"
                 )
-            live.append(df)
-    return sorted(live, key=lambda d: d["file_path"])
+            if content == 1 or m.get("content", 0) == 1:
+                deletes.append(df)
+            else:
+                data.append(df)
+    return (
+        sorted(data, key=lambda d: d["file_path"]),
+        sorted(deletes, key=lambda d: d["file_path"]),
+    )
+
+
+def iceberg_snapshot_files(
+    path: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Planning surface: the live data_file records at the snapshot
+    (position delete files, if any, ride along in the read path —
+    see :func:`_snapshot_state`)."""
+    return _snapshot_state(path, snapshot_id)[0]
 
 
 _ICEBERG_TO_SPARK = {
@@ -221,18 +245,148 @@ def iceberg_schema(meta: dict) -> T.StructType:
     return T.StructType(fields)
 
 
+def _pos_delete_ranges(delete_locals: list[str]) -> list[tuple] | None:
+    """Per row group of each position-delete file, the (min, max)
+    ``file_path`` range from parquet FOOTER statistics — a KB-scale
+    driver read that bounds which data files can possibly be affected,
+    so unaffected files keep their native (maskless) scan. Returns
+    None when any row group lacks stats (then every data file routes
+    through the mask — fail-safe, never fail-open)."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for fp in delete_locals:
+        md = pq.read_metadata(fp)
+        try:
+            fp_idx = md.schema.names.index("file_path")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(fp_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            ranges.append((st.min, st.max))
+    return ranges
+
+
+def _pos_delete_scan(
+    spark: SparkSession, masked: dict[str, str], delete_locals: list[str]
+) -> DataFrame:
+    """Scan data files that may carry position deletes and mask
+    deleted row positions EXECUTOR-side — the same shape as Delta's
+    ``_dv_filtered_scan`` (VERDICT r9 #1): the scan carries
+    ``_metadata.file_path`` / ``_metadata.row_index``, the (tiny)
+    local-path -> manifest-path map and delete-file list travel by
+    broadcast, and each task reads the positions for the files it
+    actually scans straight from the delete parquet with a pushed
+    ``file_path ==`` filter (delete files are spec-sorted by
+    file_path, so row-group pruning applies). Positions never
+    materialize on the driver. A candidate file with no positions in
+    any delete file simply keeps all rows (the authoritative source
+    is the delete files themselves, so an over-approximated candidate
+    set cannot fail open); a scanned file MISSING from the broadcast
+    map raises."""
+    from .delta_log import _uri_local_path
+
+    base = spark.read.parquet(*sorted(masked))
+    cols = base.columns
+    data_schema = base.schema
+    scan = base.select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    bc = spark.sparkContext.broadcast(
+        {"by_local": masked, "deletes": delete_locals}
+    )
+
+    def drop_deleted(batches):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        info = bc.value
+        cache: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mask = np.ones(len(pdf), dtype=bool)
+            fp = pdf["__fp"].to_numpy()
+            ri = pdf["__ri"].to_numpy()
+            for uri in pdf["__fp"].unique():
+                local = _uri_local_path(uri)
+                mpath = info["by_local"].get(local)
+                if mpath is None:
+                    raise ValueError(
+                        f"scanned file {uri!r} (normalized {local!r}) "
+                        "has no manifest-path mapping — refusing to "
+                        "fail open on position deletes"
+                    )
+                pos = cache.get(mpath)
+                if pos is None:
+                    parts = [
+                        pq.read_table(
+                            d,
+                            columns=["pos"],
+                            filters=[("file_path", "==", mpath)],
+                        )
+                        .column("pos")
+                        .to_numpy()
+                        for d in info["deletes"]
+                    ]
+                    pos = cache[mpath] = (
+                        np.unique(np.concatenate(parts))
+                        if parts
+                        else np.empty(0, dtype=np.int64)
+                    )
+                mask &= ~((fp == uri) & np.isin(ri, pos))
+            out = pdf.loc[mask, cols]
+            if len(out):
+                yield out
+
+    return scan.mapInPandas(drop_deleted, schema=data_schema)
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Read an Iceberg table from its metadata tree: resolve the
     snapshot (``snapshot_id=`` time-travels), replay manifest list ->
     manifests into the live file set, plain parquet scan of exactly
-    those files."""
+    those files. Format-v2 POSITION deletes (r10, VERDICT r9 #1)
+    apply as executor-side row masks: delete-file footer stats bound
+    the candidate files on the driver, only candidates pay the
+    masking scan, everything else reads native. Equality deletes
+    refuse loudly (see :func:`_snapshot_state`)."""
     meta = load_table_metadata(path)
-    files = iceberg_snapshot_files(path, snapshot_id)
+    files, deletes = _snapshot_state(path, snapshot_id)
     if not files:
         return spark.createDataFrame([], iceberg_schema(meta))
-    return spark.read.parquet(*[_localize(f["file_path"], path) for f in files])
+    local_of = {f["file_path"]: _localize(f["file_path"], path) for f in files}
+    if not deletes:
+        return spark.read.parquet(*local_of.values())
+    delete_locals = [_localize(d["file_path"], path) for d in deletes]
+    ranges = _pos_delete_ranges(delete_locals)
+
+    def possibly_affected(manifest_path: str) -> bool:
+        return ranges is None or any(
+            lo <= manifest_path <= hi for lo, hi in ranges
+        )
+
+    clean = [
+        local_of[p] for p in local_of if not possibly_affected(p)
+    ]
+    masked = {
+        local_of[p]: p for p in local_of if possibly_affected(p)
+    }
+    frames = []
+    if clean:
+        frames.append(spark.read.parquet(*sorted(clean)))
+    if masked:
+        frames.append(_pos_delete_scan(spark, masked, delete_locals))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +483,32 @@ def write_iceberg_append(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
+    return _commit_snapshot(
+        path,
+        meta,
+        _iceberg_schema_json(df),
+        token,
+        entries,
+        manifest_content=0,
+        operation="append",
+    )
+
+
+def _commit_snapshot(
+    path: str,
+    meta: dict | None,
+    schema_json: dict,
+    token: str,
+    entries: list[dict],
+    manifest_content: int,
+    operation: str,
+    format_version: int | None = None,
+) -> int:
+    """Shared fixture-writer commit tail: one new Avro manifest
+    (``manifest_content`` 0 = data, 1 = deletes), a per-snapshot
+    manifest list carrying the previous snapshot's manifests plus the
+    new one, ``vN.metadata.json`` + ``version-hint.text``. Returns
+    the (sequential) snapshot id."""
     prev_manifests: list[dict] = []
     version = 1
     snapshots: list[dict] = []
@@ -349,7 +529,7 @@ def write_iceberg_append(
         "manifest_path": f"metadata/{manifest_name}",
         "manifest_length": os.path.getsize(manifest_path),
         "partition_spec_id": 0,
-        "content": 0,
+        "content": manifest_content,
         "added_snapshot_id": sid,
     }
     list_name = f"snap-{sid}-{token}.avro"
@@ -363,17 +543,18 @@ def write_iceberg_append(
             "snapshot-id": sid,
             "timestamp-ms": sid,  # deterministic fixture clock
             "manifest-list": f"metadata/{list_name}",
-            "summary": {"operation": "append"},
+            "summary": {"operation": operation},
         }
     )
+    fv = format_version or int((meta or {}).get("format-version", 1))
     table_meta = {
-        "format-version": 1,
+        "format-version": fv,
         "table-uuid": (meta or {}).get("table-uuid") or str(uuid.uuid4()),
         "location": os.path.abspath(path),
         "last-updated-ms": sid,
-        "last-column-id": len(df.schema.fields),
-        "schema": _iceberg_schema_json(df),
-        "schemas": [_iceberg_schema_json(df)],
+        "last-column-id": len(schema_json["fields"]),
+        "schema": schema_json,
+        "schemas": [schema_json],
         "current-schema-id": 0,
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -392,3 +573,111 @@ def write_iceberg_append(
         f.flush()
         os.fsync(f.fileno())
     return sid
+
+
+# spec-reserved field ids for position-delete file columns
+_POS_DELETE_PATH_FIELD_ID = 2147483546
+_POS_DELETE_POS_FIELD_ID = 2147483545
+
+
+def delete_from_iceberg(
+    spark: SparkSession, path: str, condition
+) -> int:
+    """Row-level DELETE via a format-v2 POSITION delete file — no
+    data files rewritten: rows matching ``condition`` (Column or SQL
+    string over the table schema) have their (file_path, pos)
+    recorded in a spec-shaped delete parquet (sorted by file_path,
+    pos; spec-reserved field ids), committed through a delete
+    manifest (content=1) in a new snapshot, and the table metadata
+    upgrades to format-version 2. FIXTURE-GRADE like
+    :func:`write_iceberg_append` (matched positions pass through the
+    driver; no catalog atomic swap) — the distributed READ path is
+    the deliverable, this writer exists so tests and the tf9 oracle
+    key can synthesize real v2 tables. Returns the new snapshot id
+    (or the current one untouched when nothing matches)."""
+    meta = load_table_metadata(path)
+    files, _existing = _snapshot_state(path)
+    if not files:
+        return meta.get("current-snapshot-id")
+    local_of = {
+        _localize(f["file_path"], path): f["file_path"] for f in files
+    }
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = (
+        spark.read.parquet(*sorted(local_of))
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        .filter(cond)
+        .select("__fp", "__ri")
+        .toPandas()
+    )
+    if not len(matched):
+        return meta.get("current-snapshot-id")
+    from .delta_log import _uri_local_path
+
+    rows = sorted(
+        (local_of[_uri_local_path(u)], int(p))
+        for u, p in zip(matched["__fp"], matched["__ri"])
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    token = uuid.uuid4().hex[:12]
+    rel = f"data/{token}-deletes-00000.parquet"
+    dst = os.path.join(path, rel)
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                metadata={
+                    b"PARQUET:field_id": str(_POS_DELETE_PATH_FIELD_ID).encode()
+                },
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                metadata={
+                    b"PARQUET:field_id": str(_POS_DELETE_POS_FIELD_ID).encode()
+                },
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in rows], pa.string()),
+                "pos": pa.array([r[1] for r in rows], pa.int64()),
+            },
+            schema=schema,
+        ),
+        dst,
+    )
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": None,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(dst),
+            },
+        }
+    ]
+    schema_json = meta.get("schemas", [meta.get("schema")])[0]
+    return _commit_snapshot(
+        path,
+        meta,
+        schema_json,
+        token,
+        entries,
+        manifest_content=1,
+        operation="delete",
+        format_version=2,
+    )
