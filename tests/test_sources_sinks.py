@@ -1482,12 +1482,13 @@ def test_iceberg_deleted_entries_and_guards(spark, tmp_path):
         IM.iceberg_snapshot_files(path)
     AV.write_avro(manifest, schema2, entries)  # restore
 
-    # EQUALITY delete files (content=2) still refuse — applying them
-    # needs sequence-number ordering (position deletes READ since r10)
+    # an EQUALITY delete entry missing its equality_ids is malformed —
+    # loud error, never a silent mis-read (well-formed equality deletes
+    # READ since r10; see test_iceberg_equality_deletes_roundtrip)
     schema3, entries3 = AV.read_avro(manifest)
     entries3[live_idx]["data_file"]["content"] = 2
     AV.write_avro(manifest, schema3, entries3)
-    with _pytest.raises(NotImplementedError, match="EQUALITY"):
+    with _pytest.raises(ValueError, match="equality_ids"):
         IM.iceberg_snapshot_files(path)
 
 
@@ -2190,3 +2191,53 @@ def test_iceberg_position_deletes_roundtrip(spark, tmp_path):
     # deleting nothing is a metadata no-op
     cur = IM.load_table_metadata(path)["current-snapshot-id"]
     assert IM.delete_from_iceberg(spark, path, "id > 9000") == cur
+
+
+def test_iceberg_equality_deletes_roundtrip(spark, tmp_path):
+    """Equality deletes (r10): rows matching the delete keys
+    disappear for data files with STRICTLY SMALLER sequence numbers —
+    re-inserts in later snapshots stay visible (the spec's sequencing
+    rule); null keys match null-safely; composite keys and
+    composition with position deletes work; time travel to the
+    pre-delete snapshot sees every row."""
+    from traffic_forecast_etl_spark.sources import iceberg_meta as IM
+
+    path = str(tmp_path / "ice")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)]
+        + [(99, None, 9.9)],
+        "id long, cat string, v double",
+    )
+    s1 = IM.write_iceberg_append(spark, df, path)
+    # equality delete on cat in ('b') and the NULL row (null-safe)
+    keys = spark.createDataFrame([("b",), (None,)], "cat string")
+    s2 = IM.write_iceberg_equality_delete(spark, path, keys)
+    assert s2 == s1 + 1
+    got = {r.id for r in IM.read_iceberg(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 3 != 1}
+    # re-insert AFTER the delete: later sequence number -> visible
+    IM.write_iceberg_append(
+        spark,
+        spark.createDataFrame([(200, "b", 1.0)], "id long, cat string, v double"),
+        path,
+    )
+    got2 = {r.id for r in IM.read_iceberg(spark, path).collect()}
+    assert got2 == got | {200}
+    # pre-delete snapshot: all 31 rows
+    assert IM.read_iceberg(spark, path, snapshot_id=s1).count() == 31
+    # composite-key equality delete + POSITION delete composition
+    IM.write_iceberg_equality_delete(
+        spark,
+        path,
+        spark.createDataFrame([(0, "a"), (6, "a")], "id long, cat string"),
+    )
+    IM.delete_from_iceberg(spark, path, "id = 3")
+    got3 = {r.id for r in IM.read_iceberg(spark, path).collect()}
+    assert got3 == got2 - {0, 6, 3}
+    # unknown equality column refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the table schema"):
+        IM.write_iceberg_equality_delete(
+            spark, path, spark.createDataFrame([(1,)], "nope long")
+        )

@@ -5633,6 +5633,56 @@ def tf9_iceberg_v2_deletes(spark, sf_dir):
     return out
 
 
+@query(
+    "tf10_iceberg_eq_deletes",
+    """
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE user_id >= 8 OR event_type NOT IN ('click', 'view')
+    """,
+)
+def tf10_iceberg_eq_deletes(spark, sf_dir):
+    """Iceberg format-v2 EQUALITY-DELETE read (r10): the first
+    snapshot appends user_id < 8 events, an equality delete keyed on
+    event_type ('click','view') lands as a content=2 delete file, and
+    a SECOND append adds the user_id >= 8 events AFTER the delete —
+    whose click/view rows must STAY VISIBLE because equality deletes
+    apply only to strictly-smaller sequence numbers (the spec's
+    re-insert rule). The read plans the delete as a distributed
+    null-safe ANTI-JOIN (no Python boundary). The oracle re-derives
+    exactly that sequencing from the raw parquet: if the reader
+    applied the delete to the later snapshot too, every late click
+    row would vanish and the hash would diverge."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberg_meta as IM
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tf10_eqdel_")
+    try:
+        path = f"{tmp}/t"
+        IM.write_iceberg_append(spark, ev.filter(F.col("user_id") < 8), path)
+        IM.write_iceberg_equality_delete(
+            spark,
+            path,
+            spark.createDataFrame(
+                [("click",), ("view",)], "event_type string"
+            ),
+        )
+        IM.write_iceberg_append(spark, ev.filter(F.col("user_id") >= 8), path)
+        out = (
+            IM.read_iceberg(spark, path)
+            .select("event_id", "event_type", "user_id", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL text front door (engine.sql, VERDICT r7 missing #3): the same
 # dialect-portable SQL string runs on Spark (via sql()) AND on DuckDB
@@ -5906,7 +5956,7 @@ _SWEEP_PRIORITY = [
     'a11_embedding_centroid', 'a12_column_profile', 'a13_label_cohesion',
     'a14_linear_trend', 'a15_equi_width_histogram', 'a16_mode_per_group',
     's4_quantize_embeddings', 's5_random_projection',
-    'tf9_iceberg_v2_deletes', 'sql6_dml',
+    'tf9_iceberg_v2_deletes', 'tf10_iceberg_eq_deletes', 'sql6_dml',
     'tf7_delta_dv', 'tf6_delta_interop', 'tf8_iceberg_read',
     'sql4_snapshot_view', 'sql5_time_travel',
     'a4_cube', 'a5_distinct_agg', 'a6_pivot', 'a7_unpivot',
