@@ -2241,3 +2241,50 @@ def test_iceberg_equality_deletes_roundtrip(spark, tmp_path):
         IM.write_iceberg_equality_delete(
             spark, path, spark.createDataFrame([(1,)], "nope long")
         )
+
+
+def test_delta_tombstones_txn_survive_multipart_and_v2(spark, tmp_path):
+    """Tombstone + txn state survives log cleanup through the
+    MULTI-PART and V2 checkpoint forms too (the classic form is
+    pinned in test_delta_checkpoint_carries_tombstones_and_txn) —
+    multi-part spreads action rows round-robin across parts, v2 puts
+    file actions in a sidecar while txn stays in the top file."""
+    import glob
+    import os
+    import time
+
+    from traffic_forecast_etl_spark.sources import delta_log as DL
+
+    for name, kwargs in (("mp", {"parts": 2}), ("v2", {"v2": True})):
+        path = str(tmp_path / name)
+        df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        DL.write_delta_append(spark, df, path, checkpoint_interval=None)
+        now_ms = int(time.time() * 1000)
+        victim = DL.delta_snapshot_files(spark, path)[-1]["path"]
+        _forge_commit(path, [
+            {"remove": {"path": victim, "deletionTimestamp": now_ms,
+                        "dataChange": True}},
+            {"txn": {"appId": "app-1", "version": 3, "lastUpdated": now_ms}},
+        ])
+        DL.write_delta_checkpoint(path, **kwargs)
+        for f in glob.glob(path + "/_delta_log/0*.json"):
+            if ".checkpoint." not in f:
+                os.remove(f)
+        state = DL._replay_full(path)
+        assert victim in state["removes"], name
+        assert victim not in state["adds"], name
+        assert state["txns"]["app-1"]["version"] == 3, name
+        got = {r.id for r in DL.read_delta(spark, path).collect()}
+        assert len(got) < 10, f"{name}: removed file still read"
+
+
+def test_uri_local_path_forms():
+    """Spark reports scanned files in several URI spellings — all
+    normalize to the same local path; non-file schemes pass through."""
+    from traffic_forecast_etl_spark.sources.delta_log import _uri_local_path
+
+    assert _uri_local_path("file:/a/b.parquet") == "/a/b.parquet"
+    assert _uri_local_path("file:///a/b.parquet") == "/a/b.parquet"
+    assert _uri_local_path("file:/a/dir%20x/b%25y.parquet") == "/a/dir x/b%y.parquet"
+    assert _uri_local_path("/plain/path.parquet") == "/plain/path.parquet"
+    assert _uri_local_path("s3://bucket/k.parquet") == "s3://bucket/k.parquet"
