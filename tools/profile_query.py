@@ -36,6 +36,8 @@ def profile(keys: list[str]) -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     sc = spark.sparkContext

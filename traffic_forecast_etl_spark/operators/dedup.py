@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 # 64-bit long under ANSI arithmetic.
 _MERSENNE_P = (1 << 31) - 1
 
+# A/B flag (optimization round): False routes the LSH pipeline's
+# shared intermediates through AQE exchange/stage reuse instead of
+# block-manager caches. See minhash_lsh_pairs for the measurement.
+_CACHE_INTERMEDIATES = False
+
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form shared by every dedup operator: lowercase,
@@ -649,11 +654,12 @@ def minhash_lsh_pairs(
         with_sig = with_sig.withColumn(
             "__rep", F.min("__id").over(Window.partitionBy("__fp"))
         )
-    with_sig = with_sig.persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # feeds both sides of the band self-join (+ the member edges)
-    if persist_tracker is not None:
-        persist_tracker.append(with_sig)
+    if _CACHE_INTERMEDIATES:
+        with_sig = with_sig.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )  # feeds both sides of the band self-join (+ the member edges)
+        if persist_tracker is not None:
+            persist_tracker.append(with_sig)
     if collapse_exact:
         member_edges = with_sig.filter(F.col("__id") != F.col("__rep")).select(
             F.col("__rep").alias("id1"),
@@ -753,10 +759,13 @@ def _pairs_from_packed(
         .distinct()  # dedup AFTER the estimate filter: multi-band
         # collisions re-test cheaply instead of paying a full shuffle
         # of the raw candidate stream
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds id-restriction + 2 verify joins
     )
-    if persist_tracker is not None:
-        persist_tracker.append(est)
+    if _CACHE_INTERMEDIATES:
+        est = est.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )  # feeds id-restriction + 2 verify joins
+        if persist_tracker is not None:
+            persist_tracker.append(est)
     # exact verification touches only docs that survive the estimate
     # filter: collapse their shingle streams to per-doc hash SETS
     # (collect_set dedups — no separate distinct shuffle) and compare
@@ -1202,56 +1211,33 @@ def near_dedup_filter(
     or callers that run further dedup passes over the same corpus);
     the default releases them as soon as components are materialized.
     """
-    from pyspark import StorageLevel
-
     tracker: list = []
-    exact_edges = None
-    if exact_first:
-        sig_fp = packed_signatures(
-            df, text_col, id_col, num_hashes, shingle_k, seed, with_fp=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        tracker.append(sig_fp)
-        reps = sig_fp.groupBy("__fp").agg(F.min("__id").alias("__rep"))
-        exact_edges = (
-            sig_fp.select("__id", "__fp")
-            .join(reps, "__fp")
-            .filter(F.col("__id") != F.col("__rep"))
-            .select(F.col("__rep").alias("id1"), F.col("__id").alias("id2"))
-        )
-        restricted = sig_fp.drop("__fp").join(
-            reps.select(F.col("__rep").alias("__id")), "__id", "left_semi"
-        )
-        pairs = _pairs_from_packed(
-            restricted,
-            df,
-            text_col,
-            id_col,
-            num_hashes,
-            bands,
-            shingle_k,
-            jaccard_threshold,
-            num_hashes,
-            tracker,
-            None,
-        )
-    else:
-        pairs = minhash_lsh_pairs(
-            df,
-            text_col,
-            id_col,
-            num_hashes,
-            bands,
-            shingle_k,
-            jaccard_threshold,
-            seed,
-            persist_tracker=tracker,
-            # the LSH-over-everything baseline the exact_first parity
-            # pin compares against must stay literally over everything
-            collapse_exact=False,
-        )
+    # exact_first rides minhash_lsh_pairs' collapse_exact guard: its
+    # output is EXACTLY the edge set this pipeline needs — (rep,
+    # member) fingerprint edges for every exact-duplicate group plus
+    # rep-level LSH pairs (the documented collapse equivalence). The
+    # r9 formulation derived the same reps/edges/restriction here via
+    # a groupBy + fp-join + semi-join over a separate signature table
+    # — two more exchanges, one more join, and a THIRD consumer
+    # arm racing the signature cache (profiled: the signature
+    # partial-agg stage ran 3× per d6 run at sf0.1). The window form
+    # inside minhash_lsh_pairs computes rep/member/restriction as
+    # three cache-reading filters over one fp-keyed window.
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_k,
+        jaccard_threshold,
+        seed,
+        persist_tracker=tracker,
+        # exact_first=False is the LSH-over-everything baseline the
+        # parity pin compares against — literally over everything
+        collapse_exact=exact_first,
+    )
     edge_list = pairs.select("id1", "id2")
-    if exact_edges is not None:
-        edge_list = edge_list.unionByName(exact_edges)
     comp = connected_components(edge_list)
     # connected_components materializes the pair list eagerly (driver
     # union-find collect, or checkpointed propagation rounds) — the LSH

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import spread_small_scan
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -835,10 +837,22 @@ def _lloyd(M: "np.ndarray", k: int, seed: int, iters: int = 8):
     labels = np.zeros(n, dtype=np.int64)
     for _ in range(iters):
         labels = ((C * C).sum(1) - 2.0 * (M @ C.T)).argmin(1)
+        # mean update via stable sort + contiguous slices: the per-
+        # cluster boolean mask (M[labels == j]) rescans all n rows per
+        # cluster — O(n·k) masking that cProfile showed as ~2.5 s of
+        # DRIVER time per s6 run (20k small mask+mean calls). A stable
+        # argsort groups members contiguously while PRESERVING their
+        # original row order, so each slice is element-identical to
+        # the masked selection and np.mean's pairwise summation sees
+        # the same operands in the same order — centroids are
+        # bit-identical to the masked form (pinned in tests).
+        order = np.argsort(labels, kind="stable")
+        Ms = M[order]
+        bounds = np.searchsorted(labels[order], np.arange(k + 1))
         for j in range(k):
-            members = M[labels == j]
-            if len(members):
-                C[j] = members.mean(0)
+            a, b = bounds[j], bounds[j + 1]
+            if b > a:
+                C[j] = Ms[a:b].mean(0)
     return C, labels
 
 
@@ -1058,9 +1072,16 @@ def embedding_decontaminate(
     The hit-id list is distinct'd and removed with a keyed anti-join;
     returns surviving corpus rows, all original columns.
     """
-    c = corpus.select(
-        F.col(id_col).alias("__hid"),
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__hv"),
+    # under-split-scan gate (dedup's spread_small_scan contract): the
+    # broadcast-NLJ cosine pass is O(|corpus|·|eval|·d) of per-row
+    # arithmetic and runs SERIAL when the corpus scan arrives as one
+    # split (a single-row-group parquet file — measured 2.8× the
+    # spread time at sf0.1); no-op at production split counts.
+    c = spread_small_scan(
+        corpus.select(
+            F.col(id_col).alias("__hid"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__hv"),
+        )
     )
     e = eval_df.select(
         F.col(eval_id_col).alias("__eid"),

@@ -25,6 +25,12 @@ _STOPWORDS = {
 }
 
 
+# A/B flag (optimization round): False routes the LM scorers' shared
+# frequency tables through AQE exchange/stage reuse instead of
+# block-manager caches. See unigram_logprob for the measurement.
+_CACHE_FREQ_TABLES = False
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the raw text (empty array for blank)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -1114,13 +1120,13 @@ def unigram_logprob(
     # once to build freq, once streaming tokens through the broadcast
     # join below. (The naive form — counting N off the token stream
     # and V off the vocab frame — costs two more full corpus scans.)
-    freq = (
-        tok.groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if persist_tracker is not None:
-        persist_tracker.append(freq)
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    if _CACHE_FREQ_TABLES:
+        from pyspark import StorageLevel
+
+        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_tracker is not None:
+            persist_tracker.append(freq)
     vocab = freq.orderBy(F.col("__cnt").desc(), F.col("__tok").asc()).limit(vocab_size)
     totals = F.broadcast(
         freq.agg(
@@ -1222,13 +1228,13 @@ def bigram_logprob(
         )
         .select(id_col, "__b.__w1", "__b.__w2")
     )
-    bfreq = (
-        bg.groupBy("__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if persist_tracker is not None:
-        persist_tracker.append(bfreq)
+    bfreq = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c"))
+    if _CACHE_FREQ_TABLES:
+        from pyspark import StorageLevel
+
+        bfreq = bfreq.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_tracker is not None:
+            persist_tracker.append(bfreq)
     ctx = bfreq.groupBy("__w1").agg(F.sum("__c").alias("__cc"))
     top_bg = (
         bfreq.orderBy(F.col("__c").desc(), F.col("__w1").asc(), F.col("__w2").asc())

@@ -22,6 +22,21 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalescing floor is BYTES-based (default 1m), but this
+    # engine's hot stages are CPU-dense over slim rows — sketch
+    # agreement, LSH bucket self-joins, candidate verification at
+    # ~100 CPU-ops per 24-byte row — and a 1 MB floor serializes them
+    # onto a handful of cores exactly when upstream filtering worked
+    # (profiled at sf0.1: the d11 verify stage ran 13 CPU-s on 6
+    # tasks). 256k keeps those stages wide while leaving byte-bound
+    # aggregate stages coalesced; measured by interleaved A/B over the
+    # sensitive keys (64k/256k/1m): 64k over-splits the shingle-agg
+    # pipelines (t16 1.3→2.9 s), 1m serializes the similarity verify
+    # stages (d11 2.7→4.2 s), 256k takes both wins. At production
+    # totals the floor almost never binds (partitions are
+    # advisory-sized). Override via extra_conf for byte-bound
+    # clusters.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     # Arrow for createDataFrame/toPandas and pandas_udf batches.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics (parquet timestamps are UTC
