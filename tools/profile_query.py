@@ -93,7 +93,19 @@ def report(evfile: str, marker: str, key: str, wall: float) -> None:
                     stages.setdefault(si["Stage ID"], dict(name=si["Stage Name"]))
                     stages[si["Stage ID"]]["t0"] = si.get("Submission Time")
                     stages[si["Stage ID"]]["t1"] = si.get("Completion Time")
-                    stages[si["Stage ID"]]["name"] = si["Stage Name"]
+                    # RDD scope names trace back to SQL plan nodes —
+                    # far more readable than the action call site
+                    scopes = []
+                    for r in si.get("RDD Info", []):
+                        sc_ = r.get("Scope")
+                        if sc_:
+                            try:
+                                nm = json.loads(sc_).get("name", "")
+                            except json.JSONDecodeError:
+                                nm = ""
+                            if nm and nm not in scopes:
+                                scopes.append(nm)
+                    stages[si["Stage ID"]]["name"] = " <- ".join(scopes[:6]) or si["Stage Name"]
             elif e == "SparkListenerTaskEnd" and ev.get("Stage ID") in stage_job:
                 sid = ev["Stage ID"]
                 tm = ev.get("Task Metrics") or {}

@@ -635,8 +635,9 @@ def minhash_lsh_pairs(
     if num_hashes // bands < 1:
         raise ValueError("bands must be <= num_hashes")
     with_sig = packed_signatures(
-        df, text_col, id_col, est_hashes, shingle_k, seed, with_fp=collapse_exact
+        df, text_col, id_col, est_hashes, shingle_k, seed
     )
+    keep = None
     if restrict_ids is not None:
         keep = restrict_ids.select(
             F.col(restrict_ids.columns[0]).alias("__id")
@@ -644,32 +645,48 @@ def minhash_lsh_pairs(
         with_sig = with_sig.join(keep, "__id", "left_semi")
     member_edges = None
     if collapse_exact:
-        # single fp-keyed shuffle: a whole-partition window min marks
-        # each row with its group representative, from which BOTH the
-        # member edges (id != rep) and the rep-restricted banding
-        # input (id == rep) project as cache-reading filters — the
-        # groupBy + semi-join formulation paid two exchanges plus a
-        # join for the same information. The persist sits ABOVE the
-        # window so the window runs once, not once per self-join side.
-        with_sig = with_sig.withColumn(
+        # Exact-group structure from a LIGHT fingerprint scan — one
+        # normalize+xxhash64 per doc, NO shingle explode — plus one
+        # fp-keyed window marking each row's min-id representative.
+        # The r9 form rode the fingerprint through the signature
+        # aggregate (with_fp=True) and filtered the windowed sig
+        # table twice; Catalyst then column-pruned the member-edge
+        # arm into a SECOND copy of the whole corpus explode + agg —
+        # pruning cannot remove the Generate, so that arm cost the
+        # full shingle pass (profiled ~18 CPU-s at sf0.1) to produce
+        # two slim columns a plain scan yields in <1. With the group
+        # structure computed off the light scan, the heavy signature
+        # aggregate has exactly ONE plan instance, reused by both
+        # band-join sides through its own exchange.
+        fps = df.select(
+            F.col(id_col).alias("__id"),
+            F.xxhash64(normalize_text(text_col)).alias("__fp"),
+        )
+        if keep is not None:
+            # restrict_ids narrows the collapse structure too (the
+            # r9 contract: the restriction applied BEFORE the rep
+            # window, so groups form within the restricted set)
+            fps = fps.join(keep, "__id", "left_semi")
+        fps = fps.withColumn(
             "__rep", F.min("__id").over(Window.partitionBy("__fp"))
         )
-    if _CACHE_INTERMEDIATES:
-        with_sig = with_sig.persist(
-            StorageLevel.MEMORY_AND_DISK
-        )  # feeds both sides of the band self-join (+ the member edges)
-        if persist_tracker is not None:
-            persist_tracker.append(with_sig)
-    if collapse_exact:
-        member_edges = with_sig.filter(F.col("__id") != F.col("__rep")).select(
+        member_edges = fps.filter(F.col("__id") != F.col("__rep")).select(
             F.col("__rep").alias("id1"),
             F.col("__id").alias("id2"),
             F.lit(1.0).alias("jaccard"),
             F.lit(True).alias("exact_member"),
         )
-        with_sig = with_sig.filter(F.col("__id") == F.col("__rep")).drop(
-            "__rep", "__fp"
-        )
+        # banding runs over representatives only: restrict the slim
+        # signature rows by rep id (the doc TEXT stays out of every
+        # shuffle — restricting df itself would move it)
+        rep_ids = fps.filter(F.col("__id") == F.col("__rep")).select("__id")
+        with_sig = with_sig.join(rep_ids, "__id", "left_semi")
+    if _CACHE_INTERMEDIATES:
+        with_sig = with_sig.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )  # feeds both sides of the band self-join
+        if persist_tracker is not None:
+            persist_tracker.append(with_sig)
     lsh = _pairs_from_packed(
         with_sig,
         df,
@@ -785,15 +802,20 @@ def _pairs_from_packed(
         .unionByName(est.select(F.col("id2").alias("__id")))
         .distinct()
     )
-    docs_needed = df.select(
-        F.col(id_col).alias("__did"), F.col(text_col).alias("__txt")
+    # spread the SCAN side before the broadcast semi-join (the gate is
+    # safe here: a scan+project frame, probed before any join is
+    # attached). Without it, a single-row-group corpus file puts the
+    # entire semi-join + re-shingle + hash map stage on ONE task —
+    # profiled 1.3 s serial at sf0.1, the longest stage of the whole
+    # d2/d6 pipeline. No-op at production split counts.
+    docs_needed = spread_small_scan(
+        df.select(F.col(id_col).alias("__did"), F.col(text_col).alias("__txt"))
     ).join(F.broadcast(ids_needed), F.col("__did") == F.col("__id"), "left_semi")
     sh_sets = (
-        # spread=False: docs_needed is a broadcast-join output, not a
-        # scan — probing its partition count would eagerly execute
-        # the whole candidate pipeline at plan-build time (the
-        # broadcast side is derived from `est`). The verify stage's
-        # parallelism comes from the shuffle into collect_set anyway.
+        # spread=False: docs_needed is already spread above; probing a
+        # broadcast-join output here would eagerly execute the whole
+        # candidate pipeline at plan-build time (the broadcast side is
+        # derived from `est`).
         exploded_char_shingles(
             docs_needed, "__txt", "__did", shingle_k, distinct=False, spread=False
         )
