@@ -1118,3 +1118,43 @@ def test_ann_index_recluster_append_lease_exclusion(spark, emb, tmp_path):
     # lease released: both proceed
     AI.ann_index_append(spark, emb.filter(F.col("vec_id") % 2 == 1), path)
     assert AI.ann_index_recluster(spark, path) >= 2
+
+
+def test_lloyd_update_forms_bit_identical():
+    """The r10 _lloyd rewrite (stable-argsort slice means + one
+    preallocated distance buffer) must be BIT-identical to the
+    original masked-mean / expression formulation: the stable sort
+    preserves each cluster's original row order, so np.mean's pairwise
+    summation sees the same operands in the same order, and
+    G*=-2; G+=|c|² relies on IEEE sign-flip exactness + addition
+    commutativity. Any deviation here would silently change PQ
+    codebooks and the hierarchical quantizer's sub-centroids."""
+    import numpy as np
+
+    from traffic_forecast_etl_spark.operators.similarity import _lloyd
+
+    def lloyd_reference(M, k, seed, iters):
+        n = len(M)
+        k = max(1, min(k, n))
+        rng = np.random.default_rng(seed)
+        C = M[rng.choice(n, size=k, replace=False)].copy()
+        labels = np.zeros(n, dtype=np.int64)
+        for _ in range(iters):
+            labels = ((C * C).sum(1) - 2.0 * (M @ C.T)).argmin(1)
+            for j in range(k):
+                members = M[labels == j]
+                if len(members):
+                    C[j] = members.mean(0)
+        return C, labels
+
+    rng = np.random.default_rng(7)
+    # shapes: pq_train's (n, dsub) sub-spaces, hierarchical sub-cells,
+    # k > n degenerate, and a wide-d case
+    for trial, (n, d, k) in enumerate(
+        [(2000, 8, 256), (500, 16, 32), (3, 2, 8), (400, 64, 8)]
+    ):
+        M = rng.standard_normal((n, d))
+        C1, l1 = lloyd_reference(M.copy(), k, seed=trial * 7919 + 1, iters=10)
+        C2, l2 = _lloyd(M.copy(), k, seed=trial * 7919 + 1, iters=10)
+        assert np.array_equal(C1, C2), f"centroids diverged at {(n, d, k)}"
+        assert np.array_equal(l1, l2), f"labels diverged at {(n, d, k)}"

@@ -611,20 +611,25 @@ def minhash_lsh_pairs(
     cross-group pairs by substituting members for reps, the Jaccard
     being identical because member text equals rep text) and is
     pinned equivalent to ``collapse_exact=False`` output in tests.
-    The fingerprint rides the signature scan (with_fp), so the guard
-    costs one extra slim groupBy, no extra corpus scan. Set False for
-    the literal all-pairs contract (the pre-guard baseline; the
-    ``exact_member`` column is still present, all-false, for schema
-    stability).
+    The group structure comes from a LIGHT normalize+fingerprint scan
+    (no shingle explode) — one map pass plus one fp-keyed window; the
+    r10 optimization round measured that riding the fingerprint
+    through the signature aggregate instead made Catalyst column-prune
+    the member-edge arm into a SECOND full copy of the corpus explode
+    (a Generate cannot be pruned away). Set False for the literal
+    all-pairs contract (the pre-guard baseline; the ``exact_member``
+    column is still present, all-false, for schema stability).
 
-    ``persist_tracker``: the pipeline persists two intermediate frames
-    (packed signatures, estimate-filtered pairs). They stay cached
-    until the JVM's context cleaner notices the dropped references —
-    in a long-lived session running many queries that lag accumulates
-    storage memory. Callers that fully consume the result (e.g.
-    near_dedup_filter, whose connected-components step materializes
-    the pairs eagerly) pass a list here and unpersist its entries as
-    soon as the result is materialized.
+    ``persist_tracker``: shared intermediates (packed signatures,
+    estimate-filtered pairs) flow through plain exchanges by default —
+    AQE stage reuse materializes each shuffle once and every consumer
+    awaits it, which the r10 optimization round measured strictly
+    faster than block-manager caching (concurrent consumers raced the
+    cache fill and recomputed the corpus scan 2-3×; an eager count()
+    barrier serialized the DAG). With the ``_CACHE_INTERMEDIATES``
+    flag flipped back on, the frames persist again and callers that
+    fully consume the result pass a list here to unpersist them as
+    soon as it is materialized.
     """
     from pyspark import StorageLevel
 
@@ -777,12 +782,22 @@ def _pairs_from_packed(
         # collisions re-test cheaply instead of paying a full shuffle
         # of the raw candidate stream
     )
-    if _CACHE_INTERMEDIATES:
-        est = est.persist(
-            StorageLevel.MEMORY_AND_DISK
-        )  # feeds id-restriction + 2 verify joins
-        if persist_tracker is not None:
-            persist_tracker.append(est)
+    # est is persisted AND materialized unconditionally — the one
+    # intermediate where a barrier is free and the cache is load-
+    # bearing at scale. Everything downstream (the ids_needed
+    # BROADCAST build, the sh_sets re-shingle, the two verify joins)
+    # depends on est, so the count() serializes nothing; without it,
+    # the broadcast-build subtree and the verify chain each re-execute
+    # the band self-join + estimate filter (AQE stage reuse dedups the
+    # exchange BELOW the join, not the join itself) — measured 4× the
+    # sf1 wall on d6 (201 s vs ~50 s) when this ran cache-less during
+    # the r10 optimization round. The slim signature/frequency tables
+    # above stay cache-less (their duplicated post-exchange work is
+    # cheap and the cache-fill race cost more — see module flag).
+    est = est.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_tracker is not None:
+        persist_tracker.append(est)
+    est.count()
     # exact verification touches only docs that survive the estimate
     # filter: collapse their shingle streams to per-doc hash SETS
     # (collect_set dedups — no separate distinct shuffle) and compare
@@ -1232,6 +1247,9 @@ def near_dedup_filter(
     intermediates alive for the session (bench warm-path measurement,
     or callers that run further dedup passes over the same corpus);
     the default releases them as soon as components are materialized.
+    With the default ``_CACHE_INTERMEDIATES=False`` (r10 optimization:
+    shared frames dedup through AQE stage reuse instead of caches) the
+    tracker stays empty and this flag is a no-op.
     """
     tracker: list = []
     # exact_first rides minhash_lsh_pairs' collapse_exact guard: its

@@ -1094,19 +1094,16 @@ def unigram_logprob(
     contract as the DuckDB oracle's GROUP BY over the token stream).
     Returns (id, n_tokens, mean_logprob, bits_per_token).
 
-    ``persist_tracker``: the vocabulary-sized freq table is persisted
-    so the top-V cut and the model totals read the cache instead of
-    re-scanning the corpus (same contract as minhash_lsh_pairs'
-    tracker). The result is LAZY, so this function cannot unpersist
-    after materialization itself — callers that fully consume the
-    result pass a list here and unpersist its entries afterwards;
-    with the default None the (small, vocabulary-sized) cache entry
-    is left to the caller's session hygiene (the bench and the
-    oracle driver clearCache between queries; a long-lived service
-    invoking this repeatedly should pass the tracker).
+    ``persist_tracker``: the vocabulary-sized freq table feeds the
+    top-V cut AND the totals broadcast. By default it flows through a
+    plain exchange — AQE stage reuse materializes the token aggregate
+    once and both consumers await it, which the r10 optimization round
+    measured faster than block-manager caching (concurrent consumers
+    raced the cache fill and re-ran the corpus token scan). With the
+    ``_CACHE_FREQ_TABLES`` flag flipped back on, the table persists
+    and callers that fully consume the LAZY result pass a list here
+    to unpersist it afterwards.
     """
-    from pyspark import StorageLevel
-
     tok = df.select(
         F.col(id_col),
         F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("__tok"),
@@ -1204,13 +1201,11 @@ def bigram_logprob(
     (the unigram operator's GROUP BY contract). Returns
     (id, n_bigrams, mean_logprob, bits_per_token).
 
-    ``persist_tracker``: same lazy-result caller-must-clear contract
-    as ``unigram_logprob`` — the persisted frame here is the
-    distinct-bigram-sized frequency table (it feeds four derived
-    aggregates).
+    ``persist_tracker``: same contract as ``unigram_logprob`` — the
+    shared frame here is the distinct-bigram-sized frequency table
+    (it feeds four derived aggregates, deduped through one reused
+    exchange by default; profiled 4× recompute under the cache form).
     """
-    from pyspark import StorageLevel
-
     toks_arr = df.select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.lower(t)).alias("__t"),
