@@ -139,7 +139,7 @@ def report(evfile: str, marker: str, key: str, wall: float) -> None:
     for sid, st in stages.items():
         t = tasks[sid]
         span = ((st.get("t1") or 0) - (st.get("t0") or 0)) / 1000.0
-        rows.append((span, sid, st["name"].split("\n")[0][:60], t))
+        rows.append((span, sid, st["name"].split("\n")[0][:140], t))
     rows.sort(reverse=True)
     print(f"{'span_s':>7} {'sid':>5} {'n':>4} {'sum_run':>8} {'max_t':>6} "
           f"{'gc':>5} {'fetch':>6} {'in_MB':>7} {'sr_MB':>7} {'sw_MB':>7}  name")
@@ -151,6 +151,20 @@ def report(evfile: str, marker: str, key: str, wall: float) -> None:
     if nshow > 0:
         rest = sum(r[0] for r in rows[18:])
         print(f"  ... {nshow} more stages, {rest:.2f}s span total")
+    # job timeline: where the driver gaps sit (gap = idle time between
+    # this job's start and the previous job's end — Catalyst/AQE
+    # replanning, py4j, driver compute)
+    print(f"{'jid':>5} {'start_s':>8} {'span_s':>7} {'gap_before_s':>13}  first-stage")
+    prev_end = None
+    t_base = min(j["t0"] for j in jobs.values()) if jobs else 0
+    for jid in sorted(jobs):
+        j = jobs[jid]
+        t0, t1 = j["t0"], j.get("t1") or j["t0"]
+        gap = (t0 - prev_end) / 1000.0 if prev_end is not None else 0.0
+        sids = [s for s, jj in stage_job.items() if jj == jid]
+        nm = stages.get(min(sids), {}).get("name", "?").split("\n")[0][:70] if sids else "?"
+        print(f"{jid:5d} {(t0-t_base)/1000:8.2f} {(t1-t0)/1000:7.2f} {gap:13.2f}  {nm}")
+        prev_end = max(prev_end or t1, t1)
 
 
 if __name__ == "__main__":

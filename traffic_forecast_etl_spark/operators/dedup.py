@@ -726,8 +726,6 @@ def _pairs_from_packed(
     output restricted to the docs that should enter candidate
     generation). ``df`` is only touched again for the verify stage's
     candidate-restricted re-shingle."""
-    from pyspark import StorageLevel
-
     r = num_hashes // bands
     n_words = est_hashes // 8
 
@@ -782,22 +780,28 @@ def _pairs_from_packed(
         # collisions re-test cheaply instead of paying a full shuffle
         # of the raw candidate stream
     )
-    # est is persisted AND materialized unconditionally — the one
-    # intermediate where a barrier is free and the cache is load-
-    # bearing at scale. Everything downstream (the ids_needed
+    # est is materialized unconditionally via eager localCheckpoint —
+    # the one intermediate where a barrier is free and materialization
+    # is load-bearing at scale. Everything downstream (the ids_needed
     # BROADCAST build, the sh_sets re-shingle, the two verify joins)
-    # depends on est, so the count() serializes nothing; without it,
+    # depends on est, so the barrier serializes nothing; without it,
     # the broadcast-build subtree and the verify chain each re-execute
     # the band self-join + estimate filter (AQE stage reuse dedups the
     # exchange BELOW the join, not the join itself) — measured 4× the
     # sf1 wall on d6 (201 s vs ~50 s) when this ran cache-less during
-    # the r10 optimization round. The slim signature/frequency tables
-    # above stay cache-less (their duplicated post-exchange work is
-    # cheap and the cache-fill race cost more — see module flag).
-    est = est.persist(StorageLevel.MEMORY_AND_DISK)
-    if persist_tracker is not None:
-        persist_tracker.append(est)
-    est.count()
+    # the r10 optimization round. localCheckpoint instead of
+    # persist+count (r11): est's lineage — the band self-join over the
+    # 64-expression signature aggregate — otherwise reappears in the
+    # final plan once per consumer, and Catalyst re-analysis +
+    # CacheManager canonical matching of that tree was profiled at
+    # ~3 s of driver time per d2 execution (the gap between the est
+    # job and the first verify job); the checkpoint truncates the
+    # downstream plan to an RDD leaf, and its blocks release with the
+    # DataFrame (no cache entry for a caller to leak). The slim
+    # signature/frequency tables above stay cache-less (their
+    # duplicated post-exchange work is cheap and the cache-fill race
+    # cost more — see module flag).
+    est = est.localCheckpoint(eager=True)
     # exact verification touches only docs that survive the estimate
     # filter: collapse their shingle streams to per-doc hash SETS
     # (collect_set dedups — no separate distinct shuffle) and compare
