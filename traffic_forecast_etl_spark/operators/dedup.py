@@ -142,11 +142,18 @@ def exploded_char_shingles(
 
 
 def exploded_word_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, spread: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    spread: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """(__id, __s) rows: one per DISTINCT word n-gram per doc (same
     explode-not-transform rationale and ``spread`` scan-entry-only
-    contract as exploded_char_shingles)."""
+    contract as exploded_char_shingles). ``distinct=False`` skips the
+    per-(doc, gram) dedup shuffle for callers that dedup inline
+    (corpus_duplicate_ngrams' first-occurrence window flag)."""
     base = spread_small_scan(df) if spread else df
     toks = base.select(
         F.col(id_col).alias("__id"),
@@ -159,9 +166,10 @@ def exploded_word_shingles(
             F.sequence(F.lit(1), F.greatest(F.size("__t") - (n - 1), F.lit(1)))
         ).alias("__i"),
     )
-    return pos.select(
+    out = pos.select(
         "__id", F.concat_ws(" ", F.slice("__t", F.col("__i"), n)).alias("__s")
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1354,14 +1362,18 @@ def segment_dedup(
             F.concat_ws(" ", F.slice("__t", F.col("__gi") * w + 1, w))
         ).alias("__fp"),
     )
-    dup_fp = (
-        segs.groupBy("__fp")
-        .agg(F.count_distinct("__id").alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select("__fp")
-    )
+    # document frequency INLINE via one window pass (dense_rank over
+    # (__fp, __id) peaks at the distinct-doc count; max over __fp
+    # broadcasts it back) instead of a groupBy + semi-join back onto
+    # the segment stream — the join form executed the explode+hash
+    # scan once per arm (same r11 rewrite as duplicate_spans /
+    # corpus_duplicate_ngrams; df semantics identical).
+    w_ord = Window.partitionBy("__fp").orderBy("__id")
+    w_all = Window.partitionBy("__fp")
     rm_lists = (
-        segs.join(dup_fp, "__fp", "left_semi")
+        segs.withColumn("__dr", F.dense_rank().over(w_ord))
+        .withColumn("__df", F.max("__dr").over(w_all))
+        .filter(F.col("__df") >= min_df)
         .groupBy("__id")
         .agg(F.collect_list("__gi").alias("__rm"))
     )
@@ -1459,14 +1471,22 @@ def duplicate_spans(
             "__h"
         ),
     )
-    dup = (
-        win.groupBy("__h")
-        .agg(F.count_distinct("__id").alias("__df"))
+    # cross-document frequency INLINE via one window pass instead of a
+    # groupBy + semi-join back onto the window stream: the join form
+    # executes the anchor scan (an O(chars) hash per position — the
+    # expensive stage) once per arm, and AQE stage reuse cannot dedup
+    # it because the two arms' exchanges differ. dense_rank over
+    # (__h, __id) peaks at the distinct-doc count, max over __h
+    # broadcasts it back to every row — one exchange, one sort (the
+    # (__h, __id) sort satisfies both window specs), identical df
+    # semantics (distinct documents, within-doc repeats don't count).
+    w_ord = Window.partitionBy("__h").orderBy("__id")
+    w_all = Window.partitionBy("__h")
+    hits = (
+        win.withColumn("__dr", F.dense_rank().over(w_ord))
+        .withColumn("__df", F.max("__dr").over(w_all))
         .filter(F.col("__df") >= min_df)
-        .select("__h")
-    )
-    hits = win.join(dup, "__h", "left_semi").select(
-        "__id", "__s", (F.col("__s") + (window_chars - 1)).alias("__e")
+        .select("__id", "__s", (F.col("__s") + (window_chars - 1)).alias("__e"))
     )
     prev = (
         Window.partitionBy("__id")

@@ -1307,12 +1307,31 @@ def corpus_duplicate_ngrams(
     """
     from .dedup import exploded_word_shingles
 
-    sh = exploded_word_shingles(df, text_col, id_col, n)
+    # Raw (non-distinct) shingle stream: the per-(doc, gram) dedup and
+    # the cross-document frequency both come out of ONE gram-keyed
+    # window pass — dense_rank over (__s, __id) peaks at the
+    # distinct-doc count (within-doc repeats cannot inflate it), max
+    # broadcasts it back, and a lag-based first-occurrence flag
+    # replaces the distinct() so each (doc, gram) contributes exactly
+    # once to the per-doc rollup. The r9 form paid a (__id, __s)
+    # distinct exchange, a second full exchange of the distinct stream,
+    # and a sort-merge join against a separately-aggregated frequency
+    # table; this is one exchange of the raw stream plus the id-keyed
+    # rollup (r11; within-doc duplicate 8-grams are rare, so raw ≈
+    # distinct volume). Same df semantics: distinct documents per gram.
+    sh = exploded_word_shingles(df, text_col, id_col, n, distinct=False)
     if hash_grams:
         sh = sh.select("__id", F.xxhash64("__s").alias("__s"))
-    freq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w_ord = Window.partitionBy("__s").orderBy("__id")
+    w_all = Window.partitionBy("__s")
+    first = F.coalesce(
+        F.lag("__id").over(w_ord) != F.col("__id"), F.lit(True)
+    )
     per_doc = (
-        sh.join(freq, "__s")
+        sh.withColumn("__dr", F.dense_rank().over(w_ord))
+        .withColumn("__df", F.max("__dr").over(w_all))
+        .withColumn("__first", first)
+        .filter(F.col("__first"))
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
