@@ -68,6 +68,42 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+_SCAN_LIKE_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "LogicalRelation",
+        "Relation",
+        "LocalRelation",
+        "SubqueryAlias",
+        "ResolvedHint",
+        "Sample",
+    }
+)
+
+
+def _is_scan_like(df: DataFrame) -> bool:
+    """True iff the frame's ANALYZED plan is a pure scan pipeline
+    (projections/filters over a relation leaf) — the only shape on
+    which probing ``df.rdd`` is free. On a derived frame (join,
+    aggregate, generate…) the probe would physically plan the query
+    and, under AQE, materialize its exchanges at plan-BUILD time —
+    the eager-execution hazard spread_small_scan's gate must never
+    trigger. Walking the analyzed plan costs analysis only (no
+    optimizer, no execution); unknown node names fail safe (False)."""
+    try:
+
+        def walk(node) -> bool:
+            if node.nodeName() not in _SCAN_LIKE_NODES:
+                return False
+            ch = node.children()
+            return all(walk(ch.apply(i)) for i in range(ch.size()))
+
+        return walk(df._jdf.queryExecution().analyzed())
+    except Exception:  # pragma: no cover — py4j surface drift
+        return False
+
+
 def spread_small_scan(df: DataFrame, max_parts: int = 4) -> DataFrame:
     """Local-parallelism guard for the CPU-dense map stages of the
     dedup plane (a hash per shingle / character position): a small
@@ -79,10 +115,19 @@ def spread_small_scan(df: DataFrame, max_parts: int = 4) -> DataFrame:
     much larger default parallelism), spread it once with a round-
     robin repartition — by the gate's construction the shuffled input
     is tiny. A production-scale scan has thousands of splits, so the
-    gate never fires and no shuffle is ever added at 100 TB."""
+    gate never fires and no shuffle is ever added at 100 TB.
+
+    Safe on ANY frame: the partition-count probe runs only when the
+    plan is scan-like (``_is_scan_like``); a derived frame passes
+    through untouched instead of being eagerly executed by the probe
+    (r11, closing the ADVICE r10 hazard)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if target >= 2 * max_parts and df.rdd.getNumPartitions() <= max_parts:
+    if (
+        target >= 2 * max_parts
+        and _is_scan_like(df)
+        and df.rdd.getNumPartitions() <= max_parts
+    ):
         return df.repartition(target)
     return df
 

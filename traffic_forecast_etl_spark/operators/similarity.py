@@ -147,8 +147,10 @@ def multitable_bucket_entries(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    sketch_planes: int = 0,
+    sketch_seed: int | None = None,
 ) -> DataFrame:
-    """(id, __tab, lsh_bucket) bucket entries for MULTI-TABLE
+    """(id, __tab, lsh_bucket[, __sk]) bucket entries for MULTI-TABLE
     hyperplane LSH — the shared indexing step of lsh_topk (query vs
     corpus) and embedding_neardup_pairs (corpus self-join).
 
@@ -156,10 +158,26 @@ def multitable_bucket_entries(
     buckets come from a single scan + one numpy matmul per Arrow
     batch. The per-table lsh_bucket() expression form costs n_tables
     scans × n_planes interpreted aggregate() lambdas per row —
-    measured ~7× slower at 2k×64."""
+    measured ~7× slower at 2k×64.
+
+    ``sketch_planes > 0`` additionally emits ``__sk`` — the
+    ``sketch_planes``-bit single-table hyperplane sketch (seeded by
+    ``sketch_seed``) computed in the SAME matmul and replicated down
+    the exploded entries. embedding_neardup_pairs' candidate prune
+    reads it off the self-joined rows inline (the d2
+    carry-the-sketch-through-the-band-join shape) instead of paying a
+    second UDF pass + two joins; the arithmetic is identical to a
+    separate ``n_planes=sketch_planes, n_tables=1`` call (same
+    ``_hyperplanes`` stream, same bool-matmul packing), pinned by the
+    d11 parity tests."""
     planes = np.array(
         [row for t in range(n_tables) for row in _hyperplanes(dim, n_planes, seed + 7919 * t)],
         dtype=np.float64,
+    )
+    sk_planes = (
+        np.array(_hyperplanes(dim, sketch_planes, sketch_seed), dtype=np.float64)
+        if sketch_planes
+        else None
     )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -171,11 +189,22 @@ def multitable_bucket_entries(
         for t in range(n_tables):
             chunk = bits[:, t * n_planes : (t + 1) * n_planes]
             out.append(chunk @ weights)
-        stacked = np.stack(out, axis=1)  # (n, tables)
+        if sk_planes is not None:
+            sk_bits = (V @ sk_planes.T) >= 0
+            sk_w = 1 << np.arange(sketch_planes, dtype=np.int64)
+            out.append(sk_bits @ sk_w)
+        stacked = np.stack(out, axis=1)  # (n, tables[+1])
         return pd.Series(list(stacked))
 
+    arr = _buckets(F.col(vec_col))
+    if not sketch_planes:
+        return df.select(
+            F.col(id_col), F.posexplode(arr).alias("__tab", "lsh_bucket")
+        )
     return df.select(
-        F.col(id_col), F.posexplode(_buckets(F.col(vec_col))).alias("__tab", "lsh_bucket")
+        F.col(id_col),
+        F.posexplode(F.slice(arr, 1, n_tables)).alias("__tab", "lsh_bucket"),
+        F.element_at(arr, n_tables + 1).alias("__sk"),
     )
 
 
@@ -278,40 +307,58 @@ def embedding_neardup_pairs(
     """
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if n_planes is None or n_tables is None:
+        # count BEFORE the spread below: on the raw scan this is a
+        # metadata-cheap parquet count; on the spread frame it would
+        # execute the round-robin exchange (the r10 measurement that
+        # made an earlier spread attempt net-negative).
         n_rows = vecs.count()
         n_planes, n_tables = auto_lsh_params(
             n_rows, threshold, target_recall=target_recall, dim=dim
         )
-    e = multitable_bucket_entries(
-        vecs, "__id", "__v", dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
-    )
-    cand = (
-        e.alias("l")
-        .join(e.alias("r"), on=["__tab", "lsh_bucket"])
-        .filter(F.col("l.__id") < F.col("r.__id"))
-        .select(F.col("l.__id").alias("id1"), F.col("r.__id").alias("id2"))
-        .distinct()
-    )
+    # parallelize the Arrow matmul bucket/sketch passes on a
+    # degenerately under-split local scan (profiled 0.8 s serial at
+    # sf0.1 — the longest d11 stage); every consumer (both band-join
+    # sides, the sketch pass, the two verify vector reads) shares the
+    # ONE round-robin exchange via AQE stage reuse. No-op at
+    # production split counts (spread_small_scan gate).
+    from .dedup import spread_small_scan
+
+    vecs = spread_small_scan(vecs)
     # two-stage verification (the d2 shape): (a) an 8-byte 64-bit
     # hyperplane sketch per id estimates the angle from a popcount —
     # est_cos = cos(pi * hamming/64), sd of hamming/64 is
-    # sqrt(f(1-f)/64) <= 1/16, so a 2.5-sigma margin keeps true pairs;
-    # pruning joins 8 bytes per side, never vectors. (b) exact cosine
-    # on the survivors only, joined BY ID so a task holds one pair's
-    # vectors.
-    sketch_entries = multitable_bucket_entries(
-        vecs, "__id", "__v", dim=dim, n_planes=64, n_tables=1, seed=seed + 104729
-    ).select("__id", F.col("lsh_bucket").alias("__sk"))
+    # sqrt(f(1-f)/64) <= 1/16, so a 2.5-sigma margin keeps true pairs.
+    # The sketch rides the band entries (computed in the SAME Arrow
+    # matmul, +8 bytes per entry row), so the self-joined rows carry
+    # both sides' sketches and the prune runs INLINE before the
+    # distinct — r11: the previous shape paid a second UDF pass per
+    # side plus two candidate joins to attach the same 8 bytes.
+    # (b) exact cosine on the survivors only, joined BY ID so a task
+    # holds one pair's vectors.
+    e = multitable_bucket_entries(
+        vecs, "__id", "__v", dim=dim, n_planes=n_planes, n_tables=n_tables,
+        seed=seed, sketch_planes=64, sketch_seed=seed + 104729,
+    )
     margin = 2.5 * math.pi * (0.25 / 64) ** 0.5
     est_ok = F.cos(
         F.lit(math.pi / 64.0)
-        * F.bit_count(F.col("__sk1").bitwiseXOR(F.col("__sk2")))
+        * F.bit_count(F.col("l.__sk").bitwiseXOR(F.col("r.__sk")))
     ) >= F.lit(threshold) - F.lit(math.sin(math.acos(min(abs(threshold), 1.0))) * margin)
+    # SHUFFLE_HASH hint on the self-join: without it AQE broadcast-
+    # converts one side at local sizes, and the broadcast build
+    # RECOMPUTES the Arrow bucket/sketch pass (a broadcast subtree
+    # cannot reuse the other side's shuffle stage — profiled as two
+    # full ArrowEvalPython stages per run). With both sides behind
+    # identical hash exchanges, AQE stage reuse materializes the UDF
+    # pass exactly once; at production sizes the side is never
+    # broadcastable, so the hint changes nothing there.
     pruned = (
-        cand.join(sketch_entries.select(F.col("__id").alias("id1"), F.col("__sk").alias("__sk1")), "id1")
-        .join(sketch_entries.select(F.col("__id").alias("id2"), F.col("__sk").alias("__sk2")), "id2")
+        e.alias("l")
+        .join(e.alias("r").hint("shuffle_hash"), on=["__tab", "lsh_bucket"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
         .filter(est_ok)
-        .select("id1", "id2")
+        .select(F.col("l.__id").alias("id1"), F.col("r.__id").alias("id2"))
+        .distinct()
     )
     v1 = vecs.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
     v2 = vecs.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
@@ -1200,6 +1247,13 @@ def random_projection(
     vec = F.col(vec_col).cast("array<double>")
     coords = []
     for row in mat:
+        # zip_with+aggregate on purpose: an unrolled ±element chain
+        # was tried in r11 and REVERTED — 16×64 flat Add nodes
+        # overflow janino's method compiler (codegen falls back to
+        # interpreted for the whole stage) and the catalog's
+        # posexplode duplicates the full array expression into its
+        # Generate filter; measured 3.5× slower than the compact HOF
+        # form.
         signs = F.array(*[F.lit(1.0 if ch == "+" else -1.0) for ch in row])
         dot = F.aggregate(
             F.zip_with(vec, signs, lambda a, b: a * b),

@@ -1387,6 +1387,15 @@ def bm25_score(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    from .dedup import spread_small_scan
+
+    # both map-only passes (stats aggregate, scoring) tokenize the
+    # corpus; on a degenerately under-split local scan each ran as ONE
+    # task (profiled 0.35 + 0.43 s serial at sf0.1 — the whole t17
+    # cost). The spread parallelizes both and they share the one
+    # round-robin exchange via AQE stage reuse; no-op at production
+    # split counts (spread_small_scan gate).
+    df = spread_small_scan(df)
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     nt = len(query_terms)
 

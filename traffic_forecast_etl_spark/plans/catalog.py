@@ -5086,8 +5086,12 @@ def s5_random_projection(spark, sf_dir):
     oracle (s4's convention); the array output + JL distortion are
     pytest-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
+    # spread the under-split local scan so the per-row fold runs wide
+    # (pure map — values unchanged; no-op at production splits). The
+    # operator itself stays exchange-free (map-only plan pin).
     out = S.random_projection(
-        emb, "embedding", "vec_id", in_dim=64, out_dim=16, seed=20260815
+        D.spread_small_scan(emb), "embedding", "vec_id", in_dim=64, out_dim=16,
+        seed=20260815
     )
     return out.select(
         "vec_id", F.posexplode("projection").alias("dim", "value")
@@ -5113,7 +5117,16 @@ def c8_quality_classifier(spark, sf_dir):
     model = QM.train_quality_classifier(
         labeled.filter(F.col("doc_id") % 2 == 0), "text", "label"
     )
-    return QM.score_quality(model, docs, "text", "doc_id", keep_cols=["source"])
+    # spread the SCORING scan only (per-row map under a broadcast
+    # model — parallelizing it cannot change any score; profiled
+    # 0.25 s serial at sf0.1 on the 1-split local file, no-op at
+    # production splits). The training input is deliberately not
+    # spread: repartitioning changes treeAggregate's float summation
+    # order and with it the fitted coefficients. score_quality itself
+    # stays exchange-free (pinned by test_scoring_plan_is_jvm_map_only).
+    return QM.score_quality(
+        model, D.spread_small_scan(docs), "text", "doc_id", keep_cols=["source"]
+    )
 
 
 @query(
