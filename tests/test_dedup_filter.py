@@ -912,3 +912,49 @@ def test_trim_spans_surgery_pin(spark):
     assert "SHARED-BOILERPLATE" not in out[11]
     assert out[12] == "clean document with nothing repeated in it at all"
     assert out[10].startswith("intro text one")
+
+
+def test_collapse_exact_parity_on_empty_and_subk_docs(spark):
+    """Edge pin for the r10 light-fp collapse arm (VERDICT r10 item 7):
+    the fp scan emits group structure for EVERY row while banding
+    covers only rows that produce signatures — parity between the two
+    arms rests on exploded_char_shingles' >=1-shingle guarantee
+    (greatest(len-k+1, 1)), which must hold for EMPTY and sub-k-length
+    normalized texts too. Pins collapse_exact=True vs False pair
+    semantics and near_dedup_filter's survivor set on a corpus made of
+    empty strings, punctuation-only strings (normalize to empty), and
+    sub-k docs."""
+    from traffic_forecast_etl_spark.operators.dedup import (
+        expand_collapsed_pairs,
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (1, ""), (2, ""),                  # empty group {1,2}
+        (3, "!!! ..."),                    # punctuation-only -> normalizes empty
+        (4, "ab"), (5, "ab"),              # sub-k (k=5) group {4,5}
+        (6, "ab."),                        # normalizes to "ab" too -> same group
+        (7, "xy"),                         # sub-k singleton
+        (8, "a perfectly ordinary document with plenty of words inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5)
+    flat = {
+        (r.id1, r.id2): r.jaccard
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", collapse_exact=False, **kw
+        ).collect()
+    }
+    collapsed = minhash_lsh_pairs(df, "text", "doc_id", **kw)
+    expanded = {
+        (r.id1, r.id2): r.jaccard
+        for r in expand_collapsed_pairs(collapsed).collect()
+    }
+    assert expanded == flat
+    # the empty texts {1,2,3} form one exact group; "ab"-normalized
+    # {4,5,6} another; both fully inside the pair set
+    assert {(1, 2), (1, 3), (4, 5), (4, 6)} <= set(expanded)
+    fast = {r.doc_id for r in near_dedup_filter(df, "text", "doc_id", exact_first=True, **kw).collect()}
+    slow = {r.doc_id for r in near_dedup_filter(df, "text", "doc_id", exact_first=False, **kw).collect()}
+    assert fast == slow
+    assert {1, 4, 7, 8} <= fast and not {2, 3, 5, 6} & fast

@@ -33,12 +33,6 @@ from pyspark.sql import functions as F
 # 64-bit long under ANSI arithmetic.
 _MERSENNE_P = (1 << 31) - 1
 
-# A/B flag (optimization round): False routes the LSH pipeline's
-# shared intermediates through AQE exchange/stage reuse instead of
-# block-manager caches. See minhash_lsh_pairs for the measurement.
-_CACHE_INTERMEDIATES = False
-
-
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form shared by every dedup operator: lowercase,
     strip non-alphanumerics to spaces, collapse whitespace."""
@@ -673,19 +667,15 @@ def minhash_lsh_pairs(
     all-pairs contract (the pre-guard baseline; the ``exact_member``
     column is still present, all-false, for schema stability).
 
-    ``persist_tracker``: shared intermediates (packed signatures,
-    estimate-filtered pairs) flow through plain exchanges by default —
-    AQE stage reuse materializes each shuffle once and every consumer
-    awaits it, which the r10 optimization round measured strictly
-    faster than block-manager caching (concurrent consumers raced the
-    cache fill and recomputed the corpus scan 2-3×; an eager count()
-    barrier serialized the DAG). With the ``_CACHE_INTERMEDIATES``
-    flag flipped back on, the frames persist again and callers that
-    fully consume the result pass a list here to unpersist them as
-    soon as it is materialized.
+    ``persist_tracker``: retained for API stability; the LSH
+    intermediates flow through plain exchanges and an eager
+    localCheckpoint, so nothing is appended to it anymore. The r10
+    optimization round measured AQE stage reuse strictly faster than
+    block-manager caching of the shared slim frames (concurrent
+    consumers raced the cache fill and recomputed the corpus scan
+    2-3×; an eager count() barrier on them serialized the DAG), and
+    r11 removed the losing persist branch outright.
     """
-    from pyspark import StorageLevel
-
     if est_hashes is None:
         est_hashes = num_hashes
     if est_hashes < num_hashes or est_hashes % 8:
@@ -739,12 +729,6 @@ def minhash_lsh_pairs(
         # shuffle — restricting df itself would move it)
         rep_ids = fps.filter(F.col("__id") == F.col("__rep")).select("__id")
         with_sig = with_sig.join(rep_ids, "__id", "left_semi")
-    if _CACHE_INTERMEDIATES:
-        with_sig = with_sig.persist(
-            StorageLevel.MEMORY_AND_DISK
-        )  # feeds both sides of the band self-join
-        if persist_tracker is not None:
-            persist_tracker.append(with_sig)
     lsh = _pairs_from_packed(
         with_sig,
         df,
@@ -1300,13 +1284,10 @@ def near_dedup_filter(
     anti-join, same as before. (``exact_dup_edges`` is the standalone
     form of the same pre-pass for callers outside this pipeline.)
 
-    ``release_cache=False`` keeps the LSH pipeline's persisted
-    intermediates alive for the session (bench warm-path measurement,
-    or callers that run further dedup passes over the same corpus);
-    the default releases them as soon as components are materialized.
-    With the default ``_CACHE_INTERMEDIATES=False`` (r10 optimization:
-    shared frames dedup through AQE stage reuse instead of caches) the
-    tracker stays empty and this flag is a no-op.
+    ``release_cache``: retained for API stability; since the r10/r11
+    optimization rounds the LSH intermediates flow through AQE
+    exchange reuse and an eager localCheckpoint (released with the
+    frame), so the tracker stays empty and this flag is a no-op.
     """
     tracker: list = []
     # exact_first rides minhash_lsh_pairs' collapse_exact guard: its

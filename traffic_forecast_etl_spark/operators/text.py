@@ -25,12 +25,6 @@ _STOPWORDS = {
 }
 
 
-# A/B flag (optimization round): False routes the LM scorers' shared
-# frequency tables through AQE exchange/stage reuse instead of
-# block-manager caches. See unigram_logprob for the measurement.
-_CACHE_FREQ_TABLES = False
-
-
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the raw text (empty array for blank)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -1094,15 +1088,14 @@ def unigram_logprob(
     contract as the DuckDB oracle's GROUP BY over the token stream).
     Returns (id, n_tokens, mean_logprob, bits_per_token).
 
-    ``persist_tracker``: the vocabulary-sized freq table feeds the
-    top-V cut AND the totals broadcast. By default it flows through a
-    plain exchange — AQE stage reuse materializes the token aggregate
-    once and both consumers await it, which the r10 optimization round
-    measured faster than block-manager caching (concurrent consumers
-    raced the cache fill and re-ran the corpus token scan). With the
-    ``_CACHE_FREQ_TABLES`` flag flipped back on, the table persists
-    and callers that fully consume the LAZY result pass a list here
-    to unpersist it afterwards.
+    ``persist_tracker``: retained for API stability; the
+    vocabulary-sized freq table feeds the top-V cut AND the totals
+    broadcast through a plain exchange — AQE stage reuse materializes
+    the token aggregate once and both consumers await it, which the
+    r10 optimization round measured faster than block-manager caching
+    (concurrent consumers raced the cache fill and re-ran the corpus
+    token scan); r11 removed the losing persist branch outright, so
+    nothing is appended to the tracker anymore.
     """
     tok = df.select(
         F.col(id_col),
@@ -1110,20 +1103,14 @@ def unigram_logprob(
     )
     # the frequency table is VOCABULARY-sized (distinct tokens, heavy
     # tail included — orders of magnitude below the token stream);
-    # persist it so the top-V cut AND the model totals read the cache
-    # instead of each re-scanning the corpus. N = Σ counts (all token
+    # its exchange materializes once (AQE stage reuse) and the top-V
+    # cut AND the model totals both read it. N = Σ counts (all token
     # occurrences), V = |vocab| = min(distinct, vocab_size) — both
     # derivable from freq, so the corpus is scanned exactly twice:
     # once to build freq, once streaming tokens through the broadcast
     # join below. (The naive form — counting N off the token stream
     # and V off the vocab frame — costs two more full corpus scans.)
     freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    if _CACHE_FREQ_TABLES:
-        from pyspark import StorageLevel
-
-        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
-        if persist_tracker is not None:
-            persist_tracker.append(freq)
     vocab = freq.orderBy(F.col("__cnt").desc(), F.col("__tok").asc()).limit(vocab_size)
     totals = F.broadcast(
         freq.agg(
@@ -1224,12 +1211,6 @@ def bigram_logprob(
         .select(id_col, "__b.__w1", "__b.__w2")
     )
     bfreq = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c"))
-    if _CACHE_FREQ_TABLES:
-        from pyspark import StorageLevel
-
-        bfreq = bfreq.persist(StorageLevel.MEMORY_AND_DISK)
-        if persist_tracker is not None:
-            persist_tracker.append(bfreq)
     ctx = bfreq.groupBy("__w1").agg(F.sum("__c").alias("__cc"))
     top_bg = (
         bfreq.orderBy(F.col("__c").desc(), F.col("__w1").asc(), F.col("__w2").asc())

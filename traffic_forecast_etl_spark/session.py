@@ -25,18 +25,20 @@ DEFAULT_CONF: dict[str, str] = {
     # AQE's coalescing floor is BYTES-based (default 1m), but this
     # engine's hot stages are CPU-dense over slim rows — sketch
     # agreement, LSH bucket self-joins, candidate verification at
-    # ~100 CPU-ops per 24-byte row — and a 1 MB floor serializes them
-    # onto a handful of cores exactly when upstream filtering worked
-    # (profiled at sf0.1: the d11 verify stage ran 13 CPU-s on 6
-    # tasks). 256k keeps those stages wide while leaving byte-bound
-    # aggregate stages coalesced; measured by interleaved A/B over the
-    # sensitive keys (64k/256k/1m): 64k over-splits the shingle-agg
-    # pipelines (t16 1.3→2.9 s), 1m serializes the similarity verify
-    # stages (d11 2.7→4.2 s), 256k takes both wins. At production
-    # totals the floor almost never binds (partitions are
-    # advisory-sized). Override via extra_conf for byte-bound
-    # clusters.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
+    # ~100 CPU-ops per 24-byte row — and a 1 MB floor can serialize
+    # them onto a handful of cores exactly when upstream filtering
+    # worked. r10 shipped 256k from a 6-key A/B; the r11 re-
+    # adjudication (26 keys, 3 interleaved campaigns, 256k/512k/1m,
+    # after the r11 operator rewrites) found 256k over-splits nearly
+    # everything on the current plans — d2 4.37→2.80, t16 1.64→0.73,
+    # g1 3.29→1.97, c9 3.31→2.13 going 256k→1m — with d11 the ONE
+    # key preferring 256k (2.67 vs 4.02 at 1m). 512k takes d11's win
+    # at half the cost (3.18) while matching 1m within noise
+    # everywhere else: grand A/B totals 43.8 / 33.4 / 33.9 s for
+    # 256k / 512k / 1m. At production totals the floor almost never
+    # binds (parallelismFirst targets total/parallelism first);
+    # override via extra_conf for byte-bound clusters.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512k",
     # Arrow for createDataFrame/toPandas and pandas_udf batches.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics (parquet timestamps are UTC
