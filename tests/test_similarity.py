@@ -1158,3 +1158,29 @@ def test_lloyd_update_forms_bit_identical():
         C2, l2 = _lloyd(M.copy(), k, seed=trial * 7919 + 1, iters=10)
         assert np.array_equal(C1, C2), f"centroids diverged at {(n, d, k)}"
         assert np.array_equal(l1, l2), f"labels diverged at {(n, d, k)}"
+
+
+def test_hamming_cutoff_matches_cos_predicate(spark):
+    """The r11 integer prune cutoff: embedding_neardup_pairs replaces
+    cos(pi*h/64) >= T' with h <= H, H precomputed in Python over the
+    65 possible popcount values. This pin evaluates the ORIGINAL
+    predicate with the JVM's cos for every h in 0..64 and a spread of
+    thresholds (including the d11 catalog's 0.4) and asserts the two
+    predicates agree everywhere — i.e. Python's math.cos and the
+    JVM's cos round the 65 boundary comparisons identically."""
+    import math
+
+    margin = 2.5 * math.pi * (0.25 / 64) ** 0.5
+    hs = spark.range(65).select(F.col("id").cast("int").alias("h"))
+    for threshold in (0.0, 0.3, 0.4, 0.5, 0.7, 0.9, 0.95, 0.99, 1.0):
+        t_prime = threshold - math.sin(math.acos(min(abs(threshold), 1.0))) * margin
+        ok_h = [h for h in range(65) if math.cos(math.pi / 64.0 * h) >= t_prime]
+        max_h = max(ok_h) if ok_h else -1
+        jvm = {
+            r.h
+            for r in hs.filter(
+                F.cos(F.lit(math.pi / 64.0) * F.col("h"))
+                >= F.lit(threshold) - F.lit(math.sin(math.acos(min(abs(threshold), 1.0))) * margin)
+            ).collect()
+        }
+        assert jvm == set(range(max_h + 1)), (threshold, max_h, sorted(jvm))

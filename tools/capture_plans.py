@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from $PLANS_ROUND, default r11).
 
 Usage: python tools/capture_plans.py before|after [key1,key2,...]
 
@@ -24,7 +25,7 @@ def main() -> None:
     tag = sys.argv[1]
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     for name in keys:

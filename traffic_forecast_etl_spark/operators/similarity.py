@@ -50,6 +50,8 @@ def _norm(a: Column) -> Column:
     )
 
 
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -340,10 +342,19 @@ def embedding_neardup_pairs(
         seed=seed, sketch_planes=64, sketch_seed=seed + 104729,
     )
     margin = 2.5 * math.pi * (0.25 / 64) ** 0.5
-    est_ok = F.cos(
-        F.lit(math.pi / 64.0)
-        * F.bit_count(F.col("l.__sk").bitwiseXOR(F.col("r.__sk")))
-    ) >= F.lit(threshold) - F.lit(math.sin(math.acos(min(abs(threshold), 1.0))) * margin)
+    # the popcount is an INTEGER in 0..64, so the prune predicate
+    # cos(pi·h/64) >= T' collapses to h <= H with H precomputed over
+    # the 65 possible values — no transcendental per candidate row
+    # (the cos ran once per self-joined row in the hot join stage).
+    # Equivalence over every reachable input is pinned by
+    # test_hamming_cutoff_matches_cos_predicate, which evaluates the
+    # original JVM-cos predicate for all h in 0..64.
+    t_prime = threshold - math.sin(math.acos(min(abs(threshold), 1.0))) * margin
+    ok_h = [h for h in range(65) if math.cos(math.pi / 64.0 * h) >= t_prime]
+    max_h = max(ok_h) if ok_h else -1
+    est_ok = (
+        F.bit_count(F.col("l.__sk").bitwiseXOR(F.col("r.__sk"))) <= F.lit(max_h)
+    )
     # SHUFFLE_HASH hint on the self-join: without it AQE broadcast-
     # converts one side at local sizes, and the broadcast build
     # RECOMPUTES the Arrow bucket/sketch pass (a broadcast subtree
@@ -360,15 +371,28 @@ def embedding_neardup_pairs(
         .select(F.col("l.__id").alias("id1"), F.col("r.__id").alias("id2"))
         .distinct()
     )
-    v1 = vecs.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
-    v2 = vecs.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
+    # norms hoisted to the VECTOR side: _norm per vector (n rows)
+    # instead of twice per candidate pair — the exact-cosine verify
+    # was profiled at ~10.7 CPU-s per d11 run with three interpreted
+    # folds per pair; per-pair work is now the single dot fold.
+    # Bit-exact: the same _norm fold over the same array yields the
+    # same double wherever it is computed. (A fully unrolled
+    # codegen'd dot/norm was tried and reverted: it halved the stage
+    # CPU but added ~1.8 s of driver planning per run — Catalyst
+    # constraint propagation over the ~600-node expression trees.)
+    nrm = _norm(F.col("__v"))
+    v1 = vecs.select(
+        F.col("__id").alias("id1"), F.col("__v").alias("__v1"), nrm.alias("__n1")
+    )
+    v2 = vecs.select(
+        F.col("__id").alias("id2"), F.col("__v").alias("__v2"), nrm.alias("__n2")
+    )
     return (
         pruned.join(v1, "id1")
         .join(v2, "id2")
         .withColumn(
             "cosine",
-            _dot(F.col("__v1"), F.col("__v2"))
-            / (_norm(F.col("__v1")) * _norm(F.col("__v2"))),
+            _dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
