@@ -42,8 +42,13 @@ def profile(keys: list[str]) -> None:
     )
     sc = spark.sparkContext
     app_id = sc.applicationId
-    # session + python-worker warmup (mirrors bench.py)
-    QUERIES["a3_profile"](spark, sf_dir).collect()
+    # session + python-worker warmup (mirrors bench.py); derived scale
+    # dirs (.scaledata/sf1) carry only documents/embeddings — fall
+    # back to a documents-based warmup there
+    try:
+        QUERIES["a3_profile"](spark, sf_dir).collect()
+    except Exception:
+        QUERIES["t1_token_stats"](spark, sf_dir).collect()
     for key in keys:
         QUERIES[key](spark, sf_dir).collect()  # untimed warm pass
         spark.catalog.clearCache()
